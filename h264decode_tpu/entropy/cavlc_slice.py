@@ -1,0 +1,294 @@
+"""CAVLC slice-data decoder: slice_data() + macroblock_layer() (spec 7.3.4,
+7.3.5) into FrameTensors.
+
+Replaces the reference's interleaved per-MB walk (h264/slice.go:570-830) with
+a full-slice entropy pass producing SoA tensors (SURVEY.md section 7.1), and
+adds everything the reference lacks: residual parsing, nC context tracking,
+I_PCM samples, QP accumulation.
+
+Pure-Python reference implementation; the native/ C++ engine is the fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bitreader import BitReader
+from ..syntax.fmo import next_mb_address
+from ..syntax.pps import PPS
+from ..syntax.slice_header import SliceHeader
+from ..syntax.sps import SPS
+from ..tensors.frame_tensors import (
+    CHROMA_BLK_XY,
+    LUMA_BLK_XY,
+    MB_I_16X16,
+    MB_I_NXN,
+    MB_I_PCM,
+    FrameTensors,
+)
+from .cavlc import nc_from_neighbors, residual_block_cavlc
+from .cavlc_tables import (
+    CBP_ME_CHROMA03_INTER,
+    CBP_ME_CHROMA03_INTRA,
+    CBP_ME_CHROMA12_INTER,
+    CBP_ME_CHROMA12_INTRA,
+)
+
+
+class CavlcSliceDecoder:
+    """Decodes one slice's worth of macroblocks into the frame tensors."""
+
+    def __init__(
+        self,
+        ft: FrameTensors,
+        hdr: SliceHeader,
+        sps: SPS,
+        pps: PPS,
+        r: BitReader,
+        slice_id: int,
+        mb_map: np.ndarray,
+        intra_mode_grid: np.ndarray,
+    ):
+        self.ft = ft
+        self.hdr = hdr
+        self.sps = sps
+        self.pps = pps
+        self.r = r
+        self.slice_id = slice_id
+        self.mb_map = mb_map
+        # [4h, 4w] int8: decoded Intra4x4/8x8 mode per 4x4 cell, -1 = not intra-NxN.
+        # Shared per frame so cross-MB prediction sees earlier slices' cells
+        # (gated by availability).
+        self.modes = intra_mode_grid
+        self.qp_prev = hdr.slice_qp(pps)
+        self.chroma12 = sps.chroma_array_type in (1, 2)
+
+    # ------------------------------------------------------------------ utils
+
+    def _mb_available(self, naddr: int) -> bool:
+        """spec 6.4.9: neighbor must exist, be decoded, and share the slice."""
+        return 0 <= naddr < self.ft.n_mbs and self.ft.slice_id[naddr] == self.slice_id
+
+    def _luma_nnz_at(self, gx: int, gy: int):
+        if gx < 0 or gy < 0:
+            return None
+        naddr = (gy >> 2) * self.ft.mb_w + (gx >> 2)
+        if not self._mb_available(naddr):
+            return None
+        return int(self.ft.luma_nnz[gy, gx])
+
+    def _chroma_nnz_at(self, comp: int, gx: int, gy: int):
+        if gx < 0 or gy < 0:
+            return None
+        naddr = (gy >> 1) * self.ft.mb_w + (gx >> 1)
+        if not self._mb_available(naddr):
+            return None
+        return int(self.ft.chroma_nnz[comp, gy, gx])
+
+    def luma_nc(self, gx: int, gy: int) -> int:
+        return nc_from_neighbors(
+            self._luma_nnz_at(gx - 1, gy), self._luma_nnz_at(gx, gy - 1)
+        )
+
+    def chroma_nc(self, comp: int, gx: int, gy: int) -> int:
+        return nc_from_neighbors(
+            self._chroma_nnz_at(comp, gx - 1, gy), self._chroma_nnz_at(comp, gx, gy - 1)
+        )
+
+    def _pred_intra4x4_mode(self, gx: int, gy: int) -> int:
+        """spec 8.3.1.1. dcPredModePredictedFlag is global over BOTH
+        neighbors: if either is unavailable (or CIP-barred), the prediction
+        is DC — encoded here as -1 propagating through the min. Available
+        non-Intra-NxN neighbors contribute DC(2)."""
+
+        def mode_at(nx, ny):
+            if nx < 0 or ny < 0:
+                return -1  # unavailable
+            naddr = (ny >> 2) * self.ft.mb_w + (nx >> 2)
+            if not self._mb_available(naddr):
+                return -1
+            if (
+                self.pps.constrained_intra_pred_flag
+                and self.ft.mb_class[naddr] >= 3
+            ):
+                return -1  # inter neighbor barred by constrained_intra_pred
+            m = self.modes[ny, nx]
+            return 2 if m < 0 else int(m)  # non-Intra-NxN MB -> DC
+
+        pred = min(mode_at(gx - 1, gy), mode_at(gx, gy - 1))
+        return 2 if pred < 0 else pred
+
+    def _update_qp(self, delta: int) -> int:
+        # spec 7-37 (8-bit): QPy = (prev + delta + 52) % 52
+        self.qp_prev = (self.qp_prev + delta + 52) % 52
+        return self.qp_prev
+
+    # ------------------------------------------------------------- main loop
+
+    def decode(self) -> None:
+        hdr, r = self.hdr, self.r
+        n = self.ft.n_mbs
+        addr = hdr.first_mb_in_slice
+        if not (hdr.is_i or hdr.is_si):
+            raise NotImplementedError("CAVLC P/B slice data: next milestone")
+        while True:
+            if addr >= n:
+                raise ValueError("slice overruns picture")
+            self.parse_macroblock(addr)
+            if not r.more_rbsp_data():
+                break
+            addr = next_mb_address(self.mb_map, addr)
+
+    # ------------------------------------------------------ macroblock layer
+
+    def parse_macroblock(self, addr: int) -> None:
+        ft, r = self.ft, self.r
+        ft.slice_id[addr] = self.slice_id
+        ft.decode_order.append(addr)
+        ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
+        ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
+        ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
+        mb_type = r.ue()
+        # Table 7-11 (I-slice mb_type; SI handled via its own offset later)
+        self._parse_i_mb(addr, mb_type)
+
+    def _parse_i_mb(self, addr: int, mb_type: int) -> None:
+        ft, r = self.ft, self.r
+        mbx, mby = ft.mb_xy(addr)
+        if mb_type == 25:  # I_PCM
+            self._parse_pcm(addr)
+            return
+        if mb_type == 0:  # I_NxN
+            ft.mb_class[addr] = MB_I_NXN
+            t8 = False
+            if self.pps.transform_8x8_mode_flag:
+                t8 = r.flag()
+            ft.transform_8x8[addr] = t8
+            self._parse_intra_nxn_modes(addr, mbx, mby, t8)
+            if self.sps.chroma_array_type in (1, 2):
+                ft.chroma_mode[addr] = r.ue()
+            cbp_code = r.ue()
+            tab = CBP_ME_CHROMA12_INTRA if self.chroma12 else CBP_ME_CHROMA03_INTRA
+            cbp = tab[cbp_code]
+            ft.cbp[addr] = cbp
+            if cbp:
+                ft.qp[addr] = self._update_qp(r.se())
+            else:
+                ft.qp[addr] = self.qp_prev
+            self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
+            self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+        else:  # I_16x16: mb_type 1..24, Table 7-11 derivation
+            ft.mb_class[addr] = MB_I_16X16
+            k = mb_type - 1
+            ft.intra16_mode[addr] = k % 4
+            cbp_chroma = (k // 4) % 3
+            cbp_luma = 15 if k >= 12 else 0
+            ft.cbp[addr] = cbp_luma | (cbp_chroma << 4)
+            if self.sps.chroma_array_type in (1, 2):
+                ft.chroma_mode[addr] = r.ue()
+            ft.qp[addr] = self._update_qp(r.se())
+            # Intra16x16DCLevel: nC as for luma4x4BlkIdx 0 (spec 9.2.1)
+            nc = self.luma_nc(mbx * 4, mby * 4)
+            coeffs, _ = residual_block_cavlc(r, 0, 15, 16, nc)
+            ft.luma_dc[addr] = coeffs
+            self._parse_luma_residual(addr, mbx, mby, cbp_luma, i16=True, t8=False)
+            self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
+        # non-NxN MBs leave the intra-mode grid at -1 ("predict DC from me")
+
+    def _parse_pcm(self, addr: int) -> None:
+        ft, r = self.ft, self.r
+        ft.mb_class[addr] = MB_I_PCM
+        r.align()  # pcm_alignment_zero_bit
+        y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
+        if self.sps.chroma_array_type == 1:
+            cb = np.array([r.u(8) for _ in range(64)], np.uint8).reshape(8, 8)
+            cr = np.array([r.u(8) for _ in range(64)], np.uint8).reshape(8, 8)
+        else:
+            cb = cr = np.zeros((8, 8), np.uint8)
+        ft.pcm_samples[addr] = (y, cb, cr)
+        ft.qp[addr] = self.qp_prev  # QPy unchanged (spec 7.4.5)
+        mbx, mby = ft.mb_xy(addr)
+        # spec 9.2.1: PCM neighbors count as TotalCoeff 16
+        ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+
+    def _parse_intra_nxn_modes(self, addr: int, mbx: int, mby: int, t8: bool) -> None:
+        ft, r = self.ft, self.r
+        if t8:
+            for b8 in range(4):
+                bx, by = b8 % 2, b8 // 2
+                gx, gy = mbx * 4 + bx * 2, mby * 4 + by * 2
+                pred = self._pred_intra4x4_mode(gx, gy)
+                if r.flag():  # prev_intra8x8_pred_mode_flag
+                    mode = pred
+                else:
+                    rem = r.u(3)
+                    mode = rem if rem < pred else rem + 1
+                ft.intra4x4_modes[addr, b8] = mode
+                self.modes[gy : gy + 2, gx : gx + 2] = mode
+        else:
+            for blk in range(16):
+                bx, by = LUMA_BLK_XY[blk]
+                gx, gy = mbx * 4 + bx, mby * 4 + by
+                pred = self._pred_intra4x4_mode(gx, gy)
+                if r.flag():  # prev_intra4x4_pred_mode_flag
+                    mode = pred
+                else:
+                    rem = r.u(3)
+                    mode = rem if rem < pred else rem + 1
+                ft.intra4x4_modes[addr, blk] = mode
+                self.modes[gy, gx] = mode
+
+    # ----------------------------------------------------------- residuals
+
+    def _parse_luma_residual(
+        self, addr: int, mbx: int, mby: int, cbp_luma: int, *, i16: bool, t8: bool
+    ) -> None:
+        """residual_luma(), spec 7.3.5.3.1. For CAVLC + transform_8x8 the
+        8x8 block is sent as 4 interleaved 4x4 CAVLC blocks
+        (coeff k of partition i -> 8x8 scan position 4k+i, spec 8.5.6 note)."""
+        ft, r = self.ft, self.r
+        # AC blocks occupy scan positions 1..15 of a 16-slot array; the
+        # max_num_coeff arg only selects the total_zeros table family (4x4)
+        start = 1 if i16 else 0
+        maxc = 16
+        l8 = ft.ensure_luma8() if t8 else None
+        for b8 in range(4):
+            coded = cbp_luma & (1 << b8)
+            for i4 in range(4):
+                blk = b8 * 4 + i4
+                bx, by = LUMA_BLK_XY[blk]
+                gx, gy = mbx * 4 + bx, mby * 4 + by
+                if not coded:
+                    ft.luma_nnz[gy, gx] = 0
+                    continue
+                nc = self.luma_nc(gx, gy)
+                coeffs, total = residual_block_cavlc(r, start, 15, maxc, nc)
+                ft.luma_nnz[gy, gx] = total
+                if t8:
+                    for k in range(16):
+                        l8[addr, b8, 4 * k + i4] = coeffs[k]
+                else:
+                    ft.luma_ac[addr, blk] = coeffs
+
+    def _parse_chroma_residual(self, addr: int, mbx: int, mby: int, cbp_chroma: int):
+        """residual chroma part of 7.3.5.3.3 (ChromaArrayType 1; 4:2:2 uses
+        8-coeff DC blocks — gated until 4:2:2 support lands)."""
+        if self.sps.chroma_array_type == 0:
+            return
+        ft, r = self.ft, self.r
+        if cbp_chroma & 3:
+            for comp in range(2):
+                coeffs, _ = residual_block_cavlc(r, 0, 3, 4, -1)
+                ft.chroma_dc[addr, comp] = coeffs
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = CHROMA_BLK_XY[blk]
+                gx, gy = mbx * 2 + bx, mby * 2 + by
+                if cbp_chroma & 2:
+                    nc = self.chroma_nc(comp, gx, gy)
+                    coeffs, total = residual_block_cavlc(r, 1, 15, 16, nc)
+                    ft.chroma_ac[addr, comp, blk] = coeffs
+                    ft.chroma_nnz[comp, gy, gx] = total
+                else:
+                    ft.chroma_nnz[comp, gy, gx] = 0

@@ -1,0 +1,259 @@
+"""In-loop deblocking filter, spec 8.7 — numpy oracle (frame, 4:2:0).
+
+MBs are processed in raster order; for each MB all vertical edges are
+filtered left-to-right, then all horizontal edges top-to-bottom, in place —
+exactly the spec ordering the TPU kernel (kernels/deblock.py) restructures
+into separable column/row passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.deblock_tables import ALPHA, BETA, TC0
+from ..syntax.pps import PPS
+from ..syntax.sps import SPS
+from ..tensors.frame_tensors import MB_P, FrameTensors
+from .reference_recon import chroma_qp
+
+_ALPHA = np.asarray(ALPHA, np.int32)
+_BETA = np.asarray(BETA, np.int32)
+_TC0 = np.asarray(TC0, np.int32)  # [52][3]
+
+
+def _is_intra(cls: int) -> bool:
+    return cls < MB_P
+
+
+def _bs_internal_intra() -> int:
+    return 3
+
+
+def _mv_bs(ft: FrameTensors, addr_p, blk_p, addr_q, blk_q) -> int:
+    """bS 0/1 derivation from motion data (spec 8.7.2.1 cases after coeffs).
+
+    P-only simplification for now: compares L0 ref and MV. Extended for B
+    (list permutation comparison) together with the B decode path."""
+    rp = ft.ref_idx[addr_p, 0, (blk_p // 4 // 2) * 2 + (blk_p % 4) // 2]
+    rq = ft.ref_idx[addr_q, 0, (blk_q // 4 // 2) * 2 + (blk_q % 4) // 2]
+    if rp != rq:
+        return 1
+    mvp = ft.mv[addr_p, 0, blk_p]
+    mvq = ft.mv[addr_q, 0, blk_q]
+    if abs(int(mvp[0]) - int(mvq[0])) >= 4 or abs(int(mvp[1]) - int(mvq[1])) >= 4:
+        return 1
+    return 0
+
+
+def _boundary_strengths(
+    ft: FrameTensors, mbx: int, mby: int, vertical: bool, edge: int
+) -> np.ndarray:
+    """bS for the 16 luma sample lines of one 4-px-aligned edge of MB
+    (mbx,mby). edge = 0..3 (position in 4px units; 0 = MB boundary)."""
+    addr_q = mby * ft.mb_w + mbx
+    bs = np.zeros(16, np.int32)
+    for line in range(16):
+        # locate the two 4x4 cells astride this sample line
+        if vertical:
+            qx, qy = mbx * 4 + edge, mby * 4 + line // 4
+            px, py = qx - 1, qy
+        else:
+            qx, qy = mbx * 4 + line // 4, mby * 4 + edge
+            px, py = qx, qy - 1
+        addr_p = (py // 4) * ft.mb_w + (px // 4)
+        intra_p = _is_intra(ft.mb_class[addr_p])
+        intra_q = _is_intra(ft.mb_class[addr_q])
+        if intra_p or intra_q:
+            bs[line] = 4 if edge == 0 else 3
+        elif ft.luma_nnz[py, px] or ft.luma_nnz[qy, qx]:
+            bs[line] = 2
+        else:
+            blk_p = (py % 4) * 4 + (px % 4)  # raster 4x4 idx within MB
+            blk_q = (qy % 4) * 4 + (qx % 4)
+            bs[line] = _mv_bs(ft, addr_p, blk_p, addr_q, blk_q)
+    return bs
+
+
+def _filter_luma_lines(p, q, bs, index_a, index_b):
+    """Filter across one edge: p[4,16] (p3..p0 order p[0]=p3? -> we pass
+    p[k] = p_k, i.e. p[0]=p0 nearest edge), q[4,16]. Vectorized over the 16
+    lines. Returns new (p, q) int32 arrays."""
+    alpha = _ALPHA[index_a]
+    beta = _BETA[index_b]
+    p0, p1, p2, p3 = (p[k].astype(np.int32) for k in range(4))
+    q0, q1, q2, q3 = (q[k].astype(np.int32) for k in range(4))
+    filt = (
+        (bs > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    # --- bS < 4 path (8.7.2.3)
+    tc0 = _TC0[index_a, np.clip(bs, 1, 3) - 1]
+    tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0_w = np.clip(p0 + delta, 0, 255)
+    q0_w = np.clip(q0 - delta, 0, 255)
+    p1_w = p1 + np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+    q1_w = q1 + np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+    # --- bS == 4 path (8.7.2.4)
+    strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = ap & strong
+    p0_s = np.where(
+        sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, (2 * p1 + p0 + q1 + 2) >> 2
+    )
+    p1_s = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    p2_s = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq = aq & strong
+    q0_s = np.where(
+        sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3, (2 * q1 + q0 + p1 + 2) >> 2
+    )
+    q1_s = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    q2_s = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+
+    is4 = bs == 4
+    new_p0 = np.where(filt, np.where(is4, p0_s, p0_w), p0)
+    new_q0 = np.where(filt, np.where(is4, q0_s, q0_w), q0)
+    new_p1 = np.where(filt & ap, np.where(is4, p1_s, p1_w), np.where(filt & is4, p1_s, p1))
+    new_q1 = np.where(filt & aq, np.where(is4, q1_s, q1_w), np.where(filt & is4, q1_s, q1))
+    new_p2 = np.where(filt & is4, p2_s, p2)
+    new_q2 = np.where(filt & is4, q2_s, q2)
+    return (
+        np.stack([new_p0, new_p1, new_p2, p3]),
+        np.stack([new_q0, new_q1, new_q2, q3]),
+    )
+
+
+def _filter_chroma_lines(p, q, bs, index_a, index_b):
+    """Chroma: only p0/q0 (p1 used as input), 8 lines. p,q: [2,8]."""
+    alpha = _ALPHA[index_a]
+    beta = _BETA[index_b]
+    p0, p1 = (p[k].astype(np.int32) for k in range(2))
+    q0, q1 = (q[k].astype(np.int32) for k in range(2))
+    filt = (
+        (bs > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    tc = _TC0[index_a, np.clip(bs, 1, 3) - 1] + 1
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0_w = np.clip(p0 + delta, 0, 255)
+    q0_w = np.clip(q0 - delta, 0, 255)
+    p0_s = (2 * p1 + p0 + q1 + 2) >> 2
+    q0_s = (2 * q1 + q0 + p1 + 2) >> 2
+    is4 = bs == 4
+    new_p0 = np.where(filt, np.where(is4, p0_s, p0_w), p0)
+    new_q0 = np.where(filt, np.where(is4, q0_s, q0_w), q0)
+    return np.stack([new_p0, p1]), np.stack([new_q0, q1])
+
+
+def deblock_frame(
+    ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+):
+    """Apply spec 8.7 in place over copies; returns filtered planes."""
+    y = y.astype(np.int32)
+    cb = cb.astype(np.int32)
+    cr = cr.astype(np.int32)
+    w_mb, h_mb = ft.mb_w, ft.mb_h
+    for mby in range(h_mb):
+        for mbx in range(w_mb):
+            addr = mby * w_mb + mbx
+            if ft.disable_deblock[addr] == 1:
+                continue
+            same_slice_l = mbx > 0 and (
+                ft.disable_deblock[addr] != 2
+                or ft.slice_id[addr - 1] == ft.slice_id[addr]
+            )
+            same_slice_t = mby > 0 and (
+                ft.disable_deblock[addr] != 2
+                or ft.slice_id[addr - w_mb] == ft.slice_id[addr]
+            )
+            qp_q = int(ft.qp[addr])
+            a_off = int(ft.alpha_off[addr])
+            b_off = int(ft.beta_off[addr])
+            t8 = bool(ft.transform_8x8[addr])
+            # ---- vertical edges (filter across columns)
+            edges = [0, 1, 2, 3] if not t8 else [0, 2]
+            for edge in edges:
+                if edge == 0 and not same_slice_l:
+                    continue
+                x = mbx * 16 + edge * 4
+                bs = _boundary_strengths(ft, mbx, mby, True, edge)
+                if not bs.any():
+                    continue
+                addr_p = addr - 1 if edge == 0 else addr
+                qp_p = int(ft.qp[addr_p])
+                qp_av = (qp_p + qp_q + 1) >> 1
+                index_a = np.clip(qp_av + a_off, 0, 51)
+                index_b = np.clip(qp_av + b_off, 0, 51)
+                rows = slice(mby * 16, mby * 16 + 16)
+                p = np.stack([y[rows, x - 1 - k] for k in range(4)])
+                q = np.stack([y[rows, x + k] for k in range(4)])
+                p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
+                for k in range(4):
+                    y[rows, x - 1 - k] = p[k]
+                    y[rows, x + k] = q[k]
+                if edge in (0, 2):  # chroma vertical edges (4:2:0)
+                    cx = mbx * 8 + edge * 2
+                    qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
+                    qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
+                    qpc_av = (qpc_p + qpc_q + 1) >> 1
+                    ia = np.clip(qpc_av + a_off, 0, 51)
+                    ib = np.clip(qpc_av + b_off, 0, 51)
+                    qpc_p2 = chroma_qp(qp_p, pps.second_chroma_qp_index_offset)
+                    qpc_q2 = chroma_qp(qp_q, pps.second_chroma_qp_index_offset)
+                    qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
+                    ia2 = np.clip(qpc_av2 + a_off, 0, 51)
+                    ib2 = np.clip(qpc_av2 + b_off, 0, 51)
+                    crows = slice(mby * 8, mby * 8 + 8)
+                    cbs = bs[::2]
+                    for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
+                        p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
+                        q = np.stack([plane[crows, cx + k] for k in range(2)])
+                        p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
+                        plane[crows, cx - 1] = p[0]
+                        plane[crows, cx] = q[0]
+            # ---- horizontal edges (filter across rows)
+            for edge in edges:
+                if edge == 0 and not same_slice_t:
+                    continue
+                yy = mby * 16 + edge * 4
+                bs = _boundary_strengths(ft, mbx, mby, False, edge)
+                if not bs.any():
+                    continue
+                addr_p = addr - w_mb if edge == 0 else addr
+                qp_p = int(ft.qp[addr_p])
+                qp_av = (qp_p + qp_q + 1) >> 1
+                index_a = np.clip(qp_av + a_off, 0, 51)
+                index_b = np.clip(qp_av + b_off, 0, 51)
+                cols = slice(mbx * 16, mbx * 16 + 16)
+                p = np.stack([y[yy - 1 - k, cols] for k in range(4)])
+                q = np.stack([y[yy + k, cols] for k in range(4)])
+                p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
+                for k in range(4):
+                    y[yy - 1 - k, cols] = p[k]
+                    y[yy + k, cols] = q[k]
+                if edge in (0, 2):
+                    cy = mby * 8 + edge * 2
+                    qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
+                    qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
+                    qpc_av = (qpc_p + qpc_q + 1) >> 1
+                    ia = np.clip(qpc_av + a_off, 0, 51)
+                    ib = np.clip(qpc_av + b_off, 0, 51)
+                    qpc_p2 = chroma_qp(qp_p, pps.second_chroma_qp_index_offset)
+                    qpc_q2 = chroma_qp(qp_q, pps.second_chroma_qp_index_offset)
+                    qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
+                    ia2 = np.clip(qpc_av2 + a_off, 0, 51)
+                    ib2 = np.clip(qpc_av2 + b_off, 0, 51)
+                    ccols = slice(mbx * 8, mbx * 8 + 8)
+                    cbs = bs[::2]
+                    for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
+                        p = np.stack([plane[cy - 1 - k, ccols] for k in range(2)])
+                        q = np.stack([plane[cy + k, ccols] for k in range(2)])
+                        p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
+                        plane[cy - 1, ccols] = p[0]
+                        plane[cy, ccols] = q[0]
+    return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)

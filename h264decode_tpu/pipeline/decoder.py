@@ -1,0 +1,131 @@
+"""Top-level decode orchestration: Annex-B stream -> YUV frames.
+
+Dataflow (SURVEY.md section 7.1 two-phase design):
+  bytes -> NAL demux -> SPS/PPS state -> per-picture entropy decode
+  (CAVLC/CABAC, host) -> FrameTensors -> pixel reconstruction
+  (numpy oracle here; kernels/ TPU path via pipeline/tpu_pipeline.py)
+  -> deblocking -> output picture.
+
+Capability superset of the reference's handleConnection dispatch
+(/root/reference/h264/server.go:144-165).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.annexb import iter_nalus
+from ..syntax import nal as nal_mod
+from ..syntax.fmo import map_unit_to_slice_group_map, mb_to_slice_group_map
+from ..syntax.nal import parse_nal_unit
+from ..syntax.pps import PPS, parse_pps
+from ..syntax.slice_header import SliceHeader, parse_slice_header
+from ..syntax.sps import SPS, parse_sps
+from ..tensors.frame_tensors import FrameTensors
+from ..entropy.cavlc_slice import CavlcSliceDecoder
+from .deblock import deblock_frame
+from .intra_frame import IntraFrameReconstructor
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    poc: int = 0
+    frame_num: int = 0
+    is_idr: bool = False
+
+    def planes(self):
+        return self.y, self.cb, self.cr
+
+
+def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
+    """Apply the SPS frame cropping rectangle (spec 7.4.2.1.1)."""
+    if not sps.frame_cropping_flag:
+        h = sps.height // (2 if chroma else 1)
+        w = sps.width // (2 if chroma else 1)
+        return plane[:h, :w]
+    sub_x = sps.sub_width_c if chroma else 1
+    sub_y = sps.sub_height_c if chroma else 1
+    unit_x = sps.sub_width_c if sps.chroma_array_type in (1, 2) else 1
+    unit_y = (sps.sub_height_c if sps.chroma_array_type in (1, 2) else 1) * (
+        2 - int(sps.frame_mbs_only_flag)
+    )
+    left = sps.frame_crop_left_offset * unit_x // sub_x
+    right = sps.frame_crop_right_offset * unit_x // sub_x
+    top = sps.frame_crop_top_offset * unit_y // sub_y
+    bottom = sps.frame_crop_bottom_offset * unit_y // sub_y
+    h, w = plane.shape
+    return plane[top : h - bottom, left : w - right]
+
+
+class Decoder:
+    """Stateful stream decoder (single picture in flight; DPB arrives with
+    the inter path)."""
+
+    def __init__(self, apply_deblock: bool = True):
+        self.sps_map: dict[int, SPS] = {}
+        self.pps_map: dict[int, PPS] = {}
+        self.apply_deblock = apply_deblock
+        self._cur: list[tuple[SliceHeader, SPS, PPS, object]] = []
+
+    def decode_stream(self, data: bytes) -> list[DecodedFrame]:
+        frames: list[DecodedFrame] = []
+        for raw in iter_nalus(data):
+            nal = parse_nal_unit(raw)
+            if nal.type == nal_mod.NAL_SPS:
+                s = parse_sps(nal.rbsp)
+                self.sps_map[s.seq_parameter_set_id] = s
+            elif nal.type == nal_mod.NAL_PPS:
+                p = parse_pps(nal.rbsp, self.sps_map)
+                self.pps_map[p.pic_parameter_set_id] = p
+            elif nal.is_vcl:
+                hdr, sps, pps, r = parse_slice_header(
+                    nal.rbsp, nal, self.sps_map, self.pps_map
+                )
+                if hdr.first_mb_in_slice == 0 and self._cur:
+                    frames.append(self._finish_picture())
+                self._cur.append((hdr, sps, pps, r))
+        if self._cur:
+            frames.append(self._finish_picture())
+        return frames
+
+    def _finish_picture(self) -> DecodedFrame:
+        slices = self._cur
+        self._cur = []
+        hdr0, sps, pps, _ = slices[0]
+        if not sps.frame_mbs_only_flag:
+            raise NotImplementedError("interlaced (field/MBAFF) coding")
+        ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=sps.frame_height_in_mbs)
+        intra_mode_grid = np.full((ft.mb_h * 4, ft.mb_w * 4), -1, np.int8)
+        for slice_id, (hdr, s_sps, s_pps, r) in enumerate(slices):
+            map_units = map_unit_to_slice_group_map(
+                s_sps, s_pps, hdr.slice_group_change_cycle
+            )
+            mb_map = mb_to_slice_group_map(
+                s_sps, map_units, hdr.field_pic_flag, hdr.mbaff_frame_flag
+            )
+            if s_pps.entropy_coding_mode_flag:
+                raise NotImplementedError("CABAC slice data: next milestone")
+            dec = CavlcSliceDecoder(
+                ft, hdr, s_sps, s_pps, r, slice_id, mb_map, intra_mode_grid
+            )
+            dec.decode()
+        recon = IntraFrameReconstructor(ft, sps, pps)
+        y, cb, cr = recon.run()
+        if self.apply_deblock:
+            y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
+        return DecodedFrame(
+            y=crop(y, sps, False),
+            cb=crop(cb, sps, True),
+            cr=crop(cr, sps, True),
+            frame_num=hdr0.frame_num,
+            is_idr=hdr0.idr_pic_flag,
+        )
+
+
+def decode_annexb(data: bytes, apply_deblock: bool = True) -> list[DecodedFrame]:
+    return Decoder(apply_deblock=apply_deblock).decode_stream(data)

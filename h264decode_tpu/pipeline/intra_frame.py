@@ -1,0 +1,256 @@
+"""Intra-frame reconstruction walker (numpy oracle).
+
+Walks macroblocks in decode order applying spec 8.3 prediction + 8.5
+transform/dequant via the primitives in reference_recon.py. Produces the
+pre-deblock picture; kernels/ must reproduce it bit-exactly on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..syntax.pps import PPS
+from ..syntax.sps import SPS
+from ..tensors.frame_tensors import (
+    CHROMA_BLK_XY,
+    LUMA_BLK_XY,
+    MB_I_16X16,
+    MB_I_NXN,
+    MB_I_PCM,
+    FrameTensors,
+)
+from . import reference_recon as rr
+
+
+class IntraFrameReconstructor:
+    """Reconstructs a frame containing intra macroblocks (I slices; also used
+    for intra MBs inside P/B frames by the inter walker)."""
+
+    def __init__(self, ft: FrameTensors, sps: SPS, pps: PPS):
+        self.ft = ft
+        self.sps = sps
+        self.pps = pps
+        self.W = ft.mb_w * 16
+        self.H = ft.mb_h * 16
+        self.y = np.zeros((self.H, self.W), np.uint8)
+        self.cb = np.zeros((self.H // 2, self.W // 2), np.uint8)
+        self.cr = np.zeros((self.H // 2, self.W // 2), np.uint8)
+        # decoded 4x4 luma cells (drives spec 6.4 availability exactly under
+        # raster decode order within a slice)
+        self.cell_done = np.zeros((ft.mb_h * 4, ft.mb_w * 4), bool)
+        self.mb_done = np.zeros(ft.n_mbs, bool)
+        # effective scaling lists
+        s4 = pps.effective_scaling_4x4(sps)
+        self.ls4 = {
+            (idx): [rr.level_scale_4x4(s4[idx], m) for m in range(6)]
+            for idx in range(6)
+        }
+        s8 = pps.effective_scaling_8x8(sps)
+        self.ls8 = {idx: [rr.level_scale_8x8(s8[idx], m) for m in range(6)] for idx in range(2)}
+
+    # ---------------------------------------------------------- availability
+
+    def _mb_avail_intra(self, naddr: int, cur_addr: int) -> bool:
+        """Neighbor MB availability for intra prediction (6.4.9), including
+        the constrained_intra_pred gate (8.3.1.2 etc.)."""
+        ft = self.ft
+        if naddr < 0 or naddr >= ft.n_mbs or not self.mb_done[naddr]:
+            return False
+        if ft.slice_id[naddr] != ft.slice_id[cur_addr]:
+            return False
+        if self.pps.constrained_intra_pred_flag and ft.mb_class[naddr] >= 3:
+            return False  # inter neighbor barred by CIP
+        return True
+
+    def _cell_avail(self, cx: int, cy: int, cur_addr: int) -> bool:
+        ft = self.ft
+        if cx < 0 or cy < 0 or cx >= ft.mb_w * 4 or cy >= ft.mb_h * 4:
+            return False
+        naddr = (cy >> 2) * ft.mb_w + (cx >> 2)
+        if naddr == cur_addr:
+            return bool(self.cell_done[cy, cx])
+        return self._mb_avail_intra(naddr, cur_addr) and bool(self.cell_done[cy, cx])
+
+    # ------------------------------------------------------------- main walk
+
+    def run(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        for addr in self.ft.decode_order:
+            self.recon_mb(addr)
+        return self.y, self.cb, self.cr
+
+    def recon_mb(self, addr: int) -> None:
+        ft = self.ft
+        cls = ft.mb_class[addr]
+        mbx, mby = ft.mb_xy(addr)
+        if cls == MB_I_PCM:
+            y, cb, cr = ft.pcm_samples[addr]
+            self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
+            self.cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cb
+            self.cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cr
+        elif cls == MB_I_NXN:
+            if ft.transform_8x8[addr]:
+                self._recon_i8x8_luma(addr, mbx, mby)
+            else:
+                self._recon_i4x4_luma(addr, mbx, mby)
+            self._recon_chroma(addr, mbx, mby)
+        elif cls == MB_I_16X16:
+            self._recon_i16_luma(addr, mbx, mby)
+            self._recon_chroma(addr, mbx, mby)
+        else:
+            raise NotImplementedError(f"mb class {cls} in intra walker")
+        self.cell_done[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        self.mb_done[addr] = True
+
+    # ------------------------------------------------------------- Intra 4x4
+
+    def _refs_4x4(self, addr, gx, gy):
+        """Gather (left[4], top[4], topright[4], corner) for the 4x4 block at
+        cell (gx, gy), applying the spec substitution rules."""
+        x0, y0 = gx * 4, gy * 4
+        have_l = self._cell_avail(gx - 1, gy, addr)
+        have_t = self._cell_avail(gx, gy - 1, addr)
+        have_tr = self._cell_avail(gx + 1, gy - 1, addr)
+        have_c = self._cell_avail(gx - 1, gy - 1, addr)
+        left = self.y[y0 : y0 + 4, x0 - 1].astype(np.int32) if have_l else None
+        top = self.y[y0 - 1, x0 : x0 + 4].astype(np.int32) if have_t else None
+        if have_tr:
+            tr = self.y[y0 - 1, x0 + 4 : x0 + 8].astype(np.int32)
+            if tr.shape[0] < 4:  # picture edge: substitute per 8.3.1.2
+                pad = np.full(4 - tr.shape[0], tr[-1] if tr.size else 0, np.int32)
+                tr = np.concatenate([tr, pad])
+        elif have_t:
+            tr = np.full(4, top[3], np.int32)
+        else:
+            tr = None
+        corner = int(self.y[y0 - 1, x0 - 1]) if have_c else None
+        return left, top, tr, corner
+
+    def _recon_i4x4_luma(self, addr, mbx, mby):
+        ft = self.ft
+        qp = int(ft.qp[addr])
+        ls = self.ls4[0][qp % 6]  # list 0: Intra Y
+        for blk in range(16):
+            bx, by = LUMA_BLK_XY[blk]
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            x0, y0 = gx * 4, gy * 4
+            mode = int(ft.intra4x4_modes[addr, blk])
+            left, top, tr, corner = self._refs_4x4(addr, gx, gy)
+            pred = rr.intra4x4_predict(mode, left, top, tr, corner)
+            c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            d = rr.dequant_4x4_ac(c, ls, qp)
+            res = rr.idct_4x4(d)
+            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(pred + res).astype(np.uint8)
+            self.cell_done[gy, gx] = True
+
+    # ------------------------------------------------------------- Intra 8x8
+
+    def _recon_i8x8_luma(self, addr, mbx, mby):
+        ft = self.ft
+        qp = int(ft.qp[addr])
+        ls8 = self.ls8[0][qp % 6]  # 8x8 list 0: Intra Y
+        l8 = ft.luma8_ac
+        for b8 in range(4):
+            bx, by = b8 % 2, b8 // 2
+            gx, gy = mbx * 4 + bx * 2, mby * 4 + by * 2
+            x0, y0 = gx * 4, gy * 4
+            mode = int(ft.intra4x4_modes[addr, b8])
+            pred = self._intra8x8_pred(addr, gx, gy, mode)
+            scan = l8[addr, b8].astype(np.int32) if l8 is not None else np.zeros(64, np.int32)
+            c = np.zeros(64, np.int32)
+            from ..tensors.frame_tensors import ZIGZAG_8x8
+
+            c[ZIGZAG_8x8] = scan
+            c = c.reshape(8, 8)
+            if qp >= 36:
+                d = (c * ls8) << (qp // 6 - 6)
+            else:
+                d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+            res = rr.idct_8x8(d)
+            self.y[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(pred + res).astype(np.uint8)
+            self.cell_done[gy : gy + 2, gx : gx + 2] = True
+
+    def _intra8x8_pred(self, addr, gx, gy, mode):
+        """spec 8.3.2: reference sample gathering + filtering (8.3.2.2.1),
+        then the 9 8x8 prediction modes."""
+        x0, y0 = gx * 4, gy * 4
+        have_l = self._cell_avail(gx - 1, gy, addr) and self._cell_avail(gx - 1, gy + 1, addr)
+        have_t = self._cell_avail(gx, gy - 1, addr) and self._cell_avail(gx + 1, gy - 1, addr)
+        have_tr = self._cell_avail(gx + 2, gy - 1, addr) and self._cell_avail(gx + 3, gy - 1, addr)
+        have_c = self._cell_avail(gx - 1, gy - 1, addr)
+        left = self.y[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
+        top = self.y[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
+        if have_tr:
+            tr = self.y[y0 - 1, x0 + 8 : x0 + 16].astype(np.int32)
+            if tr.shape[0] < 8:
+                pad = np.full(8 - tr.shape[0], tr[-1] if tr.size else 0, np.int32)
+                tr = np.concatenate([tr, pad])
+        elif have_t:
+            tr = np.full(8, top[7], np.int32)
+        else:
+            tr = None
+        corner = int(self.y[y0 - 1, x0 - 1]) if have_c else None
+        from .intra8x8 import intra8x8_predict
+
+        return intra8x8_predict(mode, left, top, tr, corner)
+
+    # ----------------------------------------------------------- Intra 16x16
+
+    def _recon_i16_luma(self, addr, mbx, mby):
+        ft = self.ft
+        qp = int(ft.qp[addr])
+        ls = self.ls4[0][qp % 6]
+        x0, y0 = mbx * 16, mby * 16
+        have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
+        have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
+        left = self.y[y0 : y0 + 16, x0 - 1].astype(np.int32) if have_l else None
+        top = self.y[y0 - 1, x0 : x0 + 16].astype(np.int32) if have_t else None
+        corner = int(self.y[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+        pred = rr.intra16x16_predict(int(ft.intra16_mode[addr]), left, top, corner)
+        # DC path (8.5.10)
+        dc_scan = ft.luma_dc[addr].astype(np.int32)
+        dc = rr.dezigzag_4x4(dc_scan)
+        f = rr.hadamard_4x4(dc)
+        dcy = rr.luma_dc_dequant(f, int(ls[0, 0]), qp)
+        mb = np.zeros((16, 16), np.int32)
+        for blk in range(16):
+            bx, by = LUMA_BLK_XY[blk]
+            c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            d = rr.dequant_4x4_ac(c, ls, qp)
+            d[0, 0] = dcy[by, bx]
+            mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred + mb).astype(np.uint8)
+
+    # --------------------------------------------------------------- Chroma
+
+    def _recon_chroma(self, addr, mbx, mby):
+        ft, pps = self.ft, self.pps
+        if self.sps.chroma_array_type == 0:
+            return
+        qp_y = int(ft.qp[addr])
+        x0, y0 = mbx * 8, mby * 8
+        have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
+        have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
+        mode = int(ft.chroma_mode[addr])
+        for comp, (plane, qp_off, ls_idx) in enumerate(
+            [
+                (self.cb, pps.chroma_qp_index_offset, 1),
+                (self.cr, pps.second_chroma_qp_index_offset, 2),
+            ]
+        ):
+            qpc = rr.chroma_qp(qp_y, qp_off)
+            ls = self.ls4[ls_idx][qpc % 6]  # lists 1/2: Intra Cb/Cr
+            left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
+            top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
+            corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+            pred = rr.intra_chroma_predict(mode, left, top, corner, None)
+            dc_scan = ft.chroma_dc[addr, comp].astype(np.int32)
+            c2 = dc_scan.reshape(2, 2)  # raster scan per 8.5.11 note
+            dcc = rr.chroma_dc_dequant(c2, int(ls[0, 0]), qpc)
+            mb = np.zeros((8, 8), np.int32)
+            for blk in range(4):
+                bx, by = CHROMA_BLK_XY[blk]
+                c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                d = rr.dequant_4x4_ac(c, ls, qpc)
+                d[0, 0] = dcc[by, bx]
+                mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
+            plane[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(pred + mb).astype(np.uint8)

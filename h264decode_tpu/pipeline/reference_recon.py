@@ -1,0 +1,405 @@
+"""Reference pixel reconstruction — plain numpy, decode-order sequential,
+shaped 1:1 after ITU-T H.264 sections 8.3 (intra prediction) and 8.5
+(transform/dequant). This is the correctness oracle for the TPU kernels
+(kernels/ must match it bit-for-bit, and it must match libavcodec).
+
+The reference repo has none of this layer (SURVEY.md L7: "pixel
+reconstruction — missing"). Output is the PRE-deblocking picture; the
+deblocking filter (8.7) is applied by pipeline/deblock_ref.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..syntax.pps import PPS
+from ..syntax.sps import SPS
+from ..tensors.frame_tensors import (
+    CHROMA_BLK_XY,
+    LUMA_BLK_XY,
+    MB_I_16X16,
+    MB_I_NXN,
+    MB_I_PCM,
+    ZIGZAG_4x4,
+    ZIGZAG_8x8,
+    FrameTensors,
+)
+
+# spec 8.5.9: normAdjust4x4 v-matrix (rows m = qP % 6; cols: position class)
+NORM_ADJUST_4x4 = np.array(
+    [
+        [10, 16, 13],
+        [11, 18, 14],
+        [13, 20, 16],
+        [14, 23, 18],
+        [16, 25, 20],
+        [18, 29, 23],
+    ],
+    np.int32,
+)
+# position class for 4x4: (i,j) both even -> 0, both odd -> 1, else 2
+_POS_CLASS_4x4 = np.array(
+    [[0 if (i % 2 == 0 and j % 2 == 0) else 1 if (i % 2 and j % 2) else 2
+      for j in range(4)] for i in range(4)],
+    np.int32,
+)
+
+# spec Table 8-15: QPc from qPI (values >= 30)
+CHROMA_QP_TABLE = np.array(
+    [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38, 38,
+     39, 39, 39, 39],
+    np.int32,
+)
+
+# spec 8.5.9: normAdjust8x8 v-matrix: rows m, cols position class 0..5
+NORM_ADJUST_8x8 = np.array(
+    [
+        [20, 18, 32, 19, 25, 24],
+        [22, 19, 35, 21, 28, 26],
+        [26, 23, 42, 24, 33, 31],
+        [28, 25, 45, 26, 35, 33],
+        [32, 28, 51, 30, 40, 38],
+        [36, 32, 58, 34, 46, 43],
+    ],
+    np.int32,
+)
+
+
+def _pos_class_8x8(i, j):
+    if i % 4 == 0 and j % 4 == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 1
+    if i % 4 == 2 and j % 4 == 2:
+        return 2
+    if (i % 4 == 0 and j % 2 == 1) or (i % 2 == 1 and j % 4 == 0):
+        return 3
+    if (i % 4 == 0 and j % 4 == 2) or (i % 4 == 2 and j % 4 == 0):
+        return 4
+    return 5
+
+
+_POS_CLASS_8x8 = np.array(
+    [[_pos_class_8x8(i, j) for j in range(8)] for i in range(8)], np.int32
+)
+
+
+def chroma_qp(qp_y: int, offset: int) -> int:
+    qpi = max(0, min(51, qp_y + offset))
+    return int(qpi if qpi < 30 else CHROMA_QP_TABLE[qpi - 30])
+
+
+def level_scale_4x4(weight_scale_zz, m: int) -> np.ndarray:
+    """LevelScale4x4(m, i, j) = weightScale(i,j) * normAdjust4x4(m, i, j).
+    `weight_scale_zz` is the 16-entry scaling list in zig-zag order."""
+    ws = np.zeros(16, np.int32)
+    ws[ZIGZAG_4x4] = np.asarray(weight_scale_zz, np.int32)
+    ws = ws.reshape(4, 4)
+    return ws * NORM_ADJUST_4x4[m][_POS_CLASS_4x4]
+
+
+def level_scale_8x8(weight_scale_zz, m: int) -> np.ndarray:
+    ws = np.zeros(64, np.int32)
+    ws[ZIGZAG_8x8] = np.asarray(weight_scale_zz, np.int32)
+    ws = ws.reshape(8, 8)
+    return ws * NORM_ADJUST_8x8[m][_POS_CLASS_8x8]
+
+
+def dezigzag_4x4(scan16) -> np.ndarray:
+    out = np.zeros(16, np.int32)
+    out[ZIGZAG_4x4] = scan16
+    return out.reshape(4, 4)
+
+
+def dequant_4x4_ac(c: np.ndarray, ls: np.ndarray, qp: int) -> np.ndarray:
+    """spec 8.5.12.1 for a 4x4 residual block (raster c, int32)."""
+    if qp >= 24:
+        return (c * ls) << (qp // 6 - 4)
+    return (c * ls + (1 << (3 - qp // 6))) >> (4 - qp // 6)
+
+
+def idct_4x4(d: np.ndarray) -> np.ndarray:
+    """spec 8.5.12.2: integer inverse core transform; output residual r."""
+    d = d.astype(np.int32)
+    # horizontal (rows)
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    # vertical (columns)
+    g0 = f[0] + f[2]
+    g1 = f[0] - f[2]
+    g2 = (f[1] >> 1) - f[3]
+    g3 = f[1] + (f[3] >> 1)
+    h = np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
+    return (h + 32) >> 6
+
+
+def hadamard_4x4(c: np.ndarray) -> np.ndarray:
+    """spec 8.5.10 luma DC transform."""
+    h4 = np.array(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], np.int32
+    )
+    return h4 @ c.astype(np.int32) @ h4
+
+
+def luma_dc_dequant(f: np.ndarray, ls00: int, qp: int) -> np.ndarray:
+    """spec 8.5.10 scaling of the 4x4 DC transform output."""
+    if qp >= 36:
+        return (f * ls00) << (qp // 6 - 6)
+    return (f * ls00 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def chroma_dc_dequant(c: np.ndarray, ls00: int, qpc: int) -> np.ndarray:
+    """spec 8.5.11 (4:2:0): 2x2 transform + scaling."""
+    h2 = np.array([[1, 1], [1, -1]], np.int32)
+    f = h2 @ c.astype(np.int32) @ h2
+    return ((f * ls00) << (qpc // 6)) >> 5
+
+
+def idct_8x8(d: np.ndarray) -> np.ndarray:
+    """spec 8.5.12.3: 8x8 inverse transform."""
+    d = d.astype(np.int32)
+
+    def pass1(a):  # operates along axis 1 (rows)
+        e = np.empty_like(a)
+        e[:, 0] = a[:, 0] + a[:, 4]
+        e[:, 1] = -a[:, 3] + a[:, 5] - a[:, 7] - (a[:, 7] >> 1)
+        e[:, 2] = a[:, 0] - a[:, 4]
+        e[:, 3] = a[:, 1] + a[:, 7] - a[:, 3] - (a[:, 3] >> 1)
+        e[:, 4] = (a[:, 2] >> 1) - a[:, 6]
+        e[:, 5] = -a[:, 1] + a[:, 7] + a[:, 5] + (a[:, 5] >> 1)
+        e[:, 6] = a[:, 2] + (a[:, 6] >> 1)
+        e[:, 7] = a[:, 3] + a[:, 5] + a[:, 1] + (a[:, 1] >> 1)
+        f = np.empty_like(a)
+        f[:, 0] = e[:, 0] + e[:, 6]
+        f[:, 1] = e[:, 1] + (e[:, 7] >> 2)
+        f[:, 2] = e[:, 2] + e[:, 4]
+        f[:, 3] = e[:, 3] + (e[:, 5] >> 2)
+        f[:, 4] = e[:, 2] - e[:, 4]
+        f[:, 5] = (e[:, 3] >> 2) - e[:, 5]
+        f[:, 6] = e[:, 0] - e[:, 6]
+        f[:, 7] = e[:, 7] - (e[:, 1] >> 2)
+        g = np.empty_like(a)
+        g[:, 0] = f[:, 0] + f[:, 7]
+        g[:, 1] = f[:, 2] + f[:, 5]
+        g[:, 2] = f[:, 4] + f[:, 3]
+        g[:, 3] = f[:, 6] + f[:, 1]
+        g[:, 4] = f[:, 6] - f[:, 1]
+        g[:, 5] = f[:, 4] - f[:, 3]
+        g[:, 6] = f[:, 2] - f[:, 5]
+        g[:, 7] = f[:, 0] - f[:, 7]
+        return g
+
+    g = pass1(d)
+    h = pass1(g.T).T
+    return (h + 32) >> 6
+
+
+def clip1(x):
+    return np.clip(x, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (spec 8.3)
+# ---------------------------------------------------------------------------
+
+
+def intra4x4_predict(mode: int, left, top, topright, corner) -> np.ndarray:
+    """spec 8.3.1.2.1-9. left: 4 samples or None; top: 4 or None; topright: 4
+    (already substituted if unavailable); corner: scalar or None.
+    Returns [4,4] int32 prediction."""
+    p = np.zeros((4, 4), np.int32)
+    if mode == 0:  # Vertical
+        p[:, :] = top[None, :]
+    elif mode == 1:  # Horizontal
+        p[:, :] = np.asarray(left)[:, None]
+    elif mode == 2:  # DC
+        if top is not None and left is not None:
+            dc = (int(np.sum(top)) + int(np.sum(left)) + 4) >> 3
+        elif top is not None:
+            dc = (int(np.sum(top)) + 2) >> 2
+        elif left is not None:
+            dc = (int(np.sum(left)) + 2) >> 2
+        else:
+            dc = 128
+        p[:, :] = dc
+    elif mode == 3:  # Diagonal Down-Left (8.3.1.2.4)
+        t = np.concatenate([top, topright]).astype(np.int32)
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    k = x + y
+                    p[y, x] = (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal Down-Right (8.3.1.2.5)
+        t = np.asarray(top, np.int32)
+        l = np.asarray(left, np.int32)
+        m = int(corner)
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    k = x - y
+                    a = t[k - 2] if k - 2 >= 0 else m
+                    b = t[k - 1] if k - 1 >= 0 else m
+                    p[y, x] = (a + 2 * b + t[k] + 2) >> 2
+                elif x < y:
+                    k = y - x
+                    a = l[k - 2] if k - 2 >= 0 else m
+                    b = l[k - 1] if k - 1 >= 0 else m
+                    p[y, x] = (a + 2 * b + l[k] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+    elif mode == 5:  # Vertical-Right (8.3.1.2.6)
+        t = np.asarray(top, np.int32)
+        l = np.asarray(left, np.int32)
+        m = int(corner)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    k = x - (y >> 1)
+                    a = t[k - 1] if k - 1 >= 0 else m
+                    p[y, x] = (a + t[k] + 1) >> 1
+                elif z >= 0:
+                    k = x - (y >> 1)
+                    a = t[k - 2] if k - 2 >= 0 else m
+                    b = t[k - 1] if k - 1 >= 0 else m
+                    p[y, x] = (a + 2 * b + t[k] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * m + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (l[y - 1] + 2 * l[y - 2] + (l[y - 3] if y - 3 >= 0 else m) + 2) >> 2
+    elif mode == 6:  # Horizontal-Down (8.3.1.2.7)
+        t = np.asarray(top, np.int32)
+        l = np.asarray(left, np.int32)
+        m = int(corner)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    k = y - (x >> 1)
+                    a = l[k - 1] if k - 1 >= 0 else m
+                    p[y, x] = (a + l[k] + 1) >> 1
+                elif z >= 0:
+                    k = y - (x >> 1)
+                    a = l[k - 2] if k - 2 >= 0 else m
+                    b = l[k - 1] if k - 1 >= 0 else m
+                    p[y, x] = (a + 2 * b + l[k] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+                else:
+                    p[y, x] = (t[x - 1] + 2 * t[x - 2] + (t[x - 3] if x - 3 >= 0 else m) + 2) >> 2
+    elif mode == 7:  # Vertical-Left (8.3.1.2.8)
+        t = np.concatenate([top, topright]).astype(np.int32)
+        for y in range(4):
+            for x in range(4):
+                k = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[k] + t[k + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-Up (8.3.1.2.9)
+        l = np.asarray(left, np.int32)
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    p[y, x] = l[3]
+                elif z == 5:
+                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                elif z % 2 == 0:
+                    k = y + (x >> 1)
+                    p[y, x] = (l[k] + l[k + 1] + 1) >> 1
+                else:
+                    k = y + (x >> 1)
+                    p[y, x] = (l[k] + 2 * l[k + 1] + l[k + 2] + 2) >> 2
+    else:
+        raise ValueError(f"bad intra4x4 mode {mode}")
+    return p
+
+
+def intra16x16_predict(mode: int, left, top, corner) -> np.ndarray:
+    """spec 8.3.3: Intra_16x16 prediction. left/top are 16-sample arrays or
+    None; corner scalar or None."""
+    p = np.zeros((16, 16), np.int32)
+    if mode == 0:  # V
+        p[:, :] = top[None, :]
+    elif mode == 1:  # H
+        p[:, :] = np.asarray(left)[:, None]
+    elif mode == 2:  # DC
+        if top is not None and left is not None:
+            dc = (int(np.sum(top)) + int(np.sum(left)) + 16) >> 5
+        elif top is not None:
+            dc = (int(np.sum(top)) + 8) >> 4
+        elif left is not None:
+            dc = (int(np.sum(left)) + 8) >> 4
+        else:
+            dc = 128
+        p[:, :] = dc
+    elif mode == 3:  # Plane (8.3.3.4)
+        t = np.asarray(top, np.int64)
+        l = np.asarray(left, np.int64)
+        m = int(corner)
+        hsum = sum((x + 1) * (int(t[8 + x]) - (int(t[6 - x]) if 6 - x >= 0 else m)) for x in range(8))
+        vsum = sum((y + 1) * (int(l[8 + y]) - (int(l[6 - y]) if 6 - y >= 0 else m)) for y in range(8))
+        a = 16 * (int(l[15]) + int(t[15]))
+        b = (5 * hsum + 32) >> 6
+        c = (5 * vsum + 32) >> 6
+        yy, xx = np.mgrid[0:16, 0:16]
+        p = clip1((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5)
+    return p
+
+
+def intra_chroma_predict(mode: int, left, top, corner, avail_l4) -> np.ndarray:
+    """spec 8.3.4 (4:2:0, 8x8). avail_l4: (left_top4, left_bot4, top_left4,
+    top_right4) availability booleans for the DC sub-block rules — here we
+    pass explicit left/top arrays or None and treat halves uniformly."""
+    p = np.zeros((8, 8), np.int32)
+    if mode == 0:  # DC, per 4x4 sub-block (8.3.4.1)
+        for by in range(2):
+            for bx in range(2):
+                t = top[bx * 4 : bx * 4 + 4] if top is not None else None
+                l = left[by * 4 : by * 4 + 4] if left is not None else None
+                if bx == by:  # corner blocks: average both if available
+                    if t is not None and l is not None:
+                        dc = (int(np.sum(t)) + int(np.sum(l)) + 4) >> 3
+                    elif t is not None:
+                        dc = (int(np.sum(t)) + 2) >> 2
+                    elif l is not None:
+                        dc = (int(np.sum(l)) + 2) >> 2
+                    else:
+                        dc = 128
+                elif bx == 1:  # top-right block: prefer top
+                    if t is not None:
+                        dc = (int(np.sum(t)) + 2) >> 2
+                    elif l is not None:
+                        dc = (int(np.sum(l)) + 2) >> 2
+                    else:
+                        dc = 128
+                else:  # bottom-left block: prefer left
+                    if l is not None:
+                        dc = (int(np.sum(l)) + 2) >> 2
+                    elif t is not None:
+                        dc = (int(np.sum(t)) + 2) >> 2
+                    else:
+                        dc = 128
+                p[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = dc
+    elif mode == 1:  # Horizontal
+        p[:, :] = np.asarray(left)[:, None]
+    elif mode == 2:  # Vertical
+        p[:, :] = top[None, :]
+    elif mode == 3:  # Plane (8.3.4.4, 4:2:0)
+        t = np.asarray(top, np.int64)
+        l = np.asarray(left, np.int64)
+        m = int(corner)
+        hsum = sum((x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else m)) for x in range(4))
+        vsum = sum((y + 1) * (int(l[4 + y]) - (int(l[2 - y]) if 2 - y >= 0 else m)) for y in range(4))
+        a = 16 * (int(l[7]) + int(t[7]))
+        b = (34 * hsum + 32) >> 6
+        c = (34 * vsum + 32) >> 6
+        yy, xx = np.mgrid[0:8, 0:8]
+        p = clip1((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5)
+    return p

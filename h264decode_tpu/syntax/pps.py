@@ -111,9 +111,22 @@ def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
                 if p.transform_8x8_mode_flag
                 else 0
             )
-            # PPS fall-back rule B: fall back to the active SPS lists
+            # Table 7-2: fall-back rule B (SPS lists) when the SPS carried
+            # scaling matrices, else fall-back rule A (default lists)
+            if sps.seq_scaling_matrix_present_flag:
+                fb4, fb8 = sps.scaling_lists_4x4, sps.scaling_lists_8x8
+            else:
+                from .sps import (
+                    DEFAULT_4x4_INTER,
+                    DEFAULT_4x4_INTRA,
+                    DEFAULT_8x8_INTER,
+                    DEFAULT_8x8_INTRA,
+                )
+
+                fb4 = [list(DEFAULT_4x4_INTRA), None, None, list(DEFAULT_4x4_INTER), None, None]
+                fb8 = [list(DEFAULT_8x8_INTRA), list(DEFAULT_8x8_INTER)]
             p.scaling_lists_4x4, p.scaling_lists_8x8 = parse_scaling_matrices(
-                r, n8x8, sps.scaling_lists_4x4, sps.scaling_lists_8x8
+                r, n8x8, fb4, fb8
             )
         p.second_chroma_qp_index_offset = r.se()
     return p
