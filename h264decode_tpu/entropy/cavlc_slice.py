@@ -26,6 +26,7 @@ from ..tensors.frame_tensors import (
     MB_I_PCM,
     FrameTensors,
 )
+from ..tensors.frame_tensors import MB_P, MB_P_SKIP
 from .cavlc import nc_from_neighbors, residual_block_cavlc
 from .cavlc_tables import (
     CBP_ME_CHROMA03_INTER,
@@ -33,6 +34,22 @@ from .cavlc_tables import (
     CBP_ME_CHROMA12_INTER,
     CBP_ME_CHROMA12_INTRA,
 )
+from .mv_pred import MotionContext
+
+# (partition cell offsets, partition cell sizes) for P mb_types 0..2
+# (Table 7-13); type 3/4 = four 8x8 with sub partitions (Table 7-17)
+_P_PARTS = {
+    0: ("", ((0, 0, 4, 4),)),
+    1: ("16x8", ((0, 0, 4, 2), (0, 2, 4, 2))),
+    2: ("8x16", ((0, 0, 2, 4), (2, 0, 2, 4))),
+}
+# sub_mb_type -> list of (dx, dy, w, h) in 4x4 cells within the 8x8
+_P_SUB_PARTS = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
 
 
 class CavlcSliceDecoder:
@@ -48,6 +65,9 @@ class CavlcSliceDecoder:
         slice_id: int,
         mb_map: np.ndarray,
         intra_mode_grid: np.ndarray,
+        motion: MotionContext | None = None,
+        ref_uids_l0: list[int] | None = None,
+        ref_uids_l1: list[int] | None = None,
     ):
         self.ft = ft
         self.hdr = hdr
@@ -56,6 +76,11 @@ class CavlcSliceDecoder:
         self.r = r
         self.slice_id = slice_id
         self.mb_map = mb_map
+        self.motion = motion
+        if motion is not None:
+            motion.cur_slice = slice_id
+        self.ref_uids_l0 = ref_uids_l0 or []
+        self.ref_uids_l1 = ref_uids_l1 or []
         # [4h, 4w] int8: decoded Intra4x4/8x8 mode per 4x4 cell, -1 = not intra-NxN.
         # Shared per frame so cross-MB prediction sees earlier slices' cells
         # (gated by availability).
@@ -126,12 +151,23 @@ class CavlcSliceDecoder:
     # ------------------------------------------------------------- main loop
 
     def decode(self) -> None:
+        """slice_data(), spec 7.3.4 (CAVLC branch)."""
         hdr, r = self.hdr, self.r
         n = self.ft.n_mbs
         addr = hdr.first_mb_in_slice
-        if not (hdr.is_i or hdr.is_si):
-            raise NotImplementedError("CAVLC P/B slice data: next milestone")
+        if hdr.is_b:
+            raise NotImplementedError("CAVLC B slice data: next milestone")
+        is_inter_slice = not (hdr.is_i or hdr.is_si)
         while True:
+            if is_inter_slice:
+                skip_run = r.ue()
+                for _ in range(skip_run):
+                    if addr >= n:
+                        raise ValueError("skip run overruns picture")
+                    self._decode_p_skip(addr)
+                    addr = next_mb_address(self.mb_map, addr)
+                if not r.more_rbsp_data():
+                    break
             if addr >= n:
                 raise ValueError("slice overruns picture")
             self.parse_macroblock(addr)
@@ -149,8 +185,119 @@ class CavlcSliceDecoder:
         ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
         ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
         mb_type = r.ue()
-        # Table 7-11 (I-slice mb_type; SI handled via its own offset later)
-        self._parse_i_mb(addr, mb_type)
+        if self.hdr.is_i or self.hdr.is_si:
+            # Table 7-11 (I-slice mb_type; SI handled via its own offset later)
+            self._parse_i_mb(addr, mb_type)
+        else:
+            # Table 7-13: P mb_type 0..4 inter, >=5 intra (offset 5)
+            if mb_type >= 5:
+                self._parse_i_mb(addr, mb_type - 5)
+                mbx, mby = ft.mb_xy(addr)
+                self.motion.set_intra(mbx * 4, mby * 4)
+            else:
+                self._parse_p_mb(addr, mb_type)
+
+    # ------------------------------------------------------------ P slices
+
+    def _decode_p_skip(self, addr: int) -> None:
+        """P_Skip macroblock (spec 7.3.4 mb_skip_run + 8.4.1.1)."""
+        ft = self.ft
+        ft.slice_id[addr] = self.slice_id
+        ft.decode_order.append(addr)
+        ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
+        ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
+        ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
+        ft.mb_class[addr] = MB_P_SKIP
+        ft.qp[addr] = self.qp_prev
+        ft.cbp[addr] = 0
+        mbx, mby = ft.mb_xy(addr)
+        bx, by = mbx * 4, mby * 4
+        mv = self.motion.skip_mv(bx, by)
+        self.motion.set_cells(0, bx, by, 4, 4, mv, 0)
+        self.motion.ref[1, by : by + 4, bx : bx + 4] = -1
+        ft.mv[addr, 0, :, 0] = mv[0]
+        ft.mv[addr, 0, :, 1] = mv[1]
+        ft.ref_idx[addr, 0] = 0
+        ft.pred_flags[addr, 0] = 1
+        ft.ref_pic[addr, 0] = self.ref_uids_l0[0]
+        ft.luma_nnz[by : by + 4, bx : bx + 4] = 0
+        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+
+    def _parse_p_mb(self, addr: int, mb_type: int) -> None:
+        """P macroblock, spec 7.3.5.1/7.3.5.2 + 8.4.1.3 MV reconstruction."""
+        ft, r = self.ft, self.r
+        mbx, mby = ft.mb_xy(addr)
+        bx0, by0 = mbx * 4, mby * 4
+        ft.mb_class[addr] = MB_P
+        n_ref = self.hdr.num_ref_idx_l0_active_minus1 + 1
+        motion = self.motion
+        motion.ref[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1
+        ft.pred_flags[addr, 0] = 1
+        if mb_type in (0, 1, 2):
+            shape, parts = _P_PARTS[mb_type]
+            refs = []
+            for _ in parts:
+                refs.append(r.te(n_ref - 1) if n_ref > 1 else 0)
+            for idx, ((dx, dy, w, h), ref) in enumerate(zip(parts, refs)):
+                mvd = (r.se(), r.se())
+                bx, by = bx0 + dx, by0 + dy
+                px, py = motion.predict(0, ref, bx, by, w, h, shape, idx)
+                mv = (px + mvd[0], py + mvd[1])
+                motion.set_cells(0, bx, by, w, h, mv, ref)
+                self._store_part(addr, dx, dy, w, h, mv, ref)
+        else:  # P_8x8 / P_8x8ref0
+            sub_types = [r.ue() for _ in range(4)]
+            if any(t > 3 for t in sub_types):
+                raise ValueError(f"invalid P sub_mb_type {sub_types}")
+            refs = [0] * 4
+            if mb_type == 3 and n_ref > 1:
+                refs = [r.te(n_ref - 1) for _ in range(4)]
+            mvds = [
+                [(r.se(), r.se()) for _ in _P_SUB_PARTS[sub_types[i]]] for i in range(4)
+            ]
+            for i8 in range(4):
+                odx, ody = (i8 % 2) * 2, (i8 // 2) * 2
+                for sp, mvd in zip(_P_SUB_PARTS[sub_types[i8]], mvds[i8]):
+                    dx, dy, w, h = sp
+                    bx, by = bx0 + odx + dx, by0 + ody + dy
+                    px, py = motion.predict(0, refs[i8], bx, by, w, h)
+                    mv = (px + mvd[0], py + mvd[1])
+                    motion.set_cells(0, bx, by, w, h, mv, refs[i8])
+                    self._store_part(addr, odx + dx, ody + dy, w, h, mv, refs[i8])
+        # --- cbp, transform size, qp, residual (spec 7.3.5)
+        cbp_code = r.ue()
+        tab = CBP_ME_CHROMA12_INTER if self.chroma12 else CBP_ME_CHROMA03_INTER
+        cbp = tab[cbp_code]
+        ft.cbp[addr] = cbp
+        t8 = False
+        if (
+            (cbp & 15)
+            and self.pps.transform_8x8_mode_flag
+            and (mb_type in (0, 1, 2) or all(t == 0 for t in sub_types))
+        ):
+            t8 = r.flag()
+        ft.transform_8x8[addr] = t8
+        if cbp:
+            ft.qp[addr] = self._update_qp(r.se())
+        else:
+            ft.qp[addr] = self.qp_prev
+        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+
+    def _store_part(self, addr, dx, dy, w, h, mv, ref):
+        """Mirror a decoded partition into the FrameTensors SoA arrays."""
+        ft = self.ft
+        for cy in range(dy, dy + h):
+            for cx in range(dx, dx + w):
+                blk = cy * 4 + cx
+                ft.mv[addr, 0, blk] = mv
+        for py in range(dy // 2, (dy + h + 1) // 2):
+            for px in range(dx // 2, (dx + w + 1) // 2):
+                part = py * 2 + px
+                ft.ref_idx[addr, 0, part] = ref
+                ft.ref_pic[addr, 0, part] = (
+                    self.ref_uids_l0[ref] if ref < len(self.ref_uids_l0) else -1
+                )
 
     def _parse_i_mb(self, addr: int, mb_type: int) -> None:
         ft, r = self.ft, self.r
@@ -206,7 +353,8 @@ class CavlcSliceDecoder:
         else:
             cb = cr = np.zeros((8, 8), np.uint8)
         ft.pcm_samples[addr] = (y, cb, cr)
-        ft.qp[addr] = self.qp_prev  # QPy unchanged (spec 7.4.5)
+        # deblock treats I_PCM as QP 0 (spec 8.7.2); QPy,prev carries over
+        ft.qp[addr] = 0
         mbx, mby = ft.mb_xy(addr)
         # spec 9.2.1: PCM neighbors count as TotalCoeff 16
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16

@@ -1,0 +1,126 @@
+"""Motion vector prediction, spec 8.4.1.3 (median + directional shortcuts)
+and the P_Skip vector (8.4.1.1).
+
+Shared by the CAVLC and CABAC slice decoders. Operates on per-frame
+4x4-granularity grids so neighbor lookup is uniform across MB boundaries.
+
+Ref-value conventions per cell (mirroring the spec's availability classes):
+  -2  partition unavailable (outside picture, other slice, not yet decoded)
+  -1  available but no vector for this list (intra MB, or list unused)
+  >=0 reference index
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UNAVAILABLE = -2
+NO_LIST = -1
+
+
+class MotionContext:
+    """Per-frame MV/ref grids at 4x4 granularity, plus the slice gating."""
+
+    def __init__(self, mb_w: int, mb_h: int, slice_id_per_mb: np.ndarray):
+        self.mb_w = mb_w
+        self.mv = np.zeros((2, mb_h * 4, mb_w * 4, 2), np.int32)
+        self.ref = np.full((2, mb_h * 4, mb_w * 4), UNAVAILABLE, np.int8)
+        self.slice_id = slice_id_per_mb  # shared with FrameTensors
+        self.cur_slice = -1
+
+    def cell(self, lst: int, cx: int, cy: int):
+        """Returns (mv[2], ref) with availability semantics applied."""
+        h4, w4 = self.ref.shape[1], self.ref.shape[2]
+        if cx < 0 or cy < 0 or cx >= w4 or cy >= h4:
+            return (0, 0), UNAVAILABLE
+        naddr = (cy >> 2) * self.mb_w + (cx >> 2)
+        if self.slice_id[naddr] != self.cur_slice:
+            return (0, 0), UNAVAILABLE
+        r = int(self.ref[lst, cy, cx])
+        if r == UNAVAILABLE:
+            return (0, 0), UNAVAILABLE
+        return (int(self.mv[lst, cy, cx, 0]), int(self.mv[lst, cy, cx, 1])), r
+
+    def set_cells(self, lst, bx, by, w, h, mv, ref):
+        self.mv[lst, by : by + h, bx : bx + w] = mv
+        self.ref[lst, by : by + h, bx : bx + w] = ref
+
+    def set_intra(self, bx, by):
+        """Mark a 4x4 MB footprint as intra (no vectors, but 'decoded')."""
+        self.ref[:, by : by + 4, bx : bx + 4] = NO_LIST
+        self.mv[:, by : by + 4, bx : bx + 4] = 0
+
+    # ----------------------------------------------------------- prediction
+
+    def neighbors(self, lst: int, bx: int, by: int, w: int):
+        """A (left), B (top), C (top-right with D top-left fallback) for the
+        partition whose top-left 4x4 cell is (bx, by) and width w cells."""
+        a_mv, a_ref = self.cell(lst, bx - 1, by)
+        b_mv, b_ref = self.cell(lst, bx, by - 1)
+        c_mv, c_ref = self.cell(lst, bx + w, by - 1)
+        if c_ref == UNAVAILABLE:
+            c_mv, c_ref = self.cell(lst, bx - 1, by - 1)
+        return (a_mv, a_ref), (b_mv, b_ref), (c_mv, c_ref)
+
+    def predict(
+        self,
+        lst: int,
+        ref_idx: int,
+        bx: int,
+        by: int,
+        w: int,
+        h: int,
+        part_shape: str = "",
+        part_idx: int = 0,
+    ) -> tuple[int, int]:
+        """mvpLX per 8.4.1.3. part_shape in {'', '16x8', '8x16'} selects the
+        directional shortcuts for those full-MB partition shapes."""
+        (a_mv, a_ref), (b_mv, b_ref), (c_mv, c_ref) = self.neighbors(lst, bx, by, w)
+        if part_shape == "16x8":
+            if part_idx == 0 and b_ref == ref_idx:
+                return b_mv
+            if part_idx == 1 and a_ref == ref_idx:
+                return a_mv
+        elif part_shape == "8x16":
+            if part_idx == 0 and a_ref == ref_idx:
+                return a_mv
+            if part_idx == 1 and c_ref == ref_idx:
+                return c_mv
+        match = (
+            (1 if a_ref == ref_idx else 0)
+            + (1 if b_ref == ref_idx else 0)
+            + (1 if c_ref == ref_idx else 0)
+        )
+        if match == 1:
+            if a_ref == ref_idx:
+                return a_mv
+            if b_ref == ref_idx:
+                return b_mv
+            return c_mv
+        if (
+            match == 0
+            and b_ref == UNAVAILABLE
+            and c_ref == UNAVAILABLE
+            and a_ref != UNAVAILABLE
+        ):
+            return a_mv
+        mx = _median(a_mv[0], b_mv[0], c_mv[0])
+        my = _median(a_mv[1], b_mv[1], c_mv[1])
+        return mx, my
+
+    def skip_mv(self, bx: int, by: int) -> tuple[int, int]:
+        """P_Skip luma vector, spec 8.4.1.1 (refIdxL0 = 0)."""
+        a_mv, a_ref = self.cell(0, bx - 1, by)
+        b_mv, b_ref = self.cell(0, bx, by - 1)
+        if (
+            a_ref == UNAVAILABLE
+            or b_ref == UNAVAILABLE
+            or (a_ref == 0 and a_mv == (0, 0))
+            or (b_ref == 0 and b_mv == (0, 0))
+        ):
+            return 0, 0
+        return self.predict(0, 0, bx, by, 4, 4)
+
+
+def _median(a, b, c):
+    return a + b + c - min(a, b, c) - max(a, b, c)

@@ -30,19 +30,57 @@ def _bs_internal_intra() -> int:
 
 
 def _mv_bs(ft: FrameTensors, addr_p, blk_p, addr_q, blk_q) -> int:
-    """bS 0/1 derivation from motion data (spec 8.7.2.1 cases after coeffs).
+    """bS 0/1 derivation from motion data, spec 8.7.2.1: different reference
+    PICTURES (not indices), different vector count, or any component
+    differing by >= 4 quarter-pel units. Handles uni- and bi-prediction."""
 
-    P-only simplification for now: compares L0 ref and MV. Extended for B
-    (list permutation comparison) together with the B decode path."""
-    rp = ft.ref_idx[addr_p, 0, (blk_p // 4 // 2) * 2 + (blk_p % 4) // 2]
-    rq = ft.ref_idx[addr_q, 0, (blk_q // 4 // 2) * 2 + (blk_q % 4) // 2]
-    if rp != rq:
+    def sides(addr, blk):
+        part = (blk // 8) * 2 + (blk % 4) // 2
+        used = []
+        for lst in range(2):
+            if ft.ref_pic[addr, lst, part] >= 0:
+                used.append(
+                    (
+                        int(ft.ref_pic[addr, lst, part]),
+                        int(ft.mv[addr, lst, blk, 0]),
+                        int(ft.mv[addr, lst, blk, 1]),
+                    )
+                )
+        return used
+
+    p = sides(addr_p, blk_p)
+    q = sides(addr_q, blk_q)
+    if len(p) != len(q):
         return 1
-    mvp = ft.mv[addr_p, 0, blk_p]
-    mvq = ft.mv[addr_q, 0, blk_q]
-    if abs(int(mvp[0]) - int(mvq[0])) >= 4 or abs(int(mvp[1]) - int(mvq[1])) >= 4:
+    if {r for r, _, _ in p} != {r for r, _, _ in q}:
         return 1
+
+    def mv_far(a, b):
+        return abs(a[1] - b[1]) >= 4 or abs(a[2] - b[2]) >= 4
+
+    if len(p) == 1:
+        return 1 if mv_far(p[0], q[0]) else 0
+    # bi-pred: match vectors by reference picture (8.7.2.1); when both refs
+    # are the same picture, bS=1 only if BOTH pairings exceed the threshold
+    if p[0][0] == p[1][0]:
+        straight = not mv_far(p[0], q[0]) and not mv_far(p[1], q[1])
+        crossed = not mv_far(p[0], q[1]) and not mv_far(p[1], q[0])
+        return 0 if (straight or crossed) else 1
+    q_by_ref = {q[0][0]: q[0], q[1][0]: q[1]}
+    for side in p:
+        if mv_far(side, q_by_ref[side[0]]):
+            return 1
     return 0
+
+
+def _cell_coded(ft: FrameTensors, addr: int, cx: int, cy: int) -> bool:
+    """Nonzero-coefficient status of the 4x4 cell for bS (spec 8.7.2.1).
+    Under an 8x8 transform a 4x4 cell counts as coded if its covering 8x8
+    block has any nonzero coefficient."""
+    if not ft.transform_8x8[addr]:
+        return bool(ft.luma_nnz[cy, cx])
+    x8, y8 = (cx // 2) * 2, (cy // 2) * 2
+    return bool(ft.luma_nnz[y8 : y8 + 2, x8 : x8 + 2].any())
 
 
 def _boundary_strengths(
@@ -65,7 +103,7 @@ def _boundary_strengths(
         intra_q = _is_intra(ft.mb_class[addr_q])
         if intra_p or intra_q:
             bs[line] = 4 if edge == 0 else 3
-        elif ft.luma_nnz[py, px] or ft.luma_nnz[qy, qx]:
+        elif _cell_coded(ft, addr_p, px, py) or _cell_coded(ft, addr_q, qx, qy):
             bs[line] = 2
         else:
             blk_p = (py % 4) * 4 + (px % 4)  # raster 4x4 idx within MB

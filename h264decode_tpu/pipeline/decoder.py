@@ -4,7 +4,7 @@ Dataflow (SURVEY.md section 7.1 two-phase design):
   bytes -> NAL demux -> SPS/PPS state -> per-picture entropy decode
   (CAVLC/CABAC, host) -> FrameTensors -> pixel reconstruction
   (numpy oracle here; kernels/ TPU path via pipeline/tpu_pipeline.py)
-  -> deblocking -> output picture.
+  -> deblocking -> DPB -> POC-ordered output.
 
 Capability superset of the reference's handleConnection dispatch
 (/root/reference/h264/server.go:144-165).
@@ -12,11 +12,13 @@ Capability superset of the reference's handleConnection dispatch
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..bitstream.annexb import iter_nalus
+from ..entropy.cavlc_slice import CavlcSliceDecoder
+from ..entropy.mv_pred import MotionContext
 from ..syntax import nal as nal_mod
 from ..syntax.fmo import map_unit_to_slice_group_map, mb_to_slice_group_map
 from ..syntax.nal import parse_nal_unit
@@ -24,8 +26,8 @@ from ..syntax.pps import PPS, parse_pps
 from ..syntax.slice_header import SliceHeader, parse_slice_header
 from ..syntax.sps import SPS, parse_sps
 from ..tensors.frame_tensors import FrameTensors
-from ..entropy.cavlc_slice import CavlcSliceDecoder
 from .deblock import deblock_frame
+from .dpb import DPB, Picture, POCContext
 from .intra_frame import IntraFrameReconstructor
 
 
@@ -37,6 +39,7 @@ class DecodedFrame:
     poc: int = 0
     frame_num: int = 0
     is_idr: bool = False
+    idr_group: int = 0
 
     def planes(self):
         return self.y, self.cb, self.cr
@@ -63,14 +66,17 @@ def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
 
 
 class Decoder:
-    """Stateful stream decoder (single picture in flight; DPB arrives with
-    the inter path)."""
+    """Stateful stream decoder with DPB/POC picture management."""
 
     def __init__(self, apply_deblock: bool = True):
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self.apply_deblock = apply_deblock
         self._cur: list[tuple[SliceHeader, SPS, PPS, object]] = []
+        self.poc_ctx: POCContext | None = None
+        self.dpb: DPB | None = None
+        self.uid_counter = 0
+        self.idr_group = -1
 
     def decode_stream(self, data: bytes) -> list[DecodedFrame]:
         frames: list[DecodedFrame] = []
@@ -91,6 +97,8 @@ class Decoder:
                 self._cur.append((hdr, sps, pps, r))
         if self._cur:
             frames.append(self._finish_picture())
+        # output order: POC within each IDR group (spec C.4 bumping, simplified)
+        frames.sort(key=lambda f: (f.idr_group, f.poc))
         return frames
 
     def _finish_picture(self) -> DecodedFrame:
@@ -99,8 +107,19 @@ class Decoder:
         hdr0, sps, pps, _ = slices[0]
         if not sps.frame_mbs_only_flag:
             raise NotImplementedError("interlaced (field/MBAFF) coding")
+        if self.poc_ctx is None or self.poc_ctx.sps is not sps:
+            self.poc_ctx = POCContext(sps)
+        if self.dpb is None or self.dpb.sps is not sps:
+            self.dpb = DPB(sps)
+        if hdr0.idr_pic_flag:
+            self.idr_group += 1
+        poc = self.poc_ctx.compute(hdr0)
+
         ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=sps.frame_height_in_mbs)
         intra_mode_grid = np.full((ft.mb_h * 4, ft.mb_w * 4), -1, np.int8)
+        motion = MotionContext(ft.mb_w, ft.mb_h, ft.slice_id)
+        ref_lists: list[tuple[list[Picture], list[Picture]]] = []
+        weight_ctx: list[tuple[bool, object]] = []
         for slice_id, (hdr, s_sps, s_pps, r) in enumerate(slices):
             map_units = map_unit_to_slice_group_map(
                 s_sps, s_pps, hdr.slice_group_change_cycle
@@ -108,22 +127,60 @@ class Decoder:
             mb_map = mb_to_slice_group_map(
                 s_sps, map_units, hdr.field_pic_flag, hdr.mbaff_frame_flag
             )
+            l0: list[Picture] = []
+            l1: list[Picture] = []
+            if hdr.is_p or hdr.is_sp:
+                l0 = self.dpb.ref_list_p(hdr)
+            elif hdr.is_b:
+                l0, l1 = self.dpb.ref_lists_b(hdr, poc)
+            ref_lists.append((l0, l1))
+            weight_ctx.append(
+                (
+                    bool(s_pps.weighted_pred_flag and (hdr.is_p or hdr.is_sp)),
+                    hdr.pred_weight_table,
+                )
+            )
             if s_pps.entropy_coding_mode_flag:
                 raise NotImplementedError("CABAC slice data: next milestone")
             dec = CavlcSliceDecoder(
-                ft, hdr, s_sps, s_pps, r, slice_id, mb_map, intra_mode_grid
+                ft,
+                hdr,
+                s_sps,
+                s_pps,
+                r,
+                slice_id,
+                mb_map,
+                intra_mode_grid,
+                motion=motion,
+                ref_uids_l0=[p.uid for p in l0],
+                ref_uids_l1=[p.uid for p in l1],
             )
             dec.decode()
-        recon = IntraFrameReconstructor(ft, sps, pps)
+        recon = IntraFrameReconstructor(
+            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx
+        )
         y, cb, cr = recon.run()
         if self.apply_deblock:
             y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
+        pic = Picture(
+            y=y,
+            cb=cb,
+            cr=cr,
+            frame_num=hdr0.frame_num,
+            poc=poc,
+            uid=self.uid_counter,
+        )
+        self.uid_counter += 1
+        if hdr0.nal_ref_idc:
+            self.dpb.mark(pic, hdr0)
         return DecodedFrame(
             y=crop(y, sps, False),
             cb=crop(cb, sps, True),
             cr=crop(cr, sps, True),
+            poc=poc,
             frame_num=hdr0.frame_num,
             is_idr=hdr0.idr_pic_flag,
+            idr_group=self.idr_group,
         )
 
 

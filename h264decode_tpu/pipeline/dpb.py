@@ -1,0 +1,293 @@
+"""Decoded picture buffer: POC derivation (spec 8.2.1), reference marking
+(8.2.5, incl. sliding window + MMCO), reference list construction (8.2.4).
+
+Host-side picture management (SURVEY.md L8). Pixel planes referenced here
+live on device in the TPU pipeline; this module only tracks metadata and
+ordering. frame_mbs_only streams (no field pairs) for now.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..syntax.slice_header import SliceHeader
+from ..syntax.sps import SPS
+
+
+@dataclass(eq=False)  # identity equality: planes are arrays, uid is identity
+class Picture:
+    """One reference picture with planes + marking state."""
+
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    frame_num: int
+    poc: int
+    uid: int  # global decode counter; used for deblock bS picture identity
+    is_ref: bool = True
+    long_term: bool = False
+    long_term_idx: int = -1
+    frame_num_wrap: int = 0
+    pic_num: int = 0
+
+    def planes(self):
+        return self.y, self.cb, self.cr
+
+
+class POCContext:
+    """PicOrderCnt derivation, spec 8.2.1 (types 0, 1 and 2)."""
+
+    def __init__(self, sps: SPS):
+        self.sps = sps
+        self.prev_poc_msb = 0
+        self.prev_poc_lsb = 0
+        self.prev_frame_num = 0
+        self.prev_frame_num_offset = 0
+
+    def compute(self, hdr: SliceHeader) -> int:
+        sps = self.sps
+        t = sps.pic_order_cnt_type
+        if hdr.idr_pic_flag:
+            self.prev_poc_msb = 0
+            self.prev_poc_lsb = 0
+            self.prev_frame_num_offset = 0
+            self.prev_frame_num = 0
+        if t == 0:
+            max_lsb = sps.max_pic_order_cnt_lsb
+            lsb = hdr.pic_order_cnt_lsb
+            if lsb < self.prev_poc_lsb and (self.prev_poc_lsb - lsb) >= max_lsb // 2:
+                msb = self.prev_poc_msb + max_lsb
+            elif lsb > self.prev_poc_lsb and (lsb - self.prev_poc_lsb) > max_lsb // 2:
+                msb = self.prev_poc_msb - max_lsb
+            else:
+                msb = self.prev_poc_msb
+            poc = msb + lsb
+            if hdr.nal_ref_idc:
+                self.prev_poc_msb = msb
+                self.prev_poc_lsb = lsb
+            return poc
+        # frame_num_offset shared by types 1 and 2 (8-7/8-12)
+        if hdr.frame_num < self.prev_frame_num:
+            offset = self.prev_frame_num_offset + self.sps.max_frame_num
+        else:
+            offset = self.prev_frame_num_offset
+        self.prev_frame_num_offset = offset
+        self.prev_frame_num = hdr.frame_num
+        if t == 1:
+            num = len(sps.offset_for_ref_frame)
+            abs_frame_num = offset + hdr.frame_num
+            if hdr.nal_ref_idc == 0 and abs_frame_num > 0:
+                abs_frame_num -= 1
+            expected = 0
+            if abs_frame_num > 0 and num > 0:
+                cycle_sum = sum(sps.offset_for_ref_frame)
+                cycles = (abs_frame_num - 1) // num
+                in_cycle = (abs_frame_num - 1) % num
+                expected = cycles * cycle_sum + sum(
+                    sps.offset_for_ref_frame[: in_cycle + 1]
+                )
+            if hdr.nal_ref_idc == 0:
+                expected += sps.offset_for_non_ref_pic
+            d0, _ = hdr.delta_pic_order_cnt
+            return expected + d0
+        # type 2
+        if hdr.nal_ref_idc == 0:
+            return 2 * (offset + hdr.frame_num) - 1
+        return 2 * (offset + hdr.frame_num)
+
+
+class DPB:
+    """Reference picture store + list construction (frame coding)."""
+
+    def __init__(self, sps: SPS):
+        self.sps = sps
+        self.pictures: list[Picture] = []
+        self.max_long_term_idx = -1  # MaxLongTermFrameIdx (-1 = no long term)
+
+    def clear(self):
+        self.pictures.clear()
+        self.max_long_term_idx = -1
+
+    # ------------------------------------------------------------- ref lists
+
+    def _update_pic_nums(self, cur_frame_num: int):
+        """spec 8.2.4.1: FrameNumWrap / PicNum for short-term refs."""
+        mfn = self.sps.max_frame_num
+        for p in self.pictures:
+            if not p.long_term:
+                p.frame_num_wrap = (
+                    p.frame_num - mfn if p.frame_num > cur_frame_num else p.frame_num
+                )
+                p.pic_num = p.frame_num_wrap
+
+    def ref_list_p(self, hdr: SliceHeader) -> list[Picture]:
+        """8.2.4.2.1: P list0 = short-term by PicNum desc, long-term by idx asc;
+        then 8.2.4.3 modifications."""
+        self._update_pic_nums(hdr.frame_num)
+        st = sorted(
+            (p for p in self.pictures if not p.long_term), key=lambda p: -p.pic_num
+        )
+        lt = sorted(
+            (p for p in self.pictures if p.long_term), key=lambda p: p.long_term_idx
+        )
+        lst = st + lt
+        n = hdr.num_ref_idx_l0_active_minus1 + 1
+        return self._apply_modifications(lst, hdr.ref_pic_list_mod_l0, hdr, n)
+
+    def ref_lists_b(self, hdr: SliceHeader, cur_poc: int) -> tuple[list[Picture], list[Picture]]:
+        """8.2.4.2.3: B list0/list1 from POC ordering; then modifications."""
+        self._update_pic_nums(hdr.frame_num)
+        st = [p for p in self.pictures if not p.long_term]
+        lt = sorted(
+            (p for p in self.pictures if p.long_term), key=lambda p: p.long_term_idx
+        )
+        before = sorted((p for p in st if p.poc <= cur_poc), key=lambda p: -p.poc)
+        after = sorted((p for p in st if p.poc > cur_poc), key=lambda p: p.poc)
+        l0 = before + after + lt
+        l1 = after + before + lt
+        # 8.2.4.2.3: if l1 has >1 entries and equals l0, swap its first two
+        if len(l1) > 1 and [p.uid for p in l1] == [p.uid for p in l0]:
+            l1 = [l1[1], l1[0]] + l1[2:]
+        return (
+            self._apply_modifications(
+                l0, hdr.ref_pic_list_mod_l0, hdr, hdr.num_ref_idx_l0_active_minus1 + 1
+            ),
+            self._apply_modifications(
+                l1, hdr.ref_pic_list_mod_l1, hdr, hdr.num_ref_idx_l1_active_minus1 + 1
+            ),
+        )
+
+    def _sized(self, lst: list[Picture], n: int) -> list[Picture]:
+        if not lst:
+            return lst
+        while len(lst) < n:
+            lst.append(lst[-1])  # entries may repeat; invalid idx clamps
+        return lst[:n]
+
+    def _apply_modifications(self, lst, ops, hdr: SliceHeader, n_active: int):
+        """8.2.4.3: re-order via modification_of_pic_nums_idc ops, with the
+        exact insert-then-compact process of 8.2.4.3.1 — the SAME picture may
+        legally appear at multiple indices (x264 weightp=2 relies on this)."""
+        lst = self._sized(list(lst), n_active)
+        if not ops:
+            return lst
+        max_pic_num = self.sps.max_frame_num
+        pic_num_pred = hdr.frame_num  # CurrPicNum
+        ref_idx = 0
+        for op in ops:
+            if op.idc in (0, 1):
+                diff = op.value + 1
+                if op.idc == 0:
+                    no_wrap = pic_num_pred - diff
+                    if no_wrap < 0:
+                        no_wrap += max_pic_num
+                else:
+                    no_wrap = pic_num_pred + diff
+                    if no_wrap >= max_pic_num:
+                        no_wrap -= max_pic_num
+                pic_num_pred = no_wrap
+                pic_num = no_wrap
+                if pic_num > hdr.frame_num:
+                    pic_num -= max_pic_num
+                match = next(
+                    (p for p in self.pictures if not p.long_term and p.pic_num == pic_num),
+                    None,
+                )
+            else:  # idc == 2: long-term
+                match = next(
+                    (
+                        p
+                        for p in self.pictures
+                        if p.long_term and p.long_term_idx == op.value
+                    ),
+                    None,
+                )
+            if match is None:
+                raise ValueError("ref_pic_list_modification references absent picture")
+            # insert at ref_idx (list grows to n+1), then drop any LATER
+            # occurrence of the same picture, then truncate back to n
+            lst = lst[:ref_idx] + [match] + lst[ref_idx:]
+            ref_idx += 1
+            head, tail = lst[:ref_idx], [p for p in lst[ref_idx:] if p is not match]
+            lst = (head + tail)[:n_active + 1]
+        return lst[:n_active]
+
+    # -------------------------------------------------------------- marking
+
+    def mark(self, pic: Picture, hdr: SliceHeader):
+        """8.2.5: decoded reference picture marking."""
+        m = hdr.dec_ref_pic_marking
+        if hdr.idr_pic_flag:
+            self.clear()
+            if m is not None and m.long_term_reference_flag:
+                pic.long_term = True
+                pic.long_term_idx = 0
+                self.max_long_term_idx = 0
+            self.pictures.append(pic)
+            return
+        if hdr.nal_ref_idc == 0:
+            return  # non-reference picture
+        if m is not None and m.adaptive_ref_pic_marking_mode_flag:
+            self._apply_mmco(pic, hdr, m.mmco_ops)
+            if pic not in self.pictures:
+                self.pictures.append(pic)
+            return
+        # sliding window (8.2.5.3)
+        num_short = sum(1 for p in self.pictures if not p.long_term)
+        num_long = sum(1 for p in self.pictures if p.long_term)
+        if num_short + num_long >= max(1, self.sps.max_num_ref_frames):
+            self._update_pic_nums(hdr.frame_num)
+            oldest = min(
+                (p for p in self.pictures if not p.long_term),
+                key=lambda p: p.frame_num_wrap,
+                default=None,
+            )
+            if oldest is not None:
+                self.pictures.remove(oldest)
+        self.pictures.append(pic)
+
+    def _apply_mmco(self, pic: Picture, hdr: SliceHeader, ops):
+        self._update_pic_nums(hdr.frame_num)
+        for op in ops:
+            if op.op == 1:  # unmark short-term
+                pic_num = hdr.frame_num - (op.difference_of_pic_nums_minus1 + 1)
+                self.pictures = [
+                    p
+                    for p in self.pictures
+                    if p.long_term or p.pic_num != pic_num
+                ]
+            elif op.op == 2:  # unmark long-term by LongTermPicNum
+                self.pictures = [
+                    p
+                    for p in self.pictures
+                    if not p.long_term or p.long_term_idx != op.long_term_pic_num
+                ]
+            elif op.op == 3:  # short-term -> long-term
+                pic_num = hdr.frame_num - (op.difference_of_pic_nums_minus1 + 1)
+                for p in self.pictures:
+                    if p.long_term and p.long_term_idx == op.long_term_frame_idx:
+                        self.pictures.remove(p)
+                        break
+                for p in self.pictures:
+                    if not p.long_term and p.pic_num == pic_num:
+                        p.long_term = True
+                        p.long_term_idx = op.long_term_frame_idx
+            elif op.op == 4:  # MaxLongTermFrameIdx
+                self.max_long_term_idx = op.max_long_term_frame_idx_plus1 - 1
+                self.pictures = [
+                    p
+                    for p in self.pictures
+                    if not p.long_term or p.long_term_idx <= self.max_long_term_idx
+                ]
+            elif op.op == 5:  # reset
+                self.clear()
+                pic.poc = 0
+                pic.frame_num = 0
+            elif op.op == 6:  # current -> long-term
+                for p in list(self.pictures):
+                    if p.long_term and p.long_term_idx == op.long_term_frame_idx:
+                        self.pictures.remove(p)
+                pic.long_term = True
+                pic.long_term_idx = op.long_term_frame_idx

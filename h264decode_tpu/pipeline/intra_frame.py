@@ -23,13 +23,24 @@ from . import reference_recon as rr
 
 
 class IntraFrameReconstructor:
-    """Reconstructs a frame containing intra macroblocks (I slices; also used
-    for intra MBs inside P/B frames by the inter walker)."""
+    """Reconstructs one frame: intra MBs (spec 8.3) and inter MBs (8.4)
+    in decode order. `ref_lists` maps slice_id -> (list0, list1) of
+    pipeline.dpb.Picture; `weight_ctx` maps slice_id -> (use_weighting,
+    PredWeightTable or None)."""
 
-    def __init__(self, ft: FrameTensors, sps: SPS, pps: PPS):
+    def __init__(
+        self,
+        ft: FrameTensors,
+        sps: SPS,
+        pps: PPS,
+        ref_lists: list | None = None,
+        weight_ctx: list | None = None,
+    ):
         self.ft = ft
         self.sps = sps
         self.pps = pps
+        self.ref_lists = ref_lists or []
+        self.weight_ctx = weight_ctx or []
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
         self.y = np.zeros((self.H, self.W), np.uint8)
@@ -96,8 +107,10 @@ class IntraFrameReconstructor:
         elif cls == MB_I_16X16:
             self._recon_i16_luma(addr, mbx, mby)
             self._recon_chroma(addr, mbx, mby)
+        elif cls >= 3:  # inter (P/P_Skip; B with the B milestone)
+            self._recon_inter_mb(addr, mbx, mby)
         else:
-            raise NotImplementedError(f"mb class {cls} in intra walker")
+            raise NotImplementedError(f"mb class {cls} in frame walker")
         self.cell_done[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         self.mb_done[addr] = True
 
@@ -219,6 +232,108 @@ class IntraFrameReconstructor:
             d[0, 0] = dcy[by, bx]
             mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
         self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred + mb).astype(np.uint8)
+
+    # ---------------------------------------------------------------- Inter
+
+    def _recon_inter_mb(self, addr, mbx, mby):
+        """P/P_Skip macroblock: MC prediction (8.4.2.2) + optional explicit
+        weighting (8.4.2.3) + inter residual."""
+        from .inter import chroma_mc_block, luma_mc_block, weight_uni
+
+        ft = self.ft
+        sid = int(ft.slice_id[addr])
+        l0 = self.ref_lists[sid][0]
+        use_w, pwt = (
+            self.weight_ctx[sid] if sid < len(self.weight_ctx) else (False, None)
+        )
+        x0, y0 = mbx * 16, mby * 16
+        pred_y = np.zeros((16, 16), np.int32)
+        pred_cb = np.zeros((8, 8), np.int32)
+        pred_cr = np.zeros((8, 8), np.int32)
+        # per 4x4 luma cell (MVs are constant within partitions, and the
+        # interpolation filters are local, so cell granularity is exact)
+        for cy in range(4):
+            for cx in range(4):
+                blk = cy * 4 + cx
+                part = (cy // 2) * 2 + (cx // 2)
+                ref_idx = int(ft.ref_idx[addr, 0, part])
+                mvx, mvy = (int(v) for v in ft.mv[addr, 0, blk])
+                ref = l0[ref_idx]
+                py = luma_mc_block(ref.y, x0 + cx * 4, y0 + cy * 4, 4, 4, mvx, mvy)
+                if use_w:
+                    e = pwt.l0[ref_idx]
+                    py = weight_uni(
+                        py, e.luma_weight, e.luma_offset, pwt.luma_log2_weight_denom
+                    )
+                pred_y[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = py
+                if self.sps.chroma_array_type == 1:
+                    # each luma 4x4 cell maps to a 2x2 chroma block
+                    pcb = chroma_mc_block(
+                        ref.cb, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
+                    )
+                    pcr = chroma_mc_block(
+                        ref.cr, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
+                    )
+                    if use_w:
+                        e = pwt.l0[ref_idx]
+                        d = pwt.chroma_log2_weight_denom
+                        pcb = weight_uni(pcb, e.chroma_weight[0], e.chroma_offset[0], d)
+                        pcr = weight_uni(pcr, e.chroma_weight[1], e.chroma_offset[1], d)
+                    pred_cb[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcb
+                    pred_cr[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcr
+        self._add_inter_residual(addr, mbx, mby, pred_y, pred_cb, pred_cr)
+
+    def _add_inter_residual(self, addr, mbx, mby, pred_y, pred_cb, pred_cr):
+        ft = self.ft
+        qp = int(ft.qp[addr])
+        x0, y0 = mbx * 16, mby * 16
+        res = np.zeros((16, 16), np.int32)
+        if ft.transform_8x8[addr] and ft.luma8_ac is not None:
+            ls8 = self.ls8[1][qp % 6]  # 8x8 list 1: Inter Y
+            from ..tensors.frame_tensors import ZIGZAG_8x8
+
+            for b8 in range(4):
+                bx, by = b8 % 2, b8 // 2
+                c = np.zeros(64, np.int32)
+                c[ZIGZAG_8x8] = ft.luma8_ac[addr, b8].astype(np.int32)
+                c = c.reshape(8, 8)
+                if qp >= 36:
+                    d = (c * ls8) << (qp // 6 - 6)
+                else:
+                    d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+                res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rr.idct_8x8(d)
+        else:
+            ls = self.ls4[3][qp % 6]  # list 3: Inter Y
+            for blk in range(16):
+                bx, by = LUMA_BLK_XY[blk]
+                c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+                d = rr.dequant_4x4_ac(c, ls, qp)
+                res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred_y + res).astype(np.uint8)
+        if self.sps.chroma_array_type == 0:
+            return
+        cx0, cy0 = mbx * 8, mby * 8
+        for comp, (plane, pred, qp_off, ls_idx) in enumerate(
+            [
+                (self.cb, pred_cb, self.pps.chroma_qp_index_offset, 4),
+                (self.cr, pred_cr, self.pps.second_chroma_qp_index_offset, 5),
+            ]
+        ):
+            qpc = rr.chroma_qp(qp, qp_off)
+            ls = self.ls4[ls_idx][qpc % 6]  # lists 4/5: Inter Cb/Cr
+            dcc = rr.chroma_dc_dequant(
+                ft.chroma_dc[addr, comp].astype(np.int32).reshape(2, 2),
+                int(ls[0, 0]),
+                qpc,
+            )
+            mb = np.zeros((8, 8), np.int32)
+            for blk in range(4):
+                bx, by = CHROMA_BLK_XY[blk]
+                c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                d = rr.dequant_4x4_ac(c, ls, qpc)
+                d[0, 0] = dcc[by, bx]
+                mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
+            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = rr.clip1(pred + mb).astype(np.uint8)
 
     # --------------------------------------------------------------- Chroma
 

@@ -88,6 +88,7 @@ class FrameTensors:
     mv: np.ndarray = None  # [nMB,2,16,2] int16: list, 4x4 blk (raster), (x,y) in 1/4 px
     ref_idx: np.ndarray = None  # [nMB,2,4] int8: list, 8x8 part; -1 = unused
     pred_flags: np.ndarray = None  # [nMB,2,4] uint8: list used per 8x8 part
+    ref_pic: np.ndarray = None  # [nMB,2,4] int32: global picture uid per part (-1)
 
     # deblocking inputs
     mb_field: np.ndarray = None  # [nMB] bool (MBAFF; 0 for now)
@@ -137,6 +138,8 @@ class FrameTensors:
             self.ref_idx = np.full((n, 2, 4), -1, np.int8)
         if self.pred_flags is None:
             self.pred_flags = np.zeros((n, 2, 4), np.uint8)
+        if self.ref_pic is None:
+            self.ref_pic = np.full((n, 2, 4), -1, np.int32)
         if self.mb_field is None:
             self.mb_field = np.zeros(n, bool)
         if self.slice_id is None:
