@@ -26,7 +26,8 @@ from ..tensors.frame_tensors import (
     MB_I_PCM,
     FrameTensors,
 )
-from ..tensors.frame_tensors import MB_P, MB_P_SKIP
+from ..tensors.frame_tensors import MB_B, MB_B_DIRECT, MB_B_SKIP, MB_P, MB_P_SKIP
+from .direct import DirectContext, derive_direct
 from .cavlc import nc_from_neighbors, residual_block_cavlc
 from .cavlc_tables import (
     CBP_ME_CHROMA03_INTER,
@@ -51,6 +52,30 @@ _P_SUB_PARTS = {
     3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
 }
 
+# B mb_type (Table 7-14), types 1..21: (shape, (pred_mode_part0, pred_mode_part1))
+# pred modes as bitmasks: 1 = L0, 2 = L1, 3 = BI
+_B_16x16 = {1: 1, 2: 2, 3: 3}
+_B_TWO_PART = {
+    4: ("16x8", (1, 1)), 5: ("8x16", (1, 1)),
+    6: ("16x8", (2, 2)), 7: ("8x16", (2, 2)),
+    8: ("16x8", (1, 2)), 9: ("8x16", (1, 2)),
+    10: ("16x8", (2, 1)), 11: ("8x16", (2, 1)),
+    12: ("16x8", (1, 3)), 13: ("8x16", (1, 3)),
+    14: ("16x8", (2, 3)), 15: ("8x16", (2, 3)),
+    16: ("16x8", (3, 1)), 17: ("8x16", (3, 1)),
+    18: ("16x8", (3, 2)), 19: ("8x16", (3, 2)),
+    20: ("16x8", (3, 3)), 21: ("8x16", (3, 3)),
+}
+# B sub_mb_type (Table 7-18): (pred_mask or None for direct, part geometry key)
+_B_SUB = {
+    0: (None, 0),  # B_Direct_8x8
+    1: (1, 0), 2: (2, 0), 3: (3, 0),       # 8x8 L0/L1/Bi
+    4: (1, 1), 5: (1, 2),                   # L0 8x4 / 4x8
+    6: (2, 1), 7: (2, 2),                   # L1
+    8: (3, 1), 9: (3, 2),                   # Bi
+    10: (1, 3), 11: (2, 3), 12: (3, 3),     # 4x4
+}
+
 
 class CavlcSliceDecoder:
     """Decodes one slice's worth of macroblocks into the frame tensors."""
@@ -68,6 +93,7 @@ class CavlcSliceDecoder:
         motion: MotionContext | None = None,
         ref_uids_l0: list[int] | None = None,
         ref_uids_l1: list[int] | None = None,
+        direct_ctx: DirectContext | None = None,
     ):
         self.ft = ft
         self.hdr = hdr
@@ -81,6 +107,7 @@ class CavlcSliceDecoder:
             motion.cur_slice = slice_id
         self.ref_uids_l0 = ref_uids_l0 or []
         self.ref_uids_l1 = ref_uids_l1 or []
+        self.direct_ctx = direct_ctx
         # [4h, 4w] int8: decoded Intra4x4/8x8 mode per 4x4 cell, -1 = not intra-NxN.
         # Shared per frame so cross-MB prediction sees earlier slices' cells
         # (gated by availability).
@@ -155,8 +182,6 @@ class CavlcSliceDecoder:
         hdr, r = self.hdr, self.r
         n = self.ft.n_mbs
         addr = hdr.first_mb_in_slice
-        if hdr.is_b:
-            raise NotImplementedError("CAVLC B slice data: next milestone")
         is_inter_slice = not (hdr.is_i or hdr.is_si)
         while True:
             if is_inter_slice:
@@ -164,7 +189,10 @@ class CavlcSliceDecoder:
                 for _ in range(skip_run):
                     if addr >= n:
                         raise ValueError("skip run overruns picture")
-                    self._decode_p_skip(addr)
+                    if hdr.is_b:
+                        self._decode_b_skip(addr)
+                    else:
+                        self._decode_p_skip(addr)
                     addr = next_mb_address(self.mb_map, addr)
                 if not r.more_rbsp_data():
                     break
@@ -188,6 +216,17 @@ class CavlcSliceDecoder:
         if self.hdr.is_i or self.hdr.is_si:
             # Table 7-11 (I-slice mb_type; SI handled via its own offset later)
             self._parse_i_mb(addr, mb_type)
+            if self.motion is not None:
+                mbx, mby = ft.mb_xy(addr)
+                self.motion.set_intra(mbx * 4, mby * 4)
+        elif self.hdr.is_b:
+            # Table 7-14: B mb_type 0..22 inter, >=23 intra (offset 23)
+            if mb_type >= 23:
+                self._parse_i_mb(addr, mb_type - 23)
+                mbx, mby = ft.mb_xy(addr)
+                self.motion.set_intra(mbx * 4, mby * 4)
+            else:
+                self._parse_b_mb(addr, mb_type)
         else:
             # Table 7-13: P mb_type 0..4 inter, >=5 intra (offset 5)
             if mb_type >= 5:
@@ -284,20 +323,161 @@ class CavlcSliceDecoder:
         self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
         self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
 
-    def _store_part(self, addr, dx, dy, w, h, mv, ref):
+    def _store_part(self, addr, dx, dy, w, h, mv, ref, lst=0):
         """Mirror a decoded partition into the FrameTensors SoA arrays."""
         ft = self.ft
+        uids = self.ref_uids_l0 if lst == 0 else self.ref_uids_l1
         for cy in range(dy, dy + h):
             for cx in range(dx, dx + w):
                 blk = cy * 4 + cx
-                ft.mv[addr, 0, blk] = mv
+                ft.mv[addr, lst, blk] = mv
         for py in range(dy // 2, (dy + h + 1) // 2):
             for px in range(dx // 2, (dx + w + 1) // 2):
                 part = py * 2 + px
-                ft.ref_idx[addr, 0, part] = ref
-                ft.ref_pic[addr, 0, part] = (
-                    self.ref_uids_l0[ref] if ref < len(self.ref_uids_l0) else -1
+                ft.ref_idx[addr, lst, part] = ref
+                ft.pred_flags[addr, lst, part] = 1 if ref >= 0 else 0
+                ft.ref_pic[addr, lst, part] = (
+                    uids[ref] if 0 <= ref < len(uids) else -1
                 )
+
+    # ------------------------------------------------------------ B slices
+
+    def _direct_quadrants(self, addr):
+        """Direct MVs for this MB (cached per MB), spec 8.4.1.2."""
+        mbx, mby = self.ft.mb_xy(addr)
+        return derive_direct(self.motion, self.direct_ctx, mbx * 4, mby * 4)
+
+    def _store_direct_quadrant(self, addr, cells):
+        """Write one direct quadrant's cells into grids + tensors."""
+        ft, motion = self.ft, self.motion
+        for cx, cy, mv0, ref0, mv1, ref1 in cells:
+            for lst, (mv, ref) in enumerate(((mv0, ref0), (mv1, ref1))):
+                motion.set_cells(lst, cx, cy, 1, 1, mv, ref if ref >= 0 else -1)
+                blk = (cy % 4) * 4 + (cx % 4)
+                dx, dy = cx % 4, cy % 4
+                self._store_part(addr, dx, dy, 1, 1, mv, ref, lst)
+
+    def _decode_b_skip(self, addr: int) -> None:
+        """B_Skip macroblock: direct prediction, no residual."""
+        ft = self.ft
+        ft.slice_id[addr] = self.slice_id
+        ft.decode_order.append(addr)
+        ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
+        ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
+        ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
+        ft.mb_class[addr] = MB_B_SKIP
+        ft.qp[addr] = self.qp_prev
+        ft.cbp[addr] = 0
+        mbx, mby = ft.mb_xy(addr)
+        for cells in self._direct_quadrants(addr):
+            self._store_direct_quadrant(addr, cells)
+        ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+
+    def _parse_b_mb(self, addr: int, mb_type: int) -> None:
+        """B macroblock, Table 7-14 + spec 7.3.5.1/7.3.5.2 + 8.4.1."""
+        ft, r = self.ft, self.r
+        mbx, mby = ft.mb_xy(addr)
+        bx0, by0 = mbx * 4, mby * 4
+        motion = self.motion
+        n_ref = (
+            self.hdr.num_ref_idx_l0_active_minus1 + 1,
+            self.hdr.num_ref_idx_l1_active_minus1 + 1,
+        )
+        no_sub_lt_8x8 = True
+        if mb_type == 0:  # B_Direct_16x16
+            ft.mb_class[addr] = MB_B_DIRECT
+            for cells in self._direct_quadrants(addr):
+                self._store_direct_quadrant(addr, cells)
+            no_sub_lt_8x8 = self.sps.direct_8x8_inference_flag
+        elif mb_type <= 21:
+            ft.mb_class[addr] = MB_B
+            if mb_type <= 3:
+                shape, parts, masks = "", ((0, 0, 4, 4),), (_B_16x16[mb_type],)
+            else:
+                shape, masks = _B_TWO_PART[mb_type]
+                parts = _P_PARTS[1][1] if shape == "16x8" else _P_PARTS[2][1]
+            refs = {0: [0] * len(parts), 1: [0] * len(parts)}
+            for lst in range(2):
+                for i, mask in enumerate(masks):
+                    if mask & (lst + 1) and n_ref[lst] > 1:
+                        refs[lst][i] = r.te(n_ref[lst] - 1)
+            mvds = {0: [None] * len(parts), 1: [None] * len(parts)}
+            for lst in range(2):
+                for i, mask in enumerate(masks):
+                    if mask & (lst + 1):
+                        mvds[lst][i] = (r.se(), r.se())
+            for i, ((dx, dy, w, h), mask) in enumerate(zip(parts, masks)):
+                bx, by = bx0 + dx, by0 + dy
+                for lst in range(2):
+                    if mask & (lst + 1):
+                        px, py = motion.predict(0 if lst == 0 else 1, refs[lst][i], bx, by, w, h, shape, i)
+                        mv = (px + mvds[lst][i][0], py + mvds[lst][i][1])
+                        motion.set_cells(lst, bx, by, w, h, mv, refs[lst][i])
+                        self._store_part(addr, dx, dy, w, h, mv, refs[lst][i], lst)
+                    else:
+                        motion.set_cells(lst, bx, by, w, h, (0, 0), -1)
+                        self._store_part(addr, dx, dy, w, h, (0, 0), -1, lst)
+        else:  # B_8x8
+            ft.mb_class[addr] = MB_B
+            sub_types = [r.ue() for _ in range(4)]
+            if any(t > 12 for t in sub_types):
+                raise ValueError(f"invalid B sub_mb_type {sub_types}")
+            refs = {0: [0] * 4, 1: [0] * 4}
+            for lst in range(2):
+                for i8 in range(4):
+                    mask, _ = _B_SUB[sub_types[i8]]
+                    if mask is not None and mask & (lst + 1) and n_ref[lst] > 1:
+                        refs[lst][i8] = r.te(n_ref[lst] - 1)
+            mvds = {0: [[] for _ in range(4)], 1: [[] for _ in range(4)]}
+            for lst in range(2):
+                for i8 in range(4):
+                    mask, geom = _B_SUB[sub_types[i8]]
+                    if mask is not None and mask & (lst + 1):
+                        mvds[lst][i8] = [
+                            (r.se(), r.se()) for _ in _P_SUB_PARTS[geom]
+                        ]
+            direct_q = None
+            for i8 in range(4):
+                mask, geom = _B_SUB[sub_types[i8]]
+                odx, ody = (i8 % 2) * 2, (i8 // 2) * 2
+                if mask is None:  # B_Direct_8x8
+                    if direct_q is None:
+                        direct_q = self._direct_quadrants(addr)
+                    self._store_direct_quadrant(addr, direct_q[i8])
+                    if not self.sps.direct_8x8_inference_flag:
+                        no_sub_lt_8x8 = False
+                    continue
+                if geom != 0:
+                    no_sub_lt_8x8 = False
+                for lst in range(2):
+                    if mask & (lst + 1):
+                        for sp, mvd in zip(_P_SUB_PARTS[geom], mvds[lst][i8]):
+                            dx, dy, w, h = sp
+                            bx, by = bx0 + odx + dx, by0 + ody + dy
+                            px, py = motion.predict(lst, refs[lst][i8], bx, by, w, h)
+                            mv = (px + mvd[0], py + mvd[1])
+                            motion.set_cells(lst, bx, by, w, h, mv, refs[lst][i8])
+                            self._store_part(addr, odx + dx, ody + dy, w, h, mv, refs[lst][i8], lst)
+                    else:
+                        bx, by = bx0 + odx, by0 + ody
+                        motion.set_cells(lst, bx, by, 2, 2, (0, 0), -1)
+                        self._store_part(addr, odx, ody, 2, 2, (0, 0), -1, lst)
+        # --- cbp, transform size, qp, residual
+        cbp_code = r.ue()
+        tab = CBP_ME_CHROMA12_INTER if self.chroma12 else CBP_ME_CHROMA03_INTER
+        cbp = tab[cbp_code]
+        ft.cbp[addr] = cbp
+        t8 = False
+        if (cbp & 15) and self.pps.transform_8x8_mode_flag and no_sub_lt_8x8:
+            t8 = r.flag()
+        ft.transform_8x8[addr] = t8
+        if cbp:
+            ft.qp[addr] = self._update_qp(r.se())
+        else:
+            ft.qp[addr] = self.qp_prev
+        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
 
     def _parse_i_mb(self, addr: int, mb_type: int) -> None:
         ft, r = self.ft, self.r

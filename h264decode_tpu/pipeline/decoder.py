@@ -18,6 +18,7 @@ import numpy as np
 
 from ..bitstream.annexb import iter_nalus
 from ..entropy.cavlc_slice import CavlcSliceDecoder
+from ..entropy.direct import DirectContext
 from ..entropy.mv_pred import MotionContext
 from ..syntax import nal as nal_mod
 from ..syntax.fmo import map_unit_to_slice_group_map, mb_to_slice_group_map
@@ -129,17 +130,36 @@ class Decoder:
             )
             l0: list[Picture] = []
             l1: list[Picture] = []
+            direct_ctx = None
             if hdr.is_p or hdr.is_sp:
                 l0 = self.dpb.ref_list_p(hdr)
             elif hdr.is_b:
                 l0, l1 = self.dpb.ref_lists_b(hdr, poc)
-            ref_lists.append((l0, l1))
-            weight_ctx.append(
-                (
-                    bool(s_pps.weighted_pred_flag and (hdr.is_p or hdr.is_sp)),
-                    hdr.pred_weight_table,
+                col = l1[0]
+                direct_ctx = DirectContext(
+                    col_mv=col.col_mv,
+                    col_ref_idx=col.col_ref_idx,
+                    col_ref_uid=col.col_ref_uid,
+                    col_is_short_term=not col.long_term,
+                    col_poc=col.poc,
+                    l0_uids=[p.uid for p in l0],
+                    l0_pocs=[p.poc for p in l0],
+                    l0_long_term=[p.long_term for p in l0],
+                    l1_pocs=[p.poc for p in l1],
+                    cur_poc=poc,
+                    spatial=hdr.direct_spatial_mv_pred_flag,
+                    direct_8x8_inference=s_sps.direct_8x8_inference_flag,
                 )
-            )
+            ref_lists.append((l0, l1))
+            if hdr.is_b:
+                wmode = {0: "none", 1: "explicit", 2: "implicit"}[
+                    s_pps.weighted_bipred_idc
+                ]
+            elif (hdr.is_p or hdr.is_sp) and s_pps.weighted_pred_flag:
+                wmode = "explicit"
+            else:
+                wmode = "none"
+            weight_ctx.append((wmode, hdr.pred_weight_table))
             if s_pps.entropy_coding_mode_flag:
                 raise NotImplementedError("CABAC slice data: next milestone")
             dec = CavlcSliceDecoder(
@@ -154,10 +174,11 @@ class Decoder:
                 motion=motion,
                 ref_uids_l0=[p.uid for p in l0],
                 ref_uids_l1=[p.uid for p in l1],
+                direct_ctx=direct_ctx,
             )
             dec.decode()
         recon = IntraFrameReconstructor(
-            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx
+            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx, cur_poc=poc
         )
         y, cb, cr = recon.run()
         if self.apply_deblock:
@@ -170,6 +191,24 @@ class Decoder:
             poc=poc,
             uid=self.uid_counter,
         )
+        # colocated motion for future B direct derivation (8.4.1.2.1):
+        # prefer L0; fall back to L1; intra/none -> -1
+        use_l0 = motion.ref[0] >= 0
+        use_l1 = (~use_l0) & (motion.ref[1] >= 0)
+        pic.col_ref_idx = np.where(
+            use_l0, motion.ref[0], np.where(use_l1, motion.ref[1], -1)
+        ).astype(np.int8)
+        pic.col_mv = np.where(
+            use_l0[..., None], motion.mv[0], np.where(use_l1[..., None], motion.mv[1], 0)
+        ).astype(np.int32)
+        col_uid = np.full(pic.col_ref_idx.shape, -1, np.int32)
+        for addr in range(ft.n_mbs):
+            mbx, mby = ft.mb_xy(addr)
+            for part in range(4):
+                py, px = mby * 4 + (part // 2) * 2, mbx * 4 + (part % 2) * 2
+                lsel = 0 if ft.ref_pic[addr, 0, part] >= 0 else 1
+                col_uid[py : py + 2, px : px + 2] = ft.ref_pic[addr, lsel, part]
+        pic.col_ref_uid = col_uid
         self.uid_counter += 1
         if hdr0.nal_ref_idc:
             self.dpb.mark(pic, hdr0)

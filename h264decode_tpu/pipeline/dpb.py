@@ -31,6 +31,11 @@ class Picture:
     long_term_idx: int = -1
     frame_num_wrap: int = 0
     pic_num: int = 0
+    # colocated motion (spec 8.4.1.2.1), 4x4 granularity, filled by the
+    # decoder when the picture completes: L0-preferred mv/ref selection
+    col_mv: np.ndarray | None = None  # [4h, 4w, 2] int32
+    col_ref_idx: np.ndarray | None = None  # [4h, 4w] int8 (-1 = intra/none)
+    col_ref_uid: np.ndarray | None = None  # [4h, 4w] int32 (-1 = none)
 
     def planes(self):
         return self.y, self.cb, self.cr

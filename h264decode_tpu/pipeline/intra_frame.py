@@ -35,12 +35,14 @@ class IntraFrameReconstructor:
         pps: PPS,
         ref_lists: list | None = None,
         weight_ctx: list | None = None,
+        cur_poc: int = 0,
     ):
         self.ft = ft
         self.sps = sps
         self.pps = pps
         self.ref_lists = ref_lists or []
         self.weight_ctx = weight_ctx or []
+        self.cur_poc = cur_poc
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
         self.y = np.zeros((self.H, self.W), np.uint8)
@@ -235,50 +237,106 @@ class IntraFrameReconstructor:
 
     # ---------------------------------------------------------------- Inter
 
+    def _implicit_weights(self, p0, p1) -> tuple[int, int]:
+        """8.4.2.3.1: implicit bi-prediction weights from POC distances."""
+        if p1.poc == p0.poc or p0.long_term or p1.long_term:
+            return 32, 32
+        tb = np.clip(self.cur_poc - p0.poc, -128, 127)
+        td = np.clip(p1.poc - p0.poc, -128, 127)
+        tx = int((16384 + abs(int(td)) // 2) / td) if td != 0 else 0
+        if td < 0:
+            tx = -((16384 + abs(int(td)) // 2) // -int(td))
+        else:
+            tx = (16384 + abs(int(td)) // 2) // int(td)
+        dsf = int(np.clip((int(tb) * tx + 32) >> 6, -1024, 1023))
+        w1 = dsf >> 2
+        if w1 < -64 or w1 > 128:
+            return 32, 32
+        w0 = 64 - w1
+        # additional spec guard: products must fit (w0/w1 within [-128,127] x2)
+        if not (-64 <= w1 <= 128):
+            return 32, 32
+        return w0, w1
+
     def _recon_inter_mb(self, addr, mbx, mby):
-        """P/P_Skip macroblock: MC prediction (8.4.2.2) + optional explicit
-        weighting (8.4.2.3) + inter residual."""
-        from .inter import chroma_mc_block, luma_mc_block, weight_uni
+        """P/B macroblock: MC prediction (8.4.2.2), uni/bi combination with
+        default, explicit or implicit weighting (8.4.2.3), then residual."""
+        from .inter import chroma_mc_block, luma_mc_block, weight_bi, weight_uni
 
         ft = self.ft
         sid = int(ft.slice_id[addr])
-        l0 = self.ref_lists[sid][0]
-        use_w, pwt = (
-            self.weight_ctx[sid] if sid < len(self.weight_ctx) else (False, None)
+        lists = self.ref_lists[sid]
+        wmode, pwt = (
+            self.weight_ctx[sid] if sid < len(self.weight_ctx) else ("none", None)
         )
         x0, y0 = mbx * 16, mby * 16
         pred_y = np.zeros((16, 16), np.int32)
         pred_cb = np.zeros((8, 8), np.int32)
         pred_cr = np.zeros((8, 8), np.int32)
+        chroma = self.sps.chroma_array_type == 1
         # per 4x4 luma cell (MVs are constant within partitions, and the
         # interpolation filters are local, so cell granularity is exact)
         for cy in range(4):
             for cx in range(4):
                 blk = cy * 4 + cx
                 part = (cy // 2) * 2 + (cx // 2)
-                ref_idx = int(ft.ref_idx[addr, 0, part])
-                mvx, mvy = (int(v) for v in ft.mv[addr, 0, blk])
-                ref = l0[ref_idx]
-                py = luma_mc_block(ref.y, x0 + cx * 4, y0 + cy * 4, 4, 4, mvx, mvy)
-                if use_w:
-                    e = pwt.l0[ref_idx]
-                    py = weight_uni(
-                        py, e.luma_weight, e.luma_offset, pwt.luma_log2_weight_denom
+                preds = []  # (lst, ref_idx, Picture, y, cb, cr)
+                for lst in range(2):
+                    ref_idx = int(ft.ref_idx[addr, lst, part])
+                    if ref_idx < 0 or not lists[lst]:
+                        continue
+                    mvx, mvy = (int(v) for v in ft.mv[addr, lst, blk])
+                    ref = lists[lst][ref_idx]
+                    py = luma_mc_block(
+                        ref.y, x0 + cx * 4, y0 + cy * 4, 4, 4, mvx, mvy
                     )
+                    pcb = pcr = None
+                    if chroma:
+                        pcb = chroma_mc_block(
+                            ref.cb, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
+                        )
+                        pcr = chroma_mc_block(
+                            ref.cr, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
+                        )
+                    preds.append((lst, ref_idx, ref, py, pcb, pcr))
+                if len(preds) == 1:
+                    lst, ref_idx, ref, py, pcb, pcr = preds[0]
+                    if wmode == "explicit":
+                        tab = pwt.l0 if lst == 0 else pwt.l1
+                        e = tab[ref_idx]
+                        py = weight_uni(
+                            py, e.luma_weight, e.luma_offset, pwt.luma_log2_weight_denom
+                        )
+                        if chroma:
+                            d = pwt.chroma_log2_weight_denom
+                            pcb = weight_uni(pcb, e.chroma_weight[0], e.chroma_offset[0], d)
+                            pcr = weight_uni(pcr, e.chroma_weight[1], e.chroma_offset[1], d)
+                else:
+                    _, r0, p0, y0p, cb0, cr0 = preds[0]
+                    _, r1, p1, y1p, cb1, cr1 = preds[1]
+                    if wmode == "explicit":
+                        e0, e1 = pwt.l0[r0], pwt.l1[r1]
+                        py = weight_bi(
+                            y0p, y1p, e0.luma_weight, e1.luma_weight,
+                            e0.luma_offset, e1.luma_offset, pwt.luma_log2_weight_denom,
+                        )
+                        if chroma:
+                            d = pwt.chroma_log2_weight_denom
+                            pcb = weight_bi(cb0, cb1, e0.chroma_weight[0], e1.chroma_weight[0], e0.chroma_offset[0], e1.chroma_offset[0], d)
+                            pcr = weight_bi(cr0, cr1, e0.chroma_weight[1], e1.chroma_weight[1], e0.chroma_offset[1], e1.chroma_offset[1], d)
+                    elif wmode == "implicit":
+                        w0, w1 = self._implicit_weights(p0, p1)
+                        py = weight_bi(y0p, y1p, w0, w1, 0, 0, 5)
+                        if chroma:
+                            pcb = weight_bi(cb0, cb1, w0, w1, 0, 0, 5)
+                            pcr = weight_bi(cr0, cr1, w0, w1, 0, 0, 5)
+                    else:
+                        py = (y0p + y1p + 1) >> 1
+                        if chroma:
+                            pcb = (cb0 + cb1 + 1) >> 1
+                            pcr = (cr0 + cr1 + 1) >> 1
                 pred_y[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = py
-                if self.sps.chroma_array_type == 1:
-                    # each luma 4x4 cell maps to a 2x2 chroma block
-                    pcb = chroma_mc_block(
-                        ref.cb, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
-                    )
-                    pcr = chroma_mc_block(
-                        ref.cr, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
-                    )
-                    if use_w:
-                        e = pwt.l0[ref_idx]
-                        d = pwt.chroma_log2_weight_denom
-                        pcb = weight_uni(pcb, e.chroma_weight[0], e.chroma_offset[0], d)
-                        pcr = weight_uni(pcr, e.chroma_weight[1], e.chroma_offset[1], d)
+                if chroma:
                     pred_cb[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcb
                     pred_cr[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcr
         self._add_inter_residual(addr, mbx, mby, pred_y, pred_cb, pred_cr)
