@@ -4,7 +4,7 @@
 Replaces the reference's interleaved per-MB walk (h264/slice.go:570-830) with
 a full-slice entropy pass producing SoA tensors (SURVEY.md section 7.1), and
 adds everything the reference lacks: residual parsing, nC context tracking,
-I_PCM samples, QP accumulation.
+I_PCM samples, QP accumulation, P/B motion syntax.
 
 Pure-Python reference implementation; the native/ C++ engine is the fast path.
 """
@@ -13,21 +13,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bitstream.bitreader import BitReader
 from ..syntax.fmo import next_mb_address
-from ..syntax.pps import PPS
-from ..syntax.slice_header import SliceHeader
-from ..syntax.sps import SPS
 from ..tensors.frame_tensors import (
     CHROMA_BLK_XY,
     LUMA_BLK_XY,
+    MB_B,
+    MB_B_DIRECT,
     MB_I_16X16,
     MB_I_NXN,
     MB_I_PCM,
-    FrameTensors,
+    MB_P,
 )
-from ..tensors.frame_tensors import MB_B, MB_B_DIRECT, MB_B_SKIP, MB_P, MB_P_SKIP
-from .direct import DirectContext, derive_direct
 from .cavlc import nc_from_neighbors, residual_block_cavlc
 from .cavlc_tables import (
     CBP_ME_CHROMA03_INTER,
@@ -35,91 +31,20 @@ from .cavlc_tables import (
     CBP_ME_CHROMA12_INTER,
     CBP_ME_CHROMA12_INTRA,
 )
-from .mv_pred import MotionContext
-
-# (partition cell offsets, partition cell sizes) for P mb_types 0..2
-# (Table 7-13); type 3/4 = four 8x8 with sub partitions (Table 7-17)
-_P_PARTS = {
-    0: ("", ((0, 0, 4, 4),)),
-    1: ("16x8", ((0, 0, 4, 2), (0, 2, 4, 2))),
-    2: ("8x16", ((0, 0, 2, 4), (2, 0, 2, 4))),
-}
-# sub_mb_type -> list of (dx, dy, w, h) in 4x4 cells within the 8x8
-_P_SUB_PARTS = {
-    0: ((0, 0, 2, 2),),
-    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
-    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
-    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
-}
-
-# B mb_type (Table 7-14), types 1..21: (shape, (pred_mode_part0, pred_mode_part1))
-# pred modes as bitmasks: 1 = L0, 2 = L1, 3 = BI
-_B_16x16 = {1: 1, 2: 2, 3: 3}
-_B_TWO_PART = {
-    4: ("16x8", (1, 1)), 5: ("8x16", (1, 1)),
-    6: ("16x8", (2, 2)), 7: ("8x16", (2, 2)),
-    8: ("16x8", (1, 2)), 9: ("8x16", (1, 2)),
-    10: ("16x8", (2, 1)), 11: ("8x16", (2, 1)),
-    12: ("16x8", (1, 3)), 13: ("8x16", (1, 3)),
-    14: ("16x8", (2, 3)), 15: ("8x16", (2, 3)),
-    16: ("16x8", (3, 1)), 17: ("8x16", (3, 1)),
-    18: ("16x8", (3, 2)), 19: ("8x16", (3, 2)),
-    20: ("16x8", (3, 3)), 21: ("8x16", (3, 3)),
-}
-# B sub_mb_type (Table 7-18): (pred_mask or None for direct, part geometry key)
-_B_SUB = {
-    0: (None, 0),  # B_Direct_8x8
-    1: (1, 0), 2: (2, 0), 3: (3, 0),       # 8x8 L0/L1/Bi
-    4: (1, 1), 5: (1, 2),                   # L0 8x4 / 4x8
-    6: (2, 1), 7: (2, 2),                   # L1
-    8: (3, 1), 9: (3, 2),                   # Bi
-    10: (1, 3), 11: (2, 3), 12: (3, 3),     # 4x4
-}
+from .slice_base import (
+    B_16x16,
+    B_SUB,
+    B_TWO_PART,
+    P_PARTS,
+    SUB_PARTS,
+    SliceDecoderBase,
+)
 
 
-class CavlcSliceDecoder:
+class CavlcSliceDecoder(SliceDecoderBase):
     """Decodes one slice's worth of macroblocks into the frame tensors."""
 
-    def __init__(
-        self,
-        ft: FrameTensors,
-        hdr: SliceHeader,
-        sps: SPS,
-        pps: PPS,
-        r: BitReader,
-        slice_id: int,
-        mb_map: np.ndarray,
-        intra_mode_grid: np.ndarray,
-        motion: MotionContext | None = None,
-        ref_uids_l0: list[int] | None = None,
-        ref_uids_l1: list[int] | None = None,
-        direct_ctx: DirectContext | None = None,
-    ):
-        self.ft = ft
-        self.hdr = hdr
-        self.sps = sps
-        self.pps = pps
-        self.r = r
-        self.slice_id = slice_id
-        self.mb_map = mb_map
-        self.motion = motion
-        if motion is not None:
-            motion.cur_slice = slice_id
-        self.ref_uids_l0 = ref_uids_l0 or []
-        self.ref_uids_l1 = ref_uids_l1 or []
-        self.direct_ctx = direct_ctx
-        # [4h, 4w] int8: decoded Intra4x4/8x8 mode per 4x4 cell, -1 = not intra-NxN.
-        # Shared per frame so cross-MB prediction sees earlier slices' cells
-        # (gated by availability).
-        self.modes = intra_mode_grid
-        self.qp_prev = hdr.slice_qp(pps)
-        self.chroma12 = sps.chroma_array_type in (1, 2)
-
-    # ------------------------------------------------------------------ utils
-
-    def _mb_available(self, naddr: int) -> bool:
-        """spec 6.4.9: neighbor must exist, be decoded, and share the slice."""
-        return 0 <= naddr < self.ft.n_mbs and self.ft.slice_id[naddr] == self.slice_id
+    # ---------------------------------------------------------- nC contexts
 
     def _luma_nnz_at(self, gx: int, gy: int):
         if gx < 0 or gy < 0:
@@ -146,34 +71,6 @@ class CavlcSliceDecoder:
         return nc_from_neighbors(
             self._chroma_nnz_at(comp, gx - 1, gy), self._chroma_nnz_at(comp, gx, gy - 1)
         )
-
-    def _pred_intra4x4_mode(self, gx: int, gy: int) -> int:
-        """spec 8.3.1.1. dcPredModePredictedFlag is global over BOTH
-        neighbors: if either is unavailable (or CIP-barred), the prediction
-        is DC — encoded here as -1 propagating through the min. Available
-        non-Intra-NxN neighbors contribute DC(2)."""
-
-        def mode_at(nx, ny):
-            if nx < 0 or ny < 0:
-                return -1  # unavailable
-            naddr = (ny >> 2) * self.ft.mb_w + (nx >> 2)
-            if not self._mb_available(naddr):
-                return -1
-            if (
-                self.pps.constrained_intra_pred_flag
-                and self.ft.mb_class[naddr] >= 3
-            ):
-                return -1  # inter neighbor barred by constrained_intra_pred
-            m = self.modes[ny, nx]
-            return 2 if m < 0 else int(m)  # non-Intra-NxN MB -> DC
-
-        pred = min(mode_at(gx - 1, gy), mode_at(gx, gy - 1))
-        return 2 if pred < 0 else pred
-
-    def _update_qp(self, delta: int) -> int:
-        # spec 7-37 (8-bit): QPy = (prev + delta + 52) % 52
-        self.qp_prev = (self.qp_prev + delta + 52) % 52
-        return self.qp_prev
 
     # ------------------------------------------------------------- main loop
 
@@ -207,11 +104,7 @@ class CavlcSliceDecoder:
 
     def parse_macroblock(self, addr: int) -> None:
         ft, r = self.ft, self.r
-        ft.slice_id[addr] = self.slice_id
-        ft.decode_order.append(addr)
-        ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
-        ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
-        ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
+        self._mb_prelude(addr)
         mb_type = r.ue()
         if self.hdr.is_i or self.hdr.is_si:
             # Table 7-11 (I-slice mb_type; SI handled via its own offset later)
@@ -235,249 +128,6 @@ class CavlcSliceDecoder:
                 self.motion.set_intra(mbx * 4, mby * 4)
             else:
                 self._parse_p_mb(addr, mb_type)
-
-    # ------------------------------------------------------------ P slices
-
-    def _decode_p_skip(self, addr: int) -> None:
-        """P_Skip macroblock (spec 7.3.4 mb_skip_run + 8.4.1.1)."""
-        ft = self.ft
-        ft.slice_id[addr] = self.slice_id
-        ft.decode_order.append(addr)
-        ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
-        ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
-        ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
-        ft.mb_class[addr] = MB_P_SKIP
-        ft.qp[addr] = self.qp_prev
-        ft.cbp[addr] = 0
-        mbx, mby = ft.mb_xy(addr)
-        bx, by = mbx * 4, mby * 4
-        mv = self.motion.skip_mv(bx, by)
-        self.motion.set_cells(0, bx, by, 4, 4, mv, 0)
-        self.motion.ref[1, by : by + 4, bx : bx + 4] = -1
-        ft.mv[addr, 0, :, 0] = mv[0]
-        ft.mv[addr, 0, :, 1] = mv[1]
-        ft.ref_idx[addr, 0] = 0
-        ft.pred_flags[addr, 0] = 1
-        ft.ref_pic[addr, 0] = self.ref_uids_l0[0]
-        ft.luma_nnz[by : by + 4, bx : bx + 4] = 0
-        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
-
-    def _parse_p_mb(self, addr: int, mb_type: int) -> None:
-        """P macroblock, spec 7.3.5.1/7.3.5.2 + 8.4.1.3 MV reconstruction."""
-        ft, r = self.ft, self.r
-        mbx, mby = ft.mb_xy(addr)
-        bx0, by0 = mbx * 4, mby * 4
-        ft.mb_class[addr] = MB_P
-        n_ref = self.hdr.num_ref_idx_l0_active_minus1 + 1
-        motion = self.motion
-        motion.ref[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1
-        ft.pred_flags[addr, 0] = 1
-        if mb_type in (0, 1, 2):
-            shape, parts = _P_PARTS[mb_type]
-            refs = []
-            for _ in parts:
-                refs.append(r.te(n_ref - 1) if n_ref > 1 else 0)
-            for idx, ((dx, dy, w, h), ref) in enumerate(zip(parts, refs)):
-                mvd = (r.se(), r.se())
-                bx, by = bx0 + dx, by0 + dy
-                px, py = motion.predict(0, ref, bx, by, w, h, shape, idx)
-                mv = (px + mvd[0], py + mvd[1])
-                motion.set_cells(0, bx, by, w, h, mv, ref)
-                self._store_part(addr, dx, dy, w, h, mv, ref)
-        else:  # P_8x8 / P_8x8ref0
-            sub_types = [r.ue() for _ in range(4)]
-            if any(t > 3 for t in sub_types):
-                raise ValueError(f"invalid P sub_mb_type {sub_types}")
-            refs = [0] * 4
-            if mb_type == 3 and n_ref > 1:
-                refs = [r.te(n_ref - 1) for _ in range(4)]
-            mvds = [
-                [(r.se(), r.se()) for _ in _P_SUB_PARTS[sub_types[i]]] for i in range(4)
-            ]
-            for i8 in range(4):
-                odx, ody = (i8 % 2) * 2, (i8 // 2) * 2
-                for sp, mvd in zip(_P_SUB_PARTS[sub_types[i8]], mvds[i8]):
-                    dx, dy, w, h = sp
-                    bx, by = bx0 + odx + dx, by0 + ody + dy
-                    px, py = motion.predict(0, refs[i8], bx, by, w, h)
-                    mv = (px + mvd[0], py + mvd[1])
-                    motion.set_cells(0, bx, by, w, h, mv, refs[i8])
-                    self._store_part(addr, odx + dx, ody + dy, w, h, mv, refs[i8])
-        # --- cbp, transform size, qp, residual (spec 7.3.5)
-        cbp_code = r.ue()
-        tab = CBP_ME_CHROMA12_INTER if self.chroma12 else CBP_ME_CHROMA03_INTER
-        cbp = tab[cbp_code]
-        ft.cbp[addr] = cbp
-        t8 = False
-        if (
-            (cbp & 15)
-            and self.pps.transform_8x8_mode_flag
-            and (mb_type in (0, 1, 2) or all(t == 0 for t in sub_types))
-        ):
-            t8 = r.flag()
-        ft.transform_8x8[addr] = t8
-        if cbp:
-            ft.qp[addr] = self._update_qp(r.se())
-        else:
-            ft.qp[addr] = self.qp_prev
-        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
-
-    def _store_part(self, addr, dx, dy, w, h, mv, ref, lst=0):
-        """Mirror a decoded partition into the FrameTensors SoA arrays."""
-        ft = self.ft
-        uids = self.ref_uids_l0 if lst == 0 else self.ref_uids_l1
-        for cy in range(dy, dy + h):
-            for cx in range(dx, dx + w):
-                blk = cy * 4 + cx
-                ft.mv[addr, lst, blk] = mv
-        for py in range(dy // 2, (dy + h + 1) // 2):
-            for px in range(dx // 2, (dx + w + 1) // 2):
-                part = py * 2 + px
-                ft.ref_idx[addr, lst, part] = ref
-                ft.pred_flags[addr, lst, part] = 1 if ref >= 0 else 0
-                ft.ref_pic[addr, lst, part] = (
-                    uids[ref] if 0 <= ref < len(uids) else -1
-                )
-
-    # ------------------------------------------------------------ B slices
-
-    def _direct_quadrants(self, addr):
-        """Direct MVs for this MB (cached per MB), spec 8.4.1.2."""
-        mbx, mby = self.ft.mb_xy(addr)
-        return derive_direct(self.motion, self.direct_ctx, mbx * 4, mby * 4)
-
-    def _store_direct_quadrant(self, addr, cells):
-        """Write one direct quadrant's cells into grids + tensors."""
-        ft, motion = self.ft, self.motion
-        for cx, cy, mv0, ref0, mv1, ref1 in cells:
-            for lst, (mv, ref) in enumerate(((mv0, ref0), (mv1, ref1))):
-                motion.set_cells(lst, cx, cy, 1, 1, mv, ref if ref >= 0 else -1)
-                blk = (cy % 4) * 4 + (cx % 4)
-                dx, dy = cx % 4, cy % 4
-                self._store_part(addr, dx, dy, 1, 1, mv, ref, lst)
-
-    def _decode_b_skip(self, addr: int) -> None:
-        """B_Skip macroblock: direct prediction, no residual."""
-        ft = self.ft
-        ft.slice_id[addr] = self.slice_id
-        ft.decode_order.append(addr)
-        ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
-        ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2
-        ft.beta_off[addr] = self.hdr.slice_beta_offset_div2 * 2
-        ft.mb_class[addr] = MB_B_SKIP
-        ft.qp[addr] = self.qp_prev
-        ft.cbp[addr] = 0
-        mbx, mby = ft.mb_xy(addr)
-        for cells in self._direct_quadrants(addr):
-            self._store_direct_quadrant(addr, cells)
-        ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
-        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
-
-    def _parse_b_mb(self, addr: int, mb_type: int) -> None:
-        """B macroblock, Table 7-14 + spec 7.3.5.1/7.3.5.2 + 8.4.1."""
-        ft, r = self.ft, self.r
-        mbx, mby = ft.mb_xy(addr)
-        bx0, by0 = mbx * 4, mby * 4
-        motion = self.motion
-        n_ref = (
-            self.hdr.num_ref_idx_l0_active_minus1 + 1,
-            self.hdr.num_ref_idx_l1_active_minus1 + 1,
-        )
-        no_sub_lt_8x8 = True
-        if mb_type == 0:  # B_Direct_16x16
-            ft.mb_class[addr] = MB_B_DIRECT
-            for cells in self._direct_quadrants(addr):
-                self._store_direct_quadrant(addr, cells)
-            no_sub_lt_8x8 = self.sps.direct_8x8_inference_flag
-        elif mb_type <= 21:
-            ft.mb_class[addr] = MB_B
-            if mb_type <= 3:
-                shape, parts, masks = "", ((0, 0, 4, 4),), (_B_16x16[mb_type],)
-            else:
-                shape, masks = _B_TWO_PART[mb_type]
-                parts = _P_PARTS[1][1] if shape == "16x8" else _P_PARTS[2][1]
-            refs = {0: [0] * len(parts), 1: [0] * len(parts)}
-            for lst in range(2):
-                for i, mask in enumerate(masks):
-                    if mask & (lst + 1) and n_ref[lst] > 1:
-                        refs[lst][i] = r.te(n_ref[lst] - 1)
-            mvds = {0: [None] * len(parts), 1: [None] * len(parts)}
-            for lst in range(2):
-                for i, mask in enumerate(masks):
-                    if mask & (lst + 1):
-                        mvds[lst][i] = (r.se(), r.se())
-            for i, ((dx, dy, w, h), mask) in enumerate(zip(parts, masks)):
-                bx, by = bx0 + dx, by0 + dy
-                for lst in range(2):
-                    if mask & (lst + 1):
-                        px, py = motion.predict(0 if lst == 0 else 1, refs[lst][i], bx, by, w, h, shape, i)
-                        mv = (px + mvds[lst][i][0], py + mvds[lst][i][1])
-                        motion.set_cells(lst, bx, by, w, h, mv, refs[lst][i])
-                        self._store_part(addr, dx, dy, w, h, mv, refs[lst][i], lst)
-                    else:
-                        motion.set_cells(lst, bx, by, w, h, (0, 0), -1)
-                        self._store_part(addr, dx, dy, w, h, (0, 0), -1, lst)
-        else:  # B_8x8
-            ft.mb_class[addr] = MB_B
-            sub_types = [r.ue() for _ in range(4)]
-            if any(t > 12 for t in sub_types):
-                raise ValueError(f"invalid B sub_mb_type {sub_types}")
-            refs = {0: [0] * 4, 1: [0] * 4}
-            for lst in range(2):
-                for i8 in range(4):
-                    mask, _ = _B_SUB[sub_types[i8]]
-                    if mask is not None and mask & (lst + 1) and n_ref[lst] > 1:
-                        refs[lst][i8] = r.te(n_ref[lst] - 1)
-            mvds = {0: [[] for _ in range(4)], 1: [[] for _ in range(4)]}
-            for lst in range(2):
-                for i8 in range(4):
-                    mask, geom = _B_SUB[sub_types[i8]]
-                    if mask is not None and mask & (lst + 1):
-                        mvds[lst][i8] = [
-                            (r.se(), r.se()) for _ in _P_SUB_PARTS[geom]
-                        ]
-            direct_q = None
-            for i8 in range(4):
-                mask, geom = _B_SUB[sub_types[i8]]
-                odx, ody = (i8 % 2) * 2, (i8 // 2) * 2
-                if mask is None:  # B_Direct_8x8
-                    if direct_q is None:
-                        direct_q = self._direct_quadrants(addr)
-                    self._store_direct_quadrant(addr, direct_q[i8])
-                    if not self.sps.direct_8x8_inference_flag:
-                        no_sub_lt_8x8 = False
-                    continue
-                if geom != 0:
-                    no_sub_lt_8x8 = False
-                for lst in range(2):
-                    if mask & (lst + 1):
-                        for sp, mvd in zip(_P_SUB_PARTS[geom], mvds[lst][i8]):
-                            dx, dy, w, h = sp
-                            bx, by = bx0 + odx + dx, by0 + ody + dy
-                            px, py = motion.predict(lst, refs[lst][i8], bx, by, w, h)
-                            mv = (px + mvd[0], py + mvd[1])
-                            motion.set_cells(lst, bx, by, w, h, mv, refs[lst][i8])
-                            self._store_part(addr, odx + dx, ody + dy, w, h, mv, refs[lst][i8], lst)
-                    else:
-                        bx, by = bx0 + odx, by0 + ody
-                        motion.set_cells(lst, bx, by, 2, 2, (0, 0), -1)
-                        self._store_part(addr, odx, ody, 2, 2, (0, 0), -1, lst)
-        # --- cbp, transform size, qp, residual
-        cbp_code = r.ue()
-        tab = CBP_ME_CHROMA12_INTER if self.chroma12 else CBP_ME_CHROMA03_INTER
-        cbp = tab[cbp_code]
-        ft.cbp[addr] = cbp
-        t8 = False
-        if (cbp & 15) and self.pps.transform_8x8_mode_flag and no_sub_lt_8x8:
-            t8 = r.flag()
-        ft.transform_8x8[addr] = t8
-        if cbp:
-            ft.qp[addr] = self._update_qp(r.se())
-        else:
-            ft.qp[addr] = self.qp_prev
-        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
 
     def _parse_i_mb(self, addr: int, mb_type: int) -> None:
         ft, r = self.ft, self.r
@@ -566,6 +216,176 @@ class CavlcSliceDecoder:
                     mode = rem if rem < pred else rem + 1
                 ft.intra4x4_modes[addr, blk] = mode
                 self.modes[gy, gx] = mode
+
+    # ------------------------------------------------------------ P slices
+
+    def _parse_p_mb(self, addr: int, mb_type: int) -> None:
+        """P macroblock, spec 7.3.5.1/7.3.5.2 + 8.4.1.3 MV reconstruction."""
+        ft, r = self.ft, self.r
+        mbx, mby = ft.mb_xy(addr)
+        bx0, by0 = mbx * 4, mby * 4
+        ft.mb_class[addr] = MB_P
+        n_ref = self.hdr.num_ref_idx_l0_active_minus1 + 1
+        motion = self.motion
+        motion.ref[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1
+        motion.refctx[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1
+        ft.pred_flags[addr, 0] = 1
+        sub_types = None
+        if mb_type in (0, 1, 2):
+            shape, parts = P_PARTS[mb_type]
+            refs = []
+            for _ in parts:
+                refs.append(r.te(n_ref - 1) if n_ref > 1 else 0)
+            for idx, ((dx, dy, w, h), ref) in enumerate(zip(parts, refs)):
+                mvd = (r.se(), r.se())
+                bx, by = bx0 + dx, by0 + dy
+                px, py = motion.predict(0, ref, bx, by, w, h, shape, idx)
+                mv = (px + mvd[0], py + mvd[1])
+                motion.set_cells(0, bx, by, w, h, mv, ref)
+                self._store_part(addr, dx, dy, w, h, mv, ref)
+        else:  # P_8x8 / P_8x8ref0
+            sub_types = [r.ue() for _ in range(4)]
+            if any(t > 3 for t in sub_types):
+                raise ValueError(f"invalid P sub_mb_type {sub_types}")
+            refs = [0] * 4
+            if mb_type == 3 and n_ref > 1:
+                refs = [r.te(n_ref - 1) for _ in range(4)]
+            mvds = [
+                [(r.se(), r.se()) for _ in SUB_PARTS[sub_types[i]]] for i in range(4)
+            ]
+            for i8 in range(4):
+                odx, ody = (i8 % 2) * 2, (i8 // 2) * 2
+                for sp, mvd in zip(SUB_PARTS[sub_types[i8]], mvds[i8]):
+                    dx, dy, w, h = sp
+                    bx, by = bx0 + odx + dx, by0 + ody + dy
+                    px, py = motion.predict(0, refs[i8], bx, by, w, h)
+                    mv = (px + mvd[0], py + mvd[1])
+                    motion.set_cells(0, bx, by, w, h, mv, refs[i8])
+                    self._store_part(addr, odx + dx, ody + dy, w, h, mv, refs[i8])
+        # --- cbp, transform size, qp, residual (spec 7.3.5)
+        cbp_code = r.ue()
+        tab = CBP_ME_CHROMA12_INTER if self.chroma12 else CBP_ME_CHROMA03_INTER
+        cbp = tab[cbp_code]
+        ft.cbp[addr] = cbp
+        t8 = False
+        if (
+            (cbp & 15)
+            and self.pps.transform_8x8_mode_flag
+            and (mb_type in (0, 1, 2) or all(t == 0 for t in sub_types))
+        ):
+            t8 = r.flag()
+        ft.transform_8x8[addr] = t8
+        if cbp:
+            ft.qp[addr] = self._update_qp(r.se())
+        else:
+            ft.qp[addr] = self.qp_prev
+        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+
+    # ------------------------------------------------------------ B slices
+
+    def _parse_b_mb(self, addr: int, mb_type: int) -> None:
+        """B macroblock, Table 7-14 + spec 7.3.5.1/7.3.5.2 + 8.4.1."""
+        ft, r = self.ft, self.r
+        mbx, mby = ft.mb_xy(addr)
+        bx0, by0 = mbx * 4, mby * 4
+        motion = self.motion
+        n_ref = (
+            self.hdr.num_ref_idx_l0_active_minus1 + 1,
+            self.hdr.num_ref_idx_l1_active_minus1 + 1,
+        )
+        no_sub_lt_8x8 = True
+        if mb_type == 0:  # B_Direct_16x16
+            ft.mb_class[addr] = MB_B_DIRECT
+            for cells in self._direct_quadrants(addr):
+                self._store_direct_quadrant(addr, cells)
+            no_sub_lt_8x8 = self.sps.direct_8x8_inference_flag
+        elif mb_type <= 21:
+            ft.mb_class[addr] = MB_B
+            if mb_type <= 3:
+                shape, parts, masks = "", ((0, 0, 4, 4),), (B_16x16[mb_type],)
+            else:
+                shape, masks = B_TWO_PART[mb_type]
+                parts = P_PARTS[1][1] if shape == "16x8" else P_PARTS[2][1]
+            refs = {0: [0] * len(parts), 1: [0] * len(parts)}
+            for lst in range(2):
+                for i, mask in enumerate(masks):
+                    if mask & (lst + 1) and n_ref[lst] > 1:
+                        refs[lst][i] = r.te(n_ref[lst] - 1)
+            mvds = {0: [None] * len(parts), 1: [None] * len(parts)}
+            for lst in range(2):
+                for i, mask in enumerate(masks):
+                    if mask & (lst + 1):
+                        mvds[lst][i] = (r.se(), r.se())
+            for i, ((dx, dy, w, h), mask) in enumerate(zip(parts, masks)):
+                bx, by = bx0 + dx, by0 + dy
+                for lst in range(2):
+                    if mask & (lst + 1):
+                        px, py = motion.predict(lst, refs[lst][i], bx, by, w, h, shape, i)
+                        mv = (px + mvds[lst][i][0], py + mvds[lst][i][1])
+                        motion.set_cells(lst, bx, by, w, h, mv, refs[lst][i])
+                        self._store_part(addr, dx, dy, w, h, mv, refs[lst][i], lst)
+                    else:
+                        motion.set_cells(lst, bx, by, w, h, (0, 0), -1)
+                        self._store_part(addr, dx, dy, w, h, (0, 0), -1, lst)
+        else:  # B_8x8
+            ft.mb_class[addr] = MB_B
+            sub_types = [r.ue() for _ in range(4)]
+            if any(t > 12 for t in sub_types):
+                raise ValueError(f"invalid B sub_mb_type {sub_types}")
+            refs = {0: [0] * 4, 1: [0] * 4}
+            for lst in range(2):
+                for i8 in range(4):
+                    mask, _ = B_SUB[sub_types[i8]]
+                    if mask is not None and mask & (lst + 1) and n_ref[lst] > 1:
+                        refs[lst][i8] = r.te(n_ref[lst] - 1)
+            mvds = {0: [[] for _ in range(4)], 1: [[] for _ in range(4)]}
+            for lst in range(2):
+                for i8 in range(4):
+                    mask, geom = B_SUB[sub_types[i8]]
+                    if mask is not None and mask & (lst + 1):
+                        mvds[lst][i8] = [(r.se(), r.se()) for _ in SUB_PARTS[geom]]
+            direct_q = None
+            for i8 in range(4):
+                mask, geom = B_SUB[sub_types[i8]]
+                odx, ody = (i8 % 2) * 2, (i8 // 2) * 2
+                if mask is None:  # B_Direct_8x8
+                    if direct_q is None:
+                        direct_q = self._direct_quadrants(addr)
+                    self._store_direct_quadrant(addr, direct_q[i8])
+                    if not self.sps.direct_8x8_inference_flag:
+                        no_sub_lt_8x8 = False
+                    continue
+                if geom != 0:
+                    no_sub_lt_8x8 = False
+                for lst in range(2):
+                    if mask & (lst + 1):
+                        for sp, mvd in zip(SUB_PARTS[geom], mvds[lst][i8]):
+                            dx, dy, w, h = sp
+                            bx, by = bx0 + odx + dx, by0 + ody + dy
+                            px, py = motion.predict(lst, refs[lst][i8], bx, by, w, h)
+                            mv = (px + mvd[0], py + mvd[1])
+                            motion.set_cells(lst, bx, by, w, h, mv, refs[lst][i8])
+                            self._store_part(addr, odx + dx, ody + dy, w, h, mv, refs[lst][i8], lst)
+                    else:
+                        bx, by = bx0 + odx, by0 + ody
+                        motion.set_cells(lst, bx, by, 2, 2, (0, 0), -1)
+                        self._store_part(addr, odx, ody, 2, 2, (0, 0), -1, lst)
+        # --- cbp, transform size, qp, residual
+        cbp_code = r.ue()
+        tab = CBP_ME_CHROMA12_INTER if self.chroma12 else CBP_ME_CHROMA03_INTER
+        cbp = tab[cbp_code]
+        ft.cbp[addr] = cbp
+        t8 = False
+        if (cbp & 15) and self.pps.transform_8x8_mode_flag and no_sub_lt_8x8:
+            t8 = r.flag()
+        ft.transform_8x8[addr] = t8
+        if cbp:
+            ft.qp[addr] = self._update_qp(r.se())
+        else:
+            ft.qp[addr] = self.qp_prev
+        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
 
     # ----------------------------------------------------------- residuals
 

@@ -25,6 +25,12 @@ class MotionContext:
         self.mb_w = mb_w
         self.mv = np.zeros((2, mb_h * 4, mb_w * 4, 2), np.int32)
         self.ref = np.full((2, mb_h * 4, mb_w * 4), UNAVAILABLE, np.int8)
+        # |mvd| per cell/list/component — CABAC mvd context (9.3.3.1.1.7)
+        self.absmvd = np.zeros((2, mb_h * 4, mb_w * 4, 2), np.int32)
+        # ref values visible to the CABAC ref_idx context: unlike `ref`,
+        # updated as soon as each ref_idx is PARSED (same-MB partitions are
+        # context-visible before their MVs are reconstructed, 9.3.3.1.1.6)
+        self.refctx = np.full((2, mb_h * 4, mb_w * 4), UNAVAILABLE, np.int8)
         self.slice_id = slice_id_per_mb  # shared with FrameTensors
         self.cur_slice = -1
 
@@ -44,10 +50,16 @@ class MotionContext:
     def set_cells(self, lst, bx, by, w, h, mv, ref):
         self.mv[lst, by : by + h, bx : bx + w] = mv
         self.ref[lst, by : by + h, bx : bx + w] = ref
+        self.refctx[lst, by : by + h, bx : bx + w] = ref
+
+    def set_refctx(self, lst, bx, by, w, h, ref):
+        """Early ref visibility for the CABAC ref_idx context only."""
+        self.refctx[lst, by : by + h, bx : bx + w] = ref
 
     def set_intra(self, bx, by):
         """Mark a 4x4 MB footprint as intra (no vectors, but 'decoded')."""
         self.ref[:, by : by + 4, bx : bx + 4] = NO_LIST
+        self.refctx[:, by : by + 4, bx : bx + 4] = NO_LIST
         self.mv[:, by : by + 4, bx : bx + 4] = 0
 
     # ----------------------------------------------------------- prediction

@@ -160,9 +160,14 @@ class Decoder:
             else:
                 wmode = "none"
             weight_ctx.append((wmode, hdr.pred_weight_table))
-            if s_pps.entropy_coding_mode_flag:
-                raise NotImplementedError("CABAC slice data: next milestone")
-            dec = CavlcSliceDecoder(
+            from ..entropy.cabac_slice import CabacSliceDecoder
+
+            cls = (
+                CabacSliceDecoder
+                if s_pps.entropy_coding_mode_flag
+                else CavlcSliceDecoder
+            )
+            dec = cls(
                 ft,
                 hdr,
                 s_sps,

@@ -103,10 +103,11 @@ class FrameTensors:
     # MB addresses in bitstream decode order (differs from raster under FMO)
     decode_order: list = field(default_factory=list)
 
-    # bookkeeping used during entropy decode (total_coeff for nC contexts) and
-    # by the deblock strength derivation
+    # bookkeeping used during entropy decode (total_coeff for CAVLC nC,
+    # coded_block_flag for CABAC contexts) and deblock strength derivation
     luma_nnz: np.ndarray = None  # [mb_h*4, mb_w*4] int8 per 4x4 block
     chroma_nnz: np.ndarray = None  # [2, mb_h*2, mb_w*2] int8
+    cbf_dc: np.ndarray = None  # [nMB, 3] int8: luma/cb/cr DC coded_block_flag
 
     def __post_init__(self):
         n = self.mb_w * self.mb_h
@@ -150,6 +151,8 @@ class FrameTensors:
             self.alpha_off = np.zeros(n, np.int8)
         if self.beta_off is None:
             self.beta_off = np.zeros(n, np.int8)
+        if self.cbf_dc is None:
+            self.cbf_dc = np.zeros((n, 3), np.int8)
         if self.luma_nnz is None:
             self.luma_nnz = np.zeros((self.mb_h * 4, self.mb_w * 4), np.int8)
         if self.chroma_nnz is None:
