@@ -1,0 +1,175 @@
+"""Motion compensation on device (spec 8.4.2.2/8.4.2.3), TPU-native design.
+
+Instead of the oracle's per-block windows, each reference picture gets three
+half-pel planes precomputed once by separable 6-tap filters over the whole
+(edge-padded) frame — pure shift-add convolutions that XLA fuses and
+vectorizes. Per-pixel prediction is then a handful of gathers from the
+{G, b, h, j} plane stack plus quarter-pel averaging selected by the MV
+fraction, and a generalized weighted combine (default bi = weights 32/32,
+logWD 5, exactly (p0+p1+1)>>1).
+
+All arithmetic int32; bit-exact vs pipeline/inter.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD = 8  # flat-extension margin; any value >= 4 is exact (see oracle clamping)
+
+
+def _filt6(a0, a1, a2, a3, a4, a5):
+    return a0 - 5 * a1 + 20 * a2 + 20 * a3 - 5 * a4 + a5
+
+
+def half_pel_planes(ref: jnp.ndarray) -> jnp.ndarray:
+    """ref: [H, W] uint8 -> [4, H+2*PAD, W+2*PAD] uint8 stack (G, b, h, j).
+
+    b = horizontal half-pel (right of G), h = vertical half-pel (below G),
+    j = center half-pel. Computed over the edge-replicated canvas so any MV
+    (after coordinate clamping into the padded range) is exact."""
+    g = jnp.pad(ref.astype(jnp.int32), PAD, mode="edge")  # [H+2P, W+2P]
+    ge = jnp.pad(g, ((2, 3), (2, 3)), mode="edge")  # margins for the 6-tap
+    # b_raw at integer rows (incl. the vertical filter margins)
+    b_raw = _filt6(
+        ge[:, 0:-5], ge[:, 1:-4], ge[:, 2:-3], ge[:, 3:-2], ge[:, 4:-1], ge[:, 5:]
+    )  # [H+2P+5, W+2P]
+    b = jnp.clip((b_raw[2:-3] + 16) >> 5, 0, 255)
+    h_raw = _filt6(
+        ge[0:-5], ge[1:-4], ge[2:-3], ge[3:-2], ge[4:-1], ge[5:]
+    )  # [H+2P, W+2P+5]
+    h = jnp.clip((h_raw[:, 2:-3] + 16) >> 5, 0, 255)
+    j_raw = _filt6(
+        b_raw[0:-5], b_raw[1:-4], b_raw[2:-3], b_raw[3:-2], b_raw[4:-1], b_raw[5:]
+    )  # [H+2P, W+2P]
+    j = jnp.clip((j_raw + 512) >> 10, 0, 255)
+    return jnp.stack([g, b, h, j]).astype(jnp.uint8)
+
+
+def chroma_pad(ref: jnp.ndarray) -> jnp.ndarray:
+    """[Hc, Wc] uint8 -> padded [Hc+2*PAD, Wc+2*PAD] uint8."""
+    return jnp.pad(ref, PAD, mode="edge")
+
+
+def luma_mc(
+    planes: jnp.ndarray,  # [R, 4, H+2P, W+2P] uint8 half-pel stacks
+    slot: jnp.ndarray,  # [H4, W4] int32 (valid where >= 0; clamped by caller)
+    mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Per-pixel luma prediction [H, W] int32 for one reference list."""
+    mvp = jnp.repeat(jnp.repeat(mv, 4, axis=0), 4, axis=1)  # [H, W, 2]
+    sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 4, axis=0), 4, axis=1)
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    xi = xx + (mvp[..., 0] >> 2)
+    yi = yy + (mvp[..., 1] >> 2)
+    fx = mvp[..., 0] & 3
+    fy = mvp[..., 1] & 3
+    # clamp into the padded canvas (flat margins make this exact)
+    xi = jnp.clip(xi, -PAD, W - 1 + PAD) + PAD
+    yi = jnp.clip(yi, -PAD, H - 1 + PAD) + PAD
+    xi1 = jnp.minimum(xi + 1, W - 1 + 2 * PAD)
+    yi1 = jnp.minimum(yi + 1, H - 1 + 2 * PAD)
+
+    def at(plane_idx, y, x):
+        return planes[sl, plane_idx, y, x].astype(jnp.int32)
+
+    G = at(0, yi, xi)
+    b = at(1, yi, xi)
+    hh = at(2, yi, xi)
+    j = at(3, yi, xi)
+    G1 = at(0, yi, xi1)
+    Gv = at(0, yi1, xi)
+    m = at(2, yi, xi1)  # h at x+1
+    s = at(1, yi1, xi)  # b at y+1
+
+    def avg(a, b_):
+        return (a + b_ + 1) >> 1
+
+    # Table 8-12 quarter-sample selection, vectorized over the frac class
+    frac = fx + 4 * fy  # 0..15
+    cases = [
+        G,            # (0,0)
+        avg(G, b),    # (1,0)
+        b,            # (2,0)
+        avg(b, G1),   # (3,0)
+        avg(G, hh),   # (0,1)
+        avg(b, hh),   # (1,1)
+        avg(b, j),    # (2,1)
+        avg(b, m),    # (3,1)
+        hh,           # (0,2)
+        avg(hh, j),   # (1,2)
+        j,            # (2,2)
+        avg(m, j),    # (3,2)
+        avg(hh, Gv),  # (0,3)
+        avg(hh, s),   # (1,3)
+        avg(s, j),    # (2,3)
+        avg(m, s),    # (3,3)
+    ]
+    out = cases[0]
+    for k in range(1, 16):
+        out = jnp.where(frac == k, cases[k], out)
+    return out
+
+
+def chroma_mc(
+    refs: jnp.ndarray,  # [R, Hc+2P, Wc+2P] uint8 padded chroma planes
+    slot: jnp.ndarray,  # [H4, W4] int32 (luma-cell granularity)
+    mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel luma MV
+    Hc: int,
+    Wc: int,
+) -> jnp.ndarray:
+    """Per-pixel chroma prediction [Hc, Wc] int32 (1/8-pel bilinear)."""
+    # each luma 4x4 cell covers a 2x2 chroma block
+    mvp = jnp.repeat(jnp.repeat(mv, 2, axis=0), 2, axis=1)  # [Hc, Wc, 2]
+    sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 2, axis=0), 2, axis=1)
+    yy, xx = jnp.mgrid[0:Hc, 0:Wc]
+    xi = xx + (mvp[..., 0] >> 3)
+    yi = yy + (mvp[..., 1] >> 3)
+    fx = mvp[..., 0] & 7
+    fy = mvp[..., 1] & 7
+    xi = jnp.clip(xi, -PAD, Wc - 1 + PAD) + PAD
+    yi = jnp.clip(yi, -PAD, Hc - 1 + PAD) + PAD
+    xi1 = jnp.minimum(xi + 1, Wc - 1 + 2 * PAD)
+    yi1 = jnp.minimum(yi + 1, Hc - 1 + 2 * PAD)
+    A = refs[sl, yi, xi].astype(jnp.int32)
+    B = refs[sl, yi, xi1].astype(jnp.int32)
+    C = refs[sl, yi1, xi].astype(jnp.int32)
+    D = refs[sl, yi1, xi1].astype(jnp.int32)
+    return (
+        (8 - fx) * (8 - fy) * A + fx * (8 - fy) * B + (8 - fx) * fy * C + fx * fy * D + 32
+    ) >> 6
+
+
+def weighted_combine(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    use0: jnp.ndarray,  # bool per pixel
+    use1: jnp.ndarray,
+    w0: jnp.ndarray,
+    o0: jnp.ndarray,
+    w1: jnp.ndarray,
+    o1: jnp.ndarray,
+    log_wd: jnp.ndarray,
+) -> jnp.ndarray:
+    """Generalized spec 8.4.2.3 combine: bi uses (p0*w0 + p1*w1 + 2^lwd) >>
+    (lwd+1) + (o0+o1+1)>>1; uni uses the one-sided formula. Host supplies
+    neutral weights (uni: w=1,o=0,lwd=0; bi default: w=32,lwd=5) so unweighted
+    prediction falls out exactly."""
+    bi = use0 & use1
+    uni = (
+        jnp.where(
+            log_wd >= 1,
+            ((jnp.where(use0, p0, p1) * jnp.where(use0, w0, w1)
+              + (1 << jnp.maximum(log_wd - 1, 0))) >> log_wd),
+            jnp.where(use0, p0, p1) * jnp.where(use0, w0, w1),
+        )
+        + jnp.where(use0, o0, o1)
+    )
+    bi_val = ((p0 * w0 + p1 * w1 + (1 << log_wd)) >> (log_wd + 1)) + (
+        (o0 + o1 + 1) >> 1
+    )
+    return jnp.clip(jnp.where(bi, bi_val, uni), 0, 255)

@@ -1,0 +1,318 @@
+"""Batched dequant + inverse transforms on device (jnp, exact int32 math).
+
+Vectorizes spec 8.5 over every block in the frame at once — the TPU-native
+replacement for the oracle's per-block loops. All ops are int32 adds/shifts
+(VPU-friendly, fuse into one XLA kernel); bit-exact vs pipeline/reference_recon.
+
+Layout convention: residual tensors arrive in SCAN order exactly as the host
+entropy stage emits them (tensors/frame_tensors.py); the de-zigzag is a free
+fixed-permutation gather here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tensors.frame_tensors import ZIGZAG_4x4, ZIGZAG_8x8
+from ..pipeline.reference_recon import (
+    NORM_ADJUST_4x4,
+    NORM_ADJUST_8x8,
+    _POS_CLASS_4x4,
+    _POS_CLASS_8x8,
+)
+
+# inverse permutations: raster position -> scan index
+_DEZIG4 = np.zeros(16, np.int32)
+_DEZIG4[ZIGZAG_4x4] = np.arange(16)
+_DEZIG8 = np.zeros(64, np.int32)
+_DEZIG8[ZIGZAG_8x8] = np.arange(64)
+
+
+def level_scale_tables_4x4(weight_scale_zz) -> np.ndarray:
+    """LevelScale4x4 for all 6 qp%6 values: [6, 4, 4] int32 (host-side,
+    per-SPS/PPS constant baked into the jitted graph)."""
+    ws = np.zeros(16, np.int32)
+    ws[ZIGZAG_4x4] = np.asarray(weight_scale_zz, np.int32)
+    ws = ws.reshape(4, 4)
+    return ws[None] * NORM_ADJUST_4x4[:, _POS_CLASS_4x4]
+
+
+def level_scale_tables_8x8(weight_scale_zz) -> np.ndarray:
+    ws = np.zeros(64, np.int32)
+    ws[ZIGZAG_8x8] = np.asarray(weight_scale_zz, np.int32)
+    ws = ws.reshape(8, 8)
+    return ws[None] * NORM_ADJUST_8x8[:, _POS_CLASS_8x8]
+
+
+def dezigzag4(scan: jnp.ndarray) -> jnp.ndarray:
+    """[..., 16] scan order -> [..., 4, 4] raster."""
+    return scan[..., _DEZIG4].reshape(*scan.shape[:-1], 4, 4)
+
+
+def dezigzag8(scan: jnp.ndarray) -> jnp.ndarray:
+    return scan[..., _DEZIG8].reshape(*scan.shape[:-1], 8, 8)
+
+
+def dequant4x4_ac(c: jnp.ndarray, ls_tab: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.12.1, batched. c: [..., 4, 4] int32; qp broadcastable to
+    c.shape[:-2]; ls_tab: [6, 4, 4]."""
+    qp = qp.astype(jnp.int32)
+    ls = ls_tab[qp % 6]  # [..., 4, 4]
+    qp_div6 = (qp // 6)[..., None, None]
+    hi = (c * ls) << jnp.maximum(qp_div6 - 4, 0)
+    rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(3 - qp_div6, 0))
+    lo = (c * ls + rnd) >> jnp.maximum(4 - qp_div6, 0)
+    return jnp.where(qp[..., None, None] >= 24, hi, lo)
+
+
+def dequant8x8(c: jnp.ndarray, ls_tab: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.13.1, batched. c: [..., 8, 8]."""
+    qp = qp.astype(jnp.int32)
+    ls = ls_tab[qp % 6]
+    qp_div6 = (qp // 6)[..., None, None]
+    hi = (c * ls) << jnp.maximum(qp_div6 - 6, 0)
+    rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - qp_div6, 0))
+    lo = (c * ls + rnd) >> jnp.maximum(6 - qp_div6, 0)
+    return jnp.where(qp[..., None, None] >= 36, hi, lo)
+
+
+def idct4x4(d: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.12.2 batched over leading dims: [..., 4, 4] -> residual."""
+    d = d.astype(jnp.int32)
+    e0 = d[..., :, 0] + d[..., :, 2]
+    e1 = d[..., :, 0] - d[..., :, 2]
+    e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
+    e3 = d[..., :, 1] + (d[..., :, 3] >> 1)
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0 = f[..., 0, :] + f[..., 2, :]
+    g1 = f[..., 0, :] - f[..., 2, :]
+    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
+    h = jnp.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
+    return (h + 32) >> 6
+
+
+def idct8x8(d: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.12.3 batched: [..., 8, 8]."""
+
+    def p1(a):  # along last axis
+        g = [None] * 8
+        e0 = a[..., 0] + a[..., 4]
+        e1 = -a[..., 3] + a[..., 5] - a[..., 7] - (a[..., 7] >> 1)
+        e2 = a[..., 0] - a[..., 4]
+        e3 = a[..., 1] + a[..., 7] - a[..., 3] - (a[..., 3] >> 1)
+        e4 = (a[..., 2] >> 1) - a[..., 6]
+        e5 = -a[..., 1] + a[..., 7] + a[..., 5] + (a[..., 5] >> 1)
+        e6 = a[..., 2] + (a[..., 6] >> 1)
+        e7 = a[..., 3] + a[..., 5] + a[..., 1] + (a[..., 1] >> 1)
+        f0 = e0 + e6
+        f1 = e1 + (e7 >> 2)
+        f2 = e2 + e4
+        f3 = e3 + (e5 >> 2)
+        f4 = e2 - e4
+        f5 = (e3 >> 2) - e5
+        f6 = e0 - e6
+        f7 = e7 - (e1 >> 2)
+        g[0] = f0 + f7
+        g[1] = f2 + f5
+        g[2] = f4 + f3
+        g[3] = f6 + f1
+        g[4] = f6 - f1
+        g[5] = f4 - f3
+        g[6] = f2 - f5
+        g[7] = f0 - f7
+        return jnp.stack(g, axis=-1)
+
+    d = d.astype(jnp.int32)
+    g = p1(d)  # rows
+    h = jnp.swapaxes(p1(jnp.swapaxes(g, -1, -2)), -1, -2)  # columns
+    return (h + 32) >> 6
+
+
+def hadamard4x4(c: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.10 luma DC transform, batched [..., 4, 4]."""
+    h4 = jnp.asarray(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], jnp.int32
+    )
+    return jnp.einsum("ij,...jk,kl->...il", h4, c.astype(jnp.int32), h4)
+
+
+def luma_dc_dequant(f: jnp.ndarray, ls00_tab: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.10 scaling; f: [..., 4, 4]; ls00_tab: [6] (LevelScale[m][0,0])."""
+    qp = qp.astype(jnp.int32)
+    ls = ls00_tab[qp % 6][..., None, None]
+    qp_div6 = (qp // 6)[..., None, None]
+    hi = (f * ls) << jnp.maximum(qp_div6 - 6, 0)
+    rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - qp_div6, 0))
+    lo = (f * ls + rnd) >> jnp.maximum(6 - qp_div6, 0)
+    return jnp.where(qp[..., None, None] >= 36, hi, lo)
+
+
+def chroma_dc_dequant(c: jnp.ndarray, ls00_tab: jnp.ndarray, qpc: jnp.ndarray) -> jnp.ndarray:
+    """spec 8.5.11 (4:2:0): c [..., 2, 2]."""
+    h2 = jnp.asarray([[1, 1], [1, -1]], jnp.int32)
+    f = jnp.einsum("ij,...jk,kl->...il", h2, c.astype(jnp.int32), h2)
+    qpc = qpc.astype(jnp.int32)
+    ls = ls00_tab[qpc % 6][..., None, None]
+    return ((f * ls) << (qpc // 6)[..., None, None]) >> 5
+
+
+# Table 8-15 as a device constant
+CHROMA_QP_TAB = np.concatenate(
+    [
+        np.arange(30),
+        np.array(
+            [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38, 38,
+             39, 39, 39, 39],
+            np.int32,
+        ),
+    ]
+).astype(np.int32)
+
+
+def chroma_qp(qp_y: jnp.ndarray, offset: int) -> jnp.ndarray:
+    qpi = jnp.clip(qp_y.astype(jnp.int32) + offset, 0, 51)
+    return jnp.asarray(CHROMA_QP_TAB)[qpi]
+
+
+def blocks_to_plane(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """[nMB, 16, 4, 4] per-4x4-block values (z-order within MB) -> [16*mb_h,
+    16*mb_w] plane."""
+    from ..tensors.frame_tensors import LUMA_BLK_XY
+
+    perm = np.zeros(16, np.int32)  # raster 4x4 position within MB -> z index
+    for z, (bx, by) in enumerate(LUMA_BLK_XY):
+        perm[by * 4 + bx] = z
+    b = blocks[:, perm]  # [nMB, 16(raster), 4, 4]
+    b = b.reshape(mb_h, mb_w, 4, 4, 4, 4)  # mby, mbx, by, bx, y, x
+    b = b.transpose(0, 2, 4, 1, 3, 5)  # mby, by, y, mbx, bx, x
+    return b.reshape(mb_h * 16, mb_w * 16)
+
+
+def blocks8_to_plane(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """[nMB, 4, 8, 8] (raster 8x8 blocks) -> [16*mb_h, 16*mb_w]."""
+    b = blocks.reshape(mb_h, mb_w, 2, 2, 8, 8)
+    b = b.transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mb_h * 16, mb_w * 16)
+
+
+def chroma_blocks_to_plane(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """[nMB, 4(raster), 4, 4] chroma 4x4 blocks -> [8*mb_h, 8*mb_w]."""
+    b = blocks.reshape(mb_h, mb_w, 2, 2, 4, 4)
+    b = b.transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mb_h * 8, mb_w * 8)
+
+
+def luma_residual_plane(
+    luma_ac: jnp.ndarray,  # [nMB, 16, 16] scan order (z-order blocks)
+    luma_dc: jnp.ndarray,  # [nMB, 16] scan order
+    luma8_ac: jnp.ndarray,  # [nMB, 4, 64] scan order
+    qp: jnp.ndarray,  # [nMB]
+    is_i16: jnp.ndarray,  # [nMB] bool
+    is_t8: jnp.ndarray,  # [nMB] bool
+    intra: jnp.ndarray,  # [nMB] bool (selects intra vs inter scaling lists)
+    ls4: jnp.ndarray,  # [2, 6, 4, 4]: [intra/inter][m]
+    ls8: jnp.ndarray,  # [2, 6, 8, 8]
+    mb_h: int,
+    mb_w: int,
+) -> jnp.ndarray:
+    """Full luma residual plane for every MB at once (spec 8.5.12/8.5.13)."""
+    n = luma_ac.shape[0]
+    sel = jnp.where(intra, 0, 1)  # [nMB]
+    ls4_mb = ls4[sel]  # [nMB, 6, 4, 4]
+    c = dezigzag4(luma_ac)  # [nMB, 16, 4, 4]
+    d = _dequant4x4_per_mb(c, ls4_mb, qp)
+    # I16 DC path
+    dc = dezigzag4(luma_dc)  # [nMB, 4, 4]
+    f = hadamard4x4(dc)
+    ls00 = ls4_mb[:, :, 0, 0]  # [nMB, 6]
+    dcy = _luma_dc_dequant_per_mb(f, ls00, qp)  # [nMB, 4, 4]
+    from ..tensors.frame_tensors import LUMA_BLK_XY
+
+    zx = np.array([bx for bx, by in LUMA_BLK_XY])
+    zy = np.array([by for bx, by in LUMA_BLK_XY])
+    dc_per_block = dcy[:, zy, zx]  # [nMB, 16] in z-order
+    d = d.at[:, :, 0, 0].set(
+        jnp.where(is_i16[:, None], dc_per_block, d[:, :, 0, 0])
+    )
+    res4 = idct4x4(d)  # [nMB, 16, 4, 4]
+    plane4 = blocks_to_plane(res4, mb_h, mb_w)
+    # 8x8 path
+    c8 = dezigzag8(luma8_ac)  # [nMB, 4, 8, 8]
+    ls8_mb = ls8[sel]
+    d8 = _dequant8x8_per_mb(c8, ls8_mb, qp)
+    res8 = idct8x8(d8)
+    plane8 = blocks8_to_plane(res8, mb_h, mb_w)
+    t8_mask = jnp.repeat(jnp.repeat(is_t8.reshape(mb_h, mb_w), 16, 0), 16, 1)
+    return jnp.where(t8_mask, plane8, plane4)
+
+
+def _dequant4x4_per_mb(c, ls4_mb, qp):
+    """c: [nMB, B, 4, 4]; ls4_mb: [nMB, 6, 4, 4]; qp: [nMB]."""
+    qp = qp.astype(jnp.int32)
+    ls = jnp.take_along_axis(
+        ls4_mb, (qp % 6)[:, None, None, None], axis=1
+    )  # [nMB,1,4,4]
+    qp_div6 = (qp // 6)[:, None, None, None]
+    hi = (c * ls) << jnp.maximum(qp_div6 - 4, 0)
+    rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(3 - qp_div6, 0))
+    lo = (c * ls + rnd) >> jnp.maximum(4 - qp_div6, 0)
+    return jnp.where(qp_div6 >= 4, hi, lo)
+
+
+def _dequant8x8_per_mb(c, ls8_mb, qp):
+    qp = qp.astype(jnp.int32)
+    ls = jnp.take_along_axis(ls8_mb, (qp % 6)[:, None, None, None], axis=1)
+    qp_div6 = (qp // 6)[:, None, None, None]
+    hi = (c * ls) << jnp.maximum(qp_div6 - 6, 0)
+    rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - qp_div6, 0))
+    lo = (c * ls + rnd) >> jnp.maximum(6 - qp_div6, 0)
+    return jnp.where(qp_div6 >= 6, hi, lo)
+
+
+def _luma_dc_dequant_per_mb(f, ls00, qp):
+    """f: [nMB,4,4]; ls00: [nMB,6]."""
+    qp = qp.astype(jnp.int32)
+    ls = jnp.take_along_axis(ls00, (qp % 6)[:, None], axis=1)[:, :, None]
+    qp_div6 = (qp // 6)[:, None, None]
+    hi = (f * ls) << jnp.maximum(qp_div6 - 6, 0)
+    rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - qp_div6, 0))
+    lo = (f * ls + rnd) >> jnp.maximum(6 - qp_div6, 0)
+    return jnp.where(qp_div6 >= 6, hi, lo)
+
+
+def chroma_residual_planes(
+    chroma_dc: jnp.ndarray,  # [nMB, 2, 4] scan
+    chroma_ac: jnp.ndarray,  # [nMB, 2, 4, 16] scan (raster blocks)
+    qp: jnp.ndarray,  # [nMB] luma qp
+    intra: jnp.ndarray,  # [nMB] bool
+    ls4: jnp.ndarray,  # [2(intra/inter), 2(cb/cr), 6, 4, 4]
+    qp_offsets: tuple[int, int],
+    mb_h: int,
+    mb_w: int,
+):
+    """Residual planes for Cb and Cr (spec 8.5.11 + 8.5.12)."""
+    out = []
+    sel = jnp.where(intra, 0, 1)
+    for comp in range(2):
+        qpc = chroma_qp(qp, qp_offsets[comp])  # [nMB]
+        ls = ls4[sel, comp]  # [nMB, 6, 4, 4]
+        dcc = _chroma_dc_per_mb(chroma_dc[:, comp].reshape(-1, 2, 2), ls[:, :, 0, 0], qpc)
+        c = dezigzag4(chroma_ac[:, comp])  # [nMB, 4, 4, 4]
+        d = _dequant4x4_per_mb(c, ls, qpc)
+        dc_flat = dcc.reshape(-1, 4)  # raster 2x2 = block raster order
+        d = d.at[:, :, 0, 0].set(dc_flat)
+        res = idct4x4(d)  # [nMB, 4, 4, 4]
+        out.append(chroma_blocks_to_plane(res, mb_h, mb_w))
+    return out[0], out[1]
+
+
+def _chroma_dc_per_mb(c, ls00, qpc):
+    """c: [nMB, 2, 2]; ls00: [nMB, 6]; qpc: [nMB]."""
+    h2 = jnp.asarray([[1, 1], [1, -1]], jnp.int32)
+    f = jnp.einsum("ij,njk,kl->nil", h2, c.astype(jnp.int32), h2)
+    qpc = qpc.astype(jnp.int32)
+    ls = jnp.take_along_axis(ls00, (qpc % 6)[:, None], axis=1)[:, :, None]
+    return ((f * ls) << (qpc // 6)[:, None, None]) >> 5

@@ -102,6 +102,17 @@ class Decoder:
         frames.sort(key=lambda f: (f.idr_group, f.poc))
         return frames
 
+    def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+        """Pixel reconstruction backend (numpy oracle here; TpuDecoder in
+        pipeline/tpu_pipeline.py overrides with the jitted XLA pipeline)."""
+        recon = IntraFrameReconstructor(
+            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx, cur_poc=poc
+        )
+        y, cb, cr = recon.run()
+        if self.apply_deblock:
+            y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
+        return y, cb, cr
+
     def _finish_picture(self) -> DecodedFrame:
         slices = self._cur
         self._cur = []
@@ -182,12 +193,9 @@ class Decoder:
                 direct_ctx=direct_ctx,
             )
             dec.decode()
-        recon = IntraFrameReconstructor(
-            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx, cur_poc=poc
+        y, cb, cr = self._reconstruct(
+            ft, sps, pps, slices, ref_lists, weight_ctx, poc
         )
-        y, cb, cr = recon.run()
-        if self.apply_deblock:
-            y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
         pic = Picture(
             y=y,
             cb=cb,

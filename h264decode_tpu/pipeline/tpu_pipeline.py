@@ -1,0 +1,346 @@
+"""The jitted per-frame TPU reconstruction pipeline and its host glue.
+
+One XLA program per stream geometry runs the entire parallel pixel path:
+  residual transforms (kernels/transform) -> motion compensation
+  (kernels/mc) -> intra wavefront (kernels/intra) -> deblocking
+  (kernels/deblock).
+
+The host side (TpuDecoder) drives entropy decoding into FrameTensors,
+derives the small per-frame parameter tensors (MC slots/weights, deblock
+edge parameters, intra availability), keeps the DPB's half-pel plane stacks
+on device, and feeds the jitted function. Bit-exact vs the numpy oracle and
+therefore vs libavcodec.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import mc as mc_k
+from ..kernels import transform as tr_k
+from ..kernels.deblock import deblock_frame_tpu
+from ..kernels.intra import K_I4, K_I8, K_I16, K_NONE, intra_wavefront
+from ..syntax.pps import PPS
+from ..syntax.sps import SPS
+from ..tensors.frame_tensors import (
+    MB_I_16X16,
+    MB_I_NXN,
+    MB_I_PCM,
+    FrameTensors,
+)
+from .decoder import Decoder
+from .deblock_prep import prepare_deblock
+from .dpb import Picture
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int, apply_deblock: bool):
+    H, W = mb_h * 16, mb_w * 16
+    Hc, Wc = mb_h * 8, mb_w * 8
+    # ---- residual planes (all MBs)
+    ry = tr_k.luma_residual_plane(
+        inp["luma_ac"], inp["luma_dc"], inp["luma8_ac"], inp["qp"],
+        inp["is_i16"], inp["is_t8"], inp["is_intra"],
+        inp["ls4_y"], inp["ls8_y"], mb_h, mb_w,
+    )
+    rcb, rcr = tr_k.chroma_residual_planes(
+        inp["chroma_dc"], inp["chroma_ac"], inp["qp"], inp["is_intra"],
+        inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
+    )
+    # ---- inter prediction
+    p0y = mc_k.luma_mc(inp["ref_luma"], inp["slot"][0], inp["mv"][0], H, W)
+    p1y = mc_k.luma_mc(inp["ref_luma"], inp["slot"][1], inp["mv"][1], H, W)
+    use0 = jnp.repeat(jnp.repeat(inp["slot"][0] >= 0, 4, 0), 4, 1)
+    use1 = jnp.repeat(jnp.repeat(inp["slot"][1] >= 0, 4, 0), 4, 1)
+
+    def px4(a):
+        return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+
+    pred_y = mc_k.weighted_combine(
+        p0y, p1y, use0, use1,
+        px4(inp["wy"][0]), px4(inp["oy"][0]), px4(inp["wy"][1]), px4(inp["oy"][1]),
+        px4(inp["lwd_y"]),
+    )
+    inter_y = jnp.clip(pred_y + ry, 0, 255)
+
+    def px2(a):
+        return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+    use0c = px2(inp["slot"][0] >= 0)
+    use1c = px2(inp["slot"][1] >= 0)
+    chroma_planes = []
+    for comp, (refs, rc) in enumerate(
+        ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
+    ):
+        p0 = mc_k.chroma_mc(refs, inp["slot"][0], inp["mv"][0], Hc, Wc)
+        p1 = mc_k.chroma_mc(refs, inp["slot"][1], inp["mv"][1], Hc, Wc)
+        pred = mc_k.weighted_combine(
+            p0, p1, use0c, use1c,
+            px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
+            px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
+            px2(inp["lwd_c"]),
+        )
+        chroma_planes.append(jnp.clip(pred + rc, 0, 255))
+    inter_cb, inter_cr = chroma_planes
+
+    # ---- base planes: inter pixels + PCM pixels, zeros where intra fills
+    inter_mb = (~inp["is_intra"]).reshape(mb_h, mb_w)
+    im_y = jnp.repeat(jnp.repeat(inter_mb, 16, 0), 16, 1)
+    im_c = jnp.repeat(jnp.repeat(inter_mb, 8, 0), 8, 1)
+    base_y = jnp.where(im_y, inter_y, inp["pcm_y"].astype(jnp.int32))
+    base_cb = jnp.where(im_c, inter_cb, inp["pcm_cb"].astype(jnp.int32))
+    base_cr = jnp.where(im_c, inter_cr, inp["pcm_cr"].astype(jnp.int32))
+
+    # ---- intra wavefront
+    y, cb, cr = intra_wavefront(
+        base_y, base_cb, base_cr, ry, rcb, rcr,
+        inp["kind"], inp["modes4"], inp["i16mode"], inp["cmode"],
+        inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
+        mb_h, mb_w,
+    )
+    y = y.astype(jnp.uint8)
+    cb = cb.astype(jnp.uint8)
+    cr = cr.astype(jnp.uint8)
+    if not apply_deblock:
+        return y, cb, cr
+    # ---- deblocking
+    prep = {k[3:]: v for k, v in inp.items() if k.startswith("db_")}
+    return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w)
+
+
+def _mb_avail_grids(ft: FrameTensors, pps: PPS):
+    """MB-level intra availability (left/top/topright/topleft) incl. slice
+    gating and constrained_intra_pred."""
+    mb_h, mb_w = ft.mb_h, ft.mb_w
+    sl = ft.slice_id.reshape(mb_h, mb_w)
+    usable = np.ones((mb_h, mb_w), bool)
+    if pps.constrained_intra_pred_flag:
+        usable = (ft.mb_class < 3).reshape(mb_h, mb_w)
+
+    def nb(dy, dx):
+        ok = np.zeros((mb_h, mb_w), bool)
+        ys, xs = slice(max(0, dy), mb_h + min(0, dy)), slice(
+            max(0, dx), mb_w + min(0, dx)
+        )
+        ys2, xs2 = slice(max(0, -dy), mb_h + min(0, -dy)), slice(
+            max(0, -dx), mb_w + min(0, -dx)
+        )
+        ok[ys2, xs2] = (
+            (sl[ys, xs] == sl[ys2, xs2]) & usable[ys, xs]
+        )
+        return ok
+
+    return nb(0, -1), nb(-1, 0), nb(-1, 1), nb(-1, -1)
+
+
+class TpuDecoder(Decoder):
+    """Stream decoder whose pixel pipeline runs as one jitted XLA program."""
+
+    def __init__(self, apply_deblock: bool = True, backend=None):
+        super().__init__(apply_deblock=apply_deblock)
+        self._dev_cache: dict[int, tuple] = {}  # pic uid -> device plane stacks
+
+    def _ref_stacks(self, pictures: list[Picture], sps: SPS):
+        """Stack half-pel/chroma planes for the given pictures on device."""
+        n_refs = max(1, sps.max_num_ref_frames + 1)
+        H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
+        P = mc_k.PAD
+        luma, cbs, crs = [], [], []
+        for p in pictures[:n_refs]:
+            if p.uid not in self._dev_cache:
+                hp = mc_k.half_pel_planes(jnp.asarray(p.y))
+                cbp = mc_k.chroma_pad(jnp.asarray(p.cb))
+                crp = mc_k.chroma_pad(jnp.asarray(p.cr))
+                self._dev_cache[p.uid] = (hp, cbp, crp)
+            hp, cbp, crp = self._dev_cache[p.uid]
+            luma.append(hp)
+            cbs.append(cbp)
+            crs.append(crp)
+        while len(luma) < n_refs:
+            luma.append(jnp.zeros((4, H + 2 * P, W + 2 * P), jnp.uint8))
+            cbs.append(jnp.zeros((H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8))
+            crs.append(jnp.zeros((H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8))
+        return jnp.stack(luma), jnp.stack(cbs), jnp.stack(crs), n_refs
+
+    def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+        mb_h, mb_w = ft.mb_h, ft.mb_w
+        n = ft.n_mbs
+        # ---- unique reference pictures -> stack slots
+        uid_to_pic = {}
+        for l0, l1 in ref_lists:
+            for p in l0 + l1:
+                uid_to_pic.setdefault(p.uid, p)
+        pics = list(uid_to_pic.values())
+        ref_luma, ref_cb, ref_cr, n_refs = self._ref_stacks(pics, sps)
+        uid_slot = {p.uid: i for i, p in enumerate(pics[: n_refs])}
+
+        # ---- per-cell slot/mv grids
+        H4, W4 = mb_h * 4, mb_w * 4
+        cell_mb = (np.arange(H4)[:, None] // 4) * mb_w + (np.arange(W4)[None, :] // 4)
+        part = ((np.arange(H4) % 4) // 2)[:, None] * 2 + ((np.arange(W4) % 4) // 2)[None, :]
+        blk = (np.arange(H4) % 4)[:, None] * 4 + (np.arange(W4) % 4)[None, :]
+        slot = np.full((2, H4, W4), -1, np.int32)
+        mv = np.zeros((2, H4, W4, 2), np.int32)
+        slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
+        for uid, s in uid_slot.items():
+            slot_lut[uid] = s
+        for lst in range(2):
+            rp = ft.ref_pic[cell_mb, lst, part]
+            slot[lst] = np.where(rp >= 0, slot_lut[np.clip(rp, 0, len(slot_lut) - 1)], -1)
+            mv[lst] = ft.mv[cell_mb, lst, blk].astype(np.int32)
+        # intra MBs never run MC
+        intra_cell = (ft.mb_class < 3)[cell_mb]
+        slot[:, intra_cell] = -1
+
+        # ---- per-cell weights
+        wy = np.ones((2, H4, W4), np.int32)
+        oy = np.zeros((2, H4, W4), np.int32)
+        wc = np.ones((2, 2, H4, W4), np.int32)
+        oc = np.zeros((2, 2, H4, W4), np.int32)
+        lwd_y = np.zeros((H4, W4), np.int32)
+        lwd_c = np.zeros((H4, W4), np.int32)
+        bi_cell = (slot[0] >= 0) & (slot[1] >= 0)
+        # defaults: bi average == weights 32/32 with logWD 5
+        wy[:, bi_cell] = 32
+        wc[:, :, bi_cell] = 32
+        lwd_y[bi_cell] = 5
+        lwd_c[bi_cell] = 5
+        sl_cell = ft.slice_id[cell_mb]
+        for sid, (wmode, pwt) in enumerate(weight_ctx):
+            in_slice = sl_cell == sid
+            if not in_slice.any() or wmode == "none":
+                continue
+            if wmode == "explicit" and pwt is not None:
+                for lst, tab in ((0, pwt.l0), (1, pwt.l1)):
+                    if not tab:
+                        continue
+                    lw = np.array([e.luma_weight for e in tab], np.int32)
+                    lo = np.array([e.luma_offset for e in tab], np.int32)
+                    cw = np.array([e.chroma_weight for e in tab], np.int32)  # [R,2]
+                    co = np.array([e.chroma_offset for e in tab], np.int32)
+                    ridx = ft.ref_idx[cell_mb, lst, part]
+                    sel = in_slice & (ridx >= 0)
+                    ri = np.clip(ridx, 0, len(tab) - 1)
+                    wy[lst][sel] = lw[ri][sel]
+                    oy[lst][sel] = lo[ri][sel]
+                    for comp in range(2):
+                        wc[lst, comp][sel] = cw[ri, comp][sel]
+                        oc[lst, comp][sel] = co[ri, comp][sel]
+                lwd_y[in_slice] = pwt.luma_log2_weight_denom
+                lwd_c[in_slice] = pwt.chroma_log2_weight_denom
+            elif wmode == "implicit":
+                l0, l1 = ref_lists[sid]
+                # W1[r0, r1] per ref-pair from POC distances (8.4.2.3.1)
+                w1m = np.full((max(1, len(l0)), max(1, len(l1))), 32, np.int32)
+                for a, p0 in enumerate(l0):
+                    for b, p1 in enumerate(l1):
+                        w0_, w1_ = _implicit_w(p0, p1, poc)
+                        w1m[a, b] = w1_
+                r0 = np.clip(ft.ref_idx[cell_mb, 0, part], 0, w1m.shape[0] - 1)
+                r1 = np.clip(ft.ref_idx[cell_mb, 1, part], 0, w1m.shape[1] - 1)
+                sel = in_slice & bi_cell
+                w1v = w1m[r0, r1]
+                wy[1][sel] = w1v[sel]
+                wy[0][sel] = 64 - w1v[sel]
+                for comp in range(2):
+                    wc[1, comp][sel] = w1v[sel]
+                    wc[0, comp][sel] = 64 - w1v[sel]
+                # offsets stay 0; logWD stays 5 (set via bi defaults)
+
+        # ---- intra wavefront metadata
+        kind = np.zeros(n, np.int32)
+        kind[(ft.mb_class == MB_I_NXN) & ~ft.transform_8x8] = K_I4
+        kind[(ft.mb_class == MB_I_NXN) & ft.transform_8x8] = K_I8
+        kind[ft.mb_class == MB_I_16X16] = K_I16
+        avl, avt, avtr, avtl = _mb_avail_grids(ft, pps)
+
+        # ---- PCM planes
+        pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        pcm_cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        pcm_cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        for addr, (py, pcb, pcr) in ft.pcm_samples.items():
+            mbx, mby = ft.mb_xy(addr)
+            pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
+            pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcb
+            pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcr
+
+        # ---- scaling lists
+        s4 = pps.effective_scaling_4x4(sps)
+        s8 = pps.effective_scaling_8x8(sps)
+        ls4_y = np.stack(
+            [tr_k.level_scale_tables_4x4(s4[0]), tr_k.level_scale_tables_4x4(s4[3])]
+        )
+        ls8_y = np.stack(
+            [tr_k.level_scale_tables_8x8(s8[0]), tr_k.level_scale_tables_8x8(s8[1])]
+        )
+        ls4_c = np.stack(
+            [
+                np.stack([tr_k.level_scale_tables_4x4(s4[1]), tr_k.level_scale_tables_4x4(s4[2])]),
+                np.stack([tr_k.level_scale_tables_4x4(s4[4]), tr_k.level_scale_tables_4x4(s4[5])]),
+            ]
+        )
+
+        l8 = ft.luma8_ac if ft.luma8_ac is not None else np.zeros((n, 4, 64), np.int16)
+        inp = {
+            "luma_ac": jnp.asarray(ft.luma_ac, jnp.int32),
+            "luma_dc": jnp.asarray(ft.luma_dc, jnp.int32),
+            "luma8_ac": jnp.asarray(l8, jnp.int32),
+            "chroma_dc": jnp.asarray(ft.chroma_dc, jnp.int32),
+            "chroma_ac": jnp.asarray(ft.chroma_ac, jnp.int32),
+            "qp": jnp.asarray(ft.qp, jnp.int32),
+            "is_i16": jnp.asarray(ft.mb_class == MB_I_16X16),
+            "is_t8": jnp.asarray(ft.transform_8x8),
+            "is_intra": jnp.asarray(ft.mb_class < 3),
+            "ls4_y": jnp.asarray(ls4_y),
+            "ls8_y": jnp.asarray(ls8_y),
+            "ls4_c": jnp.asarray(ls4_c),
+            "qp_offsets": (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset),
+            "ref_luma": ref_luma,
+            "ref_cb": ref_cb,
+            "ref_cr": ref_cr,
+            "slot": jnp.asarray(slot),
+            "mv": jnp.asarray(mv),
+            "wy": jnp.asarray(wy),
+            "oy": jnp.asarray(oy),
+            "wc": jnp.asarray(wc),
+            "oc": jnp.asarray(oc),
+            "lwd_y": jnp.asarray(lwd_y),
+            "lwd_c": jnp.asarray(lwd_c),
+            "pcm_y": jnp.asarray(pcm_y),
+            "pcm_cb": jnp.asarray(pcm_cb),
+            "pcm_cr": jnp.asarray(pcm_cr),
+            "kind": jnp.asarray(kind),
+            "modes4": jnp.asarray(ft.intra4x4_modes, jnp.int32),
+            "i16mode": jnp.asarray(ft.intra16_mode, jnp.int32),
+            "cmode": jnp.asarray(ft.chroma_mode, jnp.int32),
+            "avl": jnp.asarray(avl.reshape(-1)),
+            "avt": jnp.asarray(avt.reshape(-1)),
+            "avtr": jnp.asarray(avtr.reshape(-1)),
+            "avtl": jnp.asarray(avtl.reshape(-1)),
+        }
+        if self.apply_deblock:
+            for k, v in prepare_deblock(ft, sps, pps).items():
+                inp["db_" + k] = jnp.asarray(v)
+        y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, self.apply_deblock)
+        return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+
+def _implicit_w(p0: Picture, p1: Picture, cur_poc: int) -> tuple[int, int]:
+    """8.4.2.3.1 implicit weights (host-side, mirrors the oracle)."""
+    if p1.poc == p0.poc or p0.long_term or p1.long_term:
+        return 32, 32
+    tb = int(np.clip(cur_poc - p0.poc, -128, 127))
+    td = int(np.clip(p1.poc - p0.poc, -128, 127))
+    if td > 0:
+        tx = (16384 + abs(td) // 2) // td
+    else:
+        tx = -((16384 + abs(td) // 2) // -td)
+    dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1

@@ -1,0 +1,48 @@
+"""End-to-end tests of the jitted device pipeline (TpuDecoder).
+
+The full wavefront+MC+deblock XLA program takes minutes to compile on the
+CPU backend (seconds on a real TPU), so these run only when opted in:
+
+    H264_TPU_TESTS=1 python -m pytest tests/test_tpu_pipeline.py
+
+On TPU hardware run without JAX_PLATFORMS=cpu for fast compiles.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from h264decode_tpu.golden import lavc
+from tests.conftest import make_test_frames
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("H264_TPU_TESTS"),
+    reason="slow XLA compile; set H264_TPU_TESTS=1 to run",
+)
+
+
+def assert_tpu_bit_exact(bs: bytes):
+    from h264decode_tpu.pipeline.tpu_pipeline import TpuDecoder
+
+    golden = lavc.decode_annexb(bs)
+    ours = TpuDecoder().decode_stream(bs)
+    assert len(golden) == len(ours)
+    for i, (g, o) in enumerate(zip(golden, ours)):
+        for name, gp, op in zip("y cb cr".split(), g.planes(), o.planes()):
+            assert np.array_equal(gp, op), f"frame {i} plane {name}"
+
+
+class TestTpuPipeline:
+    def test_intra_cavlc(self):
+        bs = lavc.encode_x264(
+            make_test_frames(1, 64, 64), qp=28, profile="baseline"
+        )
+        assert_tpu_bit_exact(bs)
+
+    def test_cabac_high_everything(self):
+        bs = lavc.encode_x264(
+            make_test_frames(6, 144, 176), qp=26, profile="high", cabac=True,
+            bframes=2, extra_x264="8x8dct=1:partitions=all:ref=3:weightp=2",
+        )
+        assert_tpu_bit_exact(bs)
