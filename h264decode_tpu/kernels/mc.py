@@ -61,6 +61,10 @@ def luma_mc(
     W: int,
 ) -> jnp.ndarray:
     """Per-pixel luma prediction [H, W] int32 for one reference list."""
+    # reference geometry from the plane stack itself (may exceed the output
+    # band in the row-sharded path, where refs are all-gathered)
+    RH = planes.shape[-2] - 2 * PAD
+    RW = planes.shape[-1] - 2 * PAD
     mvp = jnp.repeat(jnp.repeat(mv, 4, axis=0), 4, axis=1)  # [H, W, 2]
     sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 4, axis=0), 4, axis=1)
     yy, xx = jnp.mgrid[0:H, 0:W]
@@ -69,10 +73,10 @@ def luma_mc(
     fx = mvp[..., 0] & 3
     fy = mvp[..., 1] & 3
     # clamp into the padded canvas (flat margins make this exact)
-    xi = jnp.clip(xi, -PAD, W - 1 + PAD) + PAD
-    yi = jnp.clip(yi, -PAD, H - 1 + PAD) + PAD
-    xi1 = jnp.minimum(xi + 1, W - 1 + 2 * PAD)
-    yi1 = jnp.minimum(yi + 1, H - 1 + 2 * PAD)
+    xi = jnp.clip(xi, -PAD, RW - 1 + PAD) + PAD
+    yi = jnp.clip(yi, -PAD, RH - 1 + PAD) + PAD
+    xi1 = jnp.minimum(xi + 1, RW - 1 + 2 * PAD)
+    yi1 = jnp.minimum(yi + 1, RH - 1 + 2 * PAD)
 
     def at(plane_idx, y, x):
         return planes[sl, plane_idx, y, x].astype(jnp.int32)
@@ -124,6 +128,8 @@ def chroma_mc(
 ) -> jnp.ndarray:
     """Per-pixel chroma prediction [Hc, Wc] int32 (1/8-pel bilinear)."""
     # each luma 4x4 cell covers a 2x2 chroma block
+    RH = refs.shape[-2] - 2 * PAD
+    RW = refs.shape[-1] - 2 * PAD
     mvp = jnp.repeat(jnp.repeat(mv, 2, axis=0), 2, axis=1)  # [Hc, Wc, 2]
     sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 2, axis=0), 2, axis=1)
     yy, xx = jnp.mgrid[0:Hc, 0:Wc]
@@ -131,10 +137,10 @@ def chroma_mc(
     yi = yy + (mvp[..., 1] >> 3)
     fx = mvp[..., 0] & 7
     fy = mvp[..., 1] & 7
-    xi = jnp.clip(xi, -PAD, Wc - 1 + PAD) + PAD
-    yi = jnp.clip(yi, -PAD, Hc - 1 + PAD) + PAD
-    xi1 = jnp.minimum(xi + 1, Wc - 1 + 2 * PAD)
-    yi1 = jnp.minimum(yi + 1, Hc - 1 + 2 * PAD)
+    xi = jnp.clip(xi, -PAD, RW - 1 + PAD) + PAD
+    yi = jnp.clip(yi, -PAD, RH - 1 + PAD) + PAD
+    xi1 = jnp.minimum(xi + 1, RW - 1 + 2 * PAD)
+    yi1 = jnp.minimum(yi + 1, RH - 1 + 2 * PAD)
     A = refs[sl, yi, xi].astype(jnp.int32)
     B = refs[sl, yi, xi1].astype(jnp.int32)
     C = refs[sl, yi1, xi].astype(jnp.int32)
