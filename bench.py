@@ -83,8 +83,10 @@ def main():
     )
     print(
         f"# {len(frames)} frames in {dt:.2f}s (warm-up incl. compile: {warm_s:.1f}s); "
-        f"host Python entropy decode dominates — native entropy engine is the "
-        f"next-round lever",
+        f"native C++ entropy ~0.1s/frame; remaining time splits roughly evenly "
+        f"between the device wavefront/deblock loops and host tensor prep — "
+        f"Pallas wavefront kernels and async host/device overlap are the "
+        f"next levers",
         file=sys.stderr,
     )
 

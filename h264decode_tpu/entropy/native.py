@@ -1,0 +1,259 @@
+"""ctypes binding for the native (C++) entropy engine, native/libh264entropy.so.
+
+Drop-in replacement for the Python CavlcSliceDecoder/CabacSliceDecoder on the
+hot path: decodes a whole slice's macroblocks directly into the FrameTensors
+buffers. Validated bit-exactly against the Python reference by the test
+suite; any stream shape the native engine does not support (FMO slice
+groups, 4:2:2) silently falls back to Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from ctypes import POINTER, c_int8, c_int16, c_int32, c_int64, c_uint8, c_void_p
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libh264entropy.so",
+)
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    _lib = ctypes.CDLL(_LIB_PATH)
+    _lib.decode_slice.restype = c_int32
+    _lib.decode_slice.argtypes = [
+        POINTER(c_uint8),
+        c_int64,
+        c_int64,
+        c_void_p,
+        c_void_p,
+    ]
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None and os.environ.get("H264_NATIVE", "1") != "0"
+
+
+class _SliceParams(ctypes.Structure):
+    _fields_ = [
+        ("cabac", c_int32),
+        ("slice_type", c_int32),
+        ("slice_qp", c_int32),
+        ("cabac_init_idc", c_int32),
+        ("first_mb", c_int32),
+        ("mb_w", c_int32),
+        ("mb_h", c_int32),
+        ("n_ref0", c_int32),
+        ("n_ref1", c_int32),
+        ("transform8x8_mode", c_int32),
+        ("constrained_intra", c_int32),
+        ("chroma_format", c_int32),
+        ("direct_8x8_inference", c_int32),
+        ("spatial_direct", c_int32),
+        ("disable_deblock", c_int32),
+        ("alpha_off", c_int32),
+        ("beta_off", c_int32),
+        ("slice_id", c_int32),
+        ("cur_poc", c_int32),
+        ("col_short_term", c_int32),
+        ("col_poc", c_int32),
+        ("n_col", c_int32),
+        ("ref_uids0", c_void_p),
+        ("ref_uids1", c_void_p),
+        ("l0_pocs", c_void_p),
+        ("l0_lt", c_void_p),
+        ("col_mv", c_void_p),
+        ("col_ref_idx", c_void_p),
+        ("col_ref_uid", c_void_p),
+    ]
+
+
+_FB_FIELDS = [
+    "mb_class", "transform8x8", "qp", "cbp", "intra4x4_modes", "intra16_mode",
+    "chroma_mode", "luma_ac", "luma_dc", "luma8_ac", "chroma_dc", "chroma_ac",
+    "mv", "ref_idx", "pred_flags", "ref_pic", "slice_id", "disable_deblock",
+    "alpha_off", "beta_off", "cbf_dc", "luma_nnz", "chroma_nnz",
+    "g_mv", "g_ref", "g_refctx", "g_absmvd", "mode_grid",
+    "decode_order", "n_decoded", "pcm_y", "pcm_cb", "pcm_cr",
+]
+
+
+class _FrameBuffers(ctypes.Structure):
+    _fields_ = [(name, c_void_p) for name in _FB_FIELDS]
+
+
+def _ptr(a: np.ndarray) -> c_void_p:
+    assert a.flags["C_CONTIGUOUS"], "buffer must be contiguous"
+    return c_void_p(a.ctypes.data)
+
+
+class NativeFrameState:
+    """Per-frame buffers shared by the native engine across slices."""
+
+    def __init__(self, ft, motion, intra_mode_grid):
+        self.ft = ft
+        self.motion = motion
+        self.modes = intra_mode_grid
+        n = ft.n_mbs
+        ft.ensure_luma8()
+        self.decode_order = np.zeros(n, np.int32)
+        self.n_decoded = np.zeros(1, np.int32)
+        self.pcm_y = np.zeros((ft.mb_h * 16, ft.mb_w * 16), np.uint8)
+        self.pcm_cb = np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8)
+        self.pcm_cr = np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8)
+        fb = _FrameBuffers()
+        fb.mb_class = _ptr(ft.mb_class)
+        fb.transform8x8 = _ptr(ft.transform_8x8)
+        fb.qp = _ptr(ft.qp)
+        fb.cbp = _ptr(ft.cbp)
+        fb.intra4x4_modes = _ptr(ft.intra4x4_modes)
+        fb.intra16_mode = _ptr(ft.intra16_mode)
+        fb.chroma_mode = _ptr(ft.chroma_mode)
+        fb.luma_ac = _ptr(ft.luma_ac)
+        fb.luma_dc = _ptr(ft.luma_dc)
+        fb.luma8_ac = _ptr(ft.luma8_ac)
+        fb.chroma_dc = _ptr(ft.chroma_dc)
+        fb.chroma_ac = _ptr(ft.chroma_ac)
+        fb.mv = _ptr(ft.mv)
+        fb.ref_idx = _ptr(ft.ref_idx)
+        fb.pred_flags = _ptr(ft.pred_flags)
+        fb.ref_pic = _ptr(ft.ref_pic)
+        fb.slice_id = _ptr(ft.slice_id)
+        fb.disable_deblock = _ptr(ft.disable_deblock)
+        fb.alpha_off = _ptr(ft.alpha_off)
+        fb.beta_off = _ptr(ft.beta_off)
+        fb.cbf_dc = _ptr(ft.cbf_dc)
+        fb.luma_nnz = _ptr(ft.luma_nnz)
+        fb.chroma_nnz = _ptr(ft.chroma_nnz)
+        fb.g_mv = _ptr(motion.mv)
+        fb.g_ref = _ptr(motion.ref)
+        fb.g_refctx = _ptr(motion.refctx)
+        fb.g_absmvd = _ptr(motion.absmvd)
+        fb.mode_grid = _ptr(self.modes)
+        fb.decode_order = _ptr(self.decode_order)
+        fb.n_decoded = _ptr(self.n_decoded)
+        fb.pcm_y = _ptr(self.pcm_y)
+        fb.pcm_cb = _ptr(self.pcm_cb)
+        fb.pcm_cr = _ptr(self.pcm_cr)
+        self.fb = fb
+        self._keepalive = []
+
+    def finish(self):
+        """Mirror side state back into Python structures."""
+        ft = self.ft
+        cnt = int(self.n_decoded[0])
+        ft.decode_order.extend(int(a) for a in self.decode_order[:cnt])
+        self.n_decoded[0] = 0
+        from ..tensors.frame_tensors import MB_I_PCM
+
+        for addr in np.nonzero(ft.mb_class == MB_I_PCM)[0]:
+            mbx, mby = ft.mb_xy(int(addr))
+            ft.pcm_samples[int(addr)] = (
+                self.pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16].copy(),
+                self.pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].copy(),
+                self.pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].copy(),
+            )
+
+
+def supported(sps, pps, hdr) -> bool:
+    return (
+        pps.num_slice_groups == 1
+        and sps.frame_mbs_only_flag
+        and sps.chroma_array_type in (0, 1)
+        and not hdr.is_sp
+        and not hdr.is_si
+    )
+
+
+def decode_slice_native(
+    state: NativeFrameState,
+    hdr,
+    sps,
+    pps,
+    rbsp: bytes,
+    slice_id: int,
+    ref_uids_l0,
+    ref_uids_l1,
+    direct_ctx,
+) -> None:
+    lib = _load()
+    p = _SliceParams()
+    p.cabac = int(pps.entropy_coding_mode_flag)
+    p.slice_type = {0: 0, 1: 1, 2: 2, 3: 0, 4: 2}[hdr.type]
+    p.slice_qp = hdr.slice_qp(pps)
+    p.cabac_init_idc = hdr.cabac_init_idc
+    p.first_mb = hdr.first_mb_in_slice
+    p.mb_w = state.ft.mb_w
+    p.mb_h = state.ft.mb_h
+    p.n_ref0 = len(ref_uids_l0)
+    p.n_ref1 = len(ref_uids_l1)
+    p.transform8x8_mode = int(pps.transform_8x8_mode_flag)
+    p.constrained_intra = int(pps.constrained_intra_pred_flag)
+    p.chroma_format = sps.chroma_array_type
+    p.direct_8x8_inference = int(sps.direct_8x8_inference_flag)
+    p.disable_deblock = hdr.disable_deblocking_filter_idc
+    p.alpha_off = hdr.slice_alpha_c0_offset_div2 * 2
+    p.beta_off = hdr.slice_beta_offset_div2 * 2
+    p.slice_id = slice_id
+
+    ka = state._keepalive
+    uids0 = np.asarray(ref_uids_l0 or [0], np.int32)
+    uids1 = np.asarray(ref_uids_l1 or [0], np.int32)
+    ka += [uids0, uids1]
+    p.ref_uids0 = c_void_p(uids0.ctypes.data)
+    p.ref_uids1 = c_void_p(uids1.ctypes.data)
+    if direct_ctx is not None:
+        p.cur_poc = direct_ctx.cur_poc
+        p.col_short_term = int(direct_ctx.col_is_short_term)
+        p.col_poc = direct_ctx.col_poc
+        p.spatial_direct = int(direct_ctx.spatial)
+        l0_pocs = np.asarray(direct_ctx.l0_pocs or [0], np.int32)
+        l0_lt = np.asarray(
+            [1 if x else 0 for x in (direct_ctx.l0_long_term or [0])], np.uint8
+        )
+        ka += [l0_pocs, l0_lt]
+        p.l0_pocs = c_void_p(l0_pocs.ctypes.data)
+        p.l0_lt = c_void_p(l0_lt.ctypes.data)
+        if direct_ctx.col_mv is not None:
+            col_mv = np.ascontiguousarray(direct_ctx.col_mv, np.int32)
+            col_ri = np.ascontiguousarray(direct_ctx.col_ref_idx, np.int8)
+            col_ru = np.ascontiguousarray(direct_ctx.col_ref_uid, np.int32)
+            ka += [col_mv, col_ri, col_ru]
+            p.col_mv = c_void_p(col_mv.ctypes.data)
+            p.col_ref_idx = c_void_p(col_ri.ctypes.data)
+            p.col_ref_uid = c_void_p(col_ru.ctypes.data)
+            p.n_col = 1
+        else:
+            p.n_col = 0
+    else:
+        zero = np.zeros(1, np.int32)
+        zero8 = np.zeros(1, np.uint8)
+        ka += [zero, zero8]
+        p.l0_pocs = c_void_p(zero.ctypes.data)
+        p.l0_lt = c_void_p(zero8.ctypes.data)
+        p.n_col = 0
+        p.spatial_direct = 1
+
+    buf = np.frombuffer(rbsp, np.uint8)
+    ka.append(buf)
+    ret = lib.decode_slice(
+        buf.ctypes.data_as(POINTER(c_uint8)),
+        len(rbsp),
+        hdr.data_bit_offset,
+        ctypes.byref(p),
+        ctypes.byref(state.fb),
+    )
+    if ret != 0:
+        raise ValueError(f"native slice decode failed: {ret}")

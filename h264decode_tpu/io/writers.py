@@ -1,0 +1,33 @@
+"""Output writers: Y4M (mplayer/ffmpeg-compatible) and NPZ.
+
+The reference never produces pixels (README.md:10 lists YCbCr decode as
+TODO); these are the L9 output layer of SURVEY.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_y4m(path: str, frames, fps=(25, 1)) -> None:
+    """frames: iterable of objects with .y/.cb/.cr uint8 planes (4:2:0)."""
+    it = iter(frames)
+    first = next(it)
+    h, w = first.y.shape
+    with open(path, "wb") as f:
+        f.write(
+            f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420mpeg2\n".encode()
+        )
+        for fr in [first, *it]:
+            f.write(b"FRAME\n")
+            f.write(np.ascontiguousarray(fr.y).tobytes())
+            f.write(np.ascontiguousarray(fr.cb).tobytes())
+            f.write(np.ascontiguousarray(fr.cr).tobytes())
+
+
+def write_npz(path: str, frames) -> None:
+    ys = np.stack([f.y for f in frames])
+    cbs = np.stack([f.cb for f in frames])
+    crs = np.stack([f.cr for f in frames])
+    pocs = np.array([f.poc for f in frames])
+    np.savez_compressed(path, y=ys, cb=cbs, cr=crs, poc=pocs)

@@ -539,7 +539,15 @@ def intra_wavefront(
                 yp = scatter_patch(yp, gy, gx, out)
         return yp, cbp, crp
 
-    yp, cbp, crp = jax.lax.fori_loop(0, n_diag, step, (yp, cbp, crp))
+    # only walk the diagonals that actually contain intra MBs — P/B frames
+    # typically have few, so this collapses the wavefront to a handful of
+    # steps (bounds are traced; fori_loop lowers to a while loop)
+    d_grid = jnp.arange(mb_w)[None, :] + 2 * jnp.arange(mb_h)[:, None]
+    has_intra = kind_g > 0
+    lo = jnp.min(jnp.where(has_intra, d_grid, n_diag))
+    hi = jnp.max(jnp.where(has_intra, d_grid, -1)) + 1
+    lo = jnp.minimum(lo, hi)
+    yp, cbp, crp = jax.lax.fori_loop(lo, hi, step, (yp, cbp, crp))
     return (
         yp[PAD : PAD + H, PAD : PAD + W],
         cbp[PAD : PAD + Hc, PAD : PAD + Wc],

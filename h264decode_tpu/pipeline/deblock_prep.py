@@ -2,6 +2,9 @@
 FrameTensors: boundary strengths (spec 8.7.2.1) and threshold indices
 (8.7.2.2) for every 4x4 cell edge at once. Output feeds the device kernel
 kernels/deblock.py; bit-exact against the per-line oracle pipeline/deblock.py.
+
+Hot path of the host stage — everything is reshape/broadcast expansion
+(no gathers) plus flat boolean algebra.
 """
 
 from __future__ import annotations
@@ -10,7 +13,7 @@ import numpy as np
 
 from ..syntax.pps import PPS
 from ..syntax.sps import SPS
-from ..tensors.frame_tensors import MB_P, FrameTensors
+from ..tensors.frame_tensors import FrameTensors
 from .reference_recon import CHROMA_QP_TABLE
 
 
@@ -19,154 +22,144 @@ def _chroma_qp_vec(qp, offset):
     return np.where(qpi < 30, qpi, CHROMA_QP_TABLE[np.clip(qpi - 30, 0, 21)])
 
 
-def _per_cell(ft: FrameTensors):
-    """Expand per-MB/part data to per-4x4-cell grids [H4, W4]."""
-    mb_h, mb_w = ft.mb_h, ft.mb_w
-    H4, W4 = mb_h * 4, mb_w * 4
-    cell_mb = (np.arange(H4)[:, None] // 4) * mb_w + (np.arange(W4)[None, :] // 4)
-    # part index within MB per cell
-    py = (np.arange(H4) % 4) // 2
-    px = (np.arange(W4) % 4) // 2
-    part = py[:, None] * 2 + px[None, :]
-    blk = (np.arange(H4) % 4)[:, None] * 4 + (np.arange(W4) % 4)[None, :]
-    out = {
-        "mb": cell_mb,
-        "cls": ft.mb_class[cell_mb],
-        "qp": ft.qp[cell_mb].astype(np.int32),
-        "t8": ft.transform_8x8[cell_mb],
-        "slice": ft.slice_id[cell_mb],
-        "disable": ft.disable_deblock[cell_mb],
-        "a_off": ft.alpha_off[cell_mb].astype(np.int32),
-        "b_off": ft.beta_off[cell_mb].astype(np.int32),
-    }
-    for lst in range(2):
-        out[f"refpic{lst}"] = ft.ref_pic[cell_mb, lst, part]
-        out[f"mvx{lst}"] = ft.mv[cell_mb, lst, blk, 0].astype(np.int32)
-        out[f"mvy{lst}"] = ft.mv[cell_mb, lst, blk, 1].astype(np.int32)
-    # effective coded status (8x8 transform: OR over the covering 8x8 block)
-    nnz = ft.luma_nnz > 0
-    blk8 = nnz.reshape(mb_h * 2, 2, mb_w * 2, 2).any(axis=(1, 3))
-    nnz8 = np.repeat(np.repeat(blk8, 2, 0), 2, 1)
-    out["coded"] = np.where(out["t8"], nnz8, nnz)
-    return out
+def _mb_to_cells(a, mb_h, mb_w):
+    """[nMB] -> [4*mb_h, 4*mb_w] by replication."""
+    return np.broadcast_to(
+        a.reshape(mb_h, 1, mb_w, 1), (mb_h, 4, mb_w, 4)
+    ).reshape(mb_h * 4, mb_w * 4)
 
 
-def _mv_bs(c, off_y, off_x):
-    """bS in {0,1} from motion data between each cell and its neighbor at
-    (y+off_y, x+off_x) (edges where residual/intra rules didn't fire)."""
-    H4, W4 = c["mb"].shape
-
-    def roll(a):
-        return np.roll(np.roll(a, -off_y, axis=0), -off_x, axis=1)
-
-    # P = neighbor (off side), Q = current cell at the rolled position:
-    # compare cell (y,x) [P] with cell (y+off, x+off) [Q] -> store at Q.
-    u0p, u0q = c["refpic0"] >= 0, roll(c["refpic0"]) >= 0
-    u1p, u1q = c["refpic1"] >= 0, roll(c["refpic1"]) >= 0
-    np_, nq = u0p.astype(np.int32) + u1p, u0q.astype(np.int32) + u1q
-    r0p, r1p = c["refpic0"], c["refpic1"]
-    r0q, r1q = roll(c["refpic0"]), roll(c["refpic1"])
-    mv = {
-        (l, 0): (c[f"mvx{l}"], c[f"mvy{l}"]) for l in range(2)
-    }
-    mx0p, my0p = c["mvx0"], c["mvy0"]
-    mx1p, my1p = c["mvx1"], c["mvy1"]
-    mx0q, my0q = roll(c["mvx0"]), roll(c["mvy0"])
-    mx1q, my1q = roll(c["mvx1"]), roll(c["mvy1"])
-
-    def far(ax, ay, bx, by):
-        return (np.abs(ax - bx) >= 4) | (np.abs(ay - by) >= 4)
-
-    bs = np.zeros((H4, W4), np.int32)
-    # different vector counts
-    bs = np.where(np_ != nq, 1, bs)
-    # single-vector case
-    single = (np_ == 1) & (nq == 1)
-    sp_r = np.where(u0p, r0p, r1p)
-    sq_r = np.where(u0q, r0q, r1q)
-    sp_mx = np.where(u0p, mx0p, mx1p)
-    sp_my = np.where(u0p, my0p, my1p)
-    sq_mx = np.where(u0q, mx0q, mx1q)
-    sq_my = np.where(u0q, my0q, my1q)
-    bs = np.where(
-        single & ((sp_r != sq_r) | far(sp_mx, sp_my, sq_mx, sq_my)), 1, bs
+def _blk_to_cells(a, mb_h, mb_w):
+    """[nMB, 16] (raster 4x4 within MB) -> [4*mb_h, 4*mb_w]."""
+    return (
+        a.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(mb_h * 4, mb_w * 4)
     )
-    # bi case
-    bi = (np_ == 2) & (nq == 2)
-    sets_eq = ((r0p == r0q) & (r1p == r1q)) | ((r0p == r1q) & (r1p == r0q))
-    bs = np.where(bi & ~sets_eq, 1, bs)
-    same_ref = r0p == r1p
-    straight = ~far(mx0p, my0p, mx0q, my0q) & ~far(mx1p, my1p, mx1q, my1q)
-    crossed = ~far(mx0p, my0p, mx1q, my1q) & ~far(mx1p, my1p, mx0q, my0q)
-    bs = np.where(bi & sets_eq & same_ref & ~(straight | crossed), 1, bs)
-    # distinct refs: pair by reference picture
-    pair_straight = r0p == r0q
-    d_ok = np.where(pair_straight, straight, crossed)
-    bs = np.where(bi & sets_eq & ~same_ref & ~d_ok, 1, bs)
-    return bs
+
+
+def _part_to_cells(a, mb_h, mb_w):
+    """[nMB, 4] (2x2 parts) -> [4*mb_h, 4*mb_w]."""
+    g = a.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)  # [mb_h,2,mb_w,2]
+    return np.broadcast_to(
+        g.reshape(mb_h, 2, 1, mb_w, 2, 1), (mb_h, 2, 2, mb_w, 2, 2)
+    ).reshape(mb_h * 4, mb_w * 4)
+
+
+def _shift(a, dy, dx):
+    """out[y, x] = a[y+dy, x+dx]; edge rows/cols replicate (masked anyway)."""
+    out = a
+    if dx == -1:
+        out = np.concatenate([out[:, :1], out[:, :-1]], axis=1)
+    if dy == -1:
+        out = np.concatenate([out[:1], out[:-1]], axis=0)
+    return out
 
 
 def prepare_deblock(ft: FrameTensors, sps: SPS, pps: PPS) -> dict:
     """All per-edge parameters for the device deblock kernel."""
-    c = _per_cell(ft)
-    H4, W4 = c["mb"].shape
-    intra = c["cls"] < 3
+    mb_h, mb_w = ft.mb_h, ft.mb_w
+    H4, W4 = mb_h * 4, mb_w * 4
+    cls = _mb_to_cells(ft.mb_class, mb_h, mb_w)
+    intra = cls < 3
+    qp = _mb_to_cells(ft.qp.astype(np.int32), mb_h, mb_w)
+    t8 = _mb_to_cells(ft.transform_8x8, mb_h, mb_w)
+    slc = _mb_to_cells(ft.slice_id, mb_h, mb_w)
+    disable = _mb_to_cells(ft.disable_deblock, mb_h, mb_w)
+    a_off = _mb_to_cells(ft.alpha_off.astype(np.int32), mb_h, mb_w)
+    b_off = _mb_to_cells(ft.beta_off.astype(np.int32), mb_h, mb_w)
+    nnz = ft.luma_nnz > 0
+    blk8 = nnz.reshape(mb_h * 2, 2, mb_w * 2, 2).any(axis=(1, 3))
+    nnz8 = np.repeat(np.repeat(blk8, 2, 0), 2, 1)
+    coded = np.where(t8, nnz8, nnz)
+
+    any_inter = bool((ft.mb_class >= 3).any())
+    if any_inter:
+        u = [None, None]
+        r = [None, None]
+        mx = [None, None]
+        my = [None, None]
+        for lst in range(2):
+            r[lst] = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
+            u[lst] = r[lst] >= 0
+            mx[lst] = _blk_to_cells(ft.mv[:, lst, :, 0].astype(np.int32), mb_h, mb_w)
+            my[lst] = _blk_to_cells(ft.mv[:, lst, :, 1].astype(np.int32), mb_h, mb_w)
 
     prep = {}
     for direction in ("v", "h"):
         if direction == "v":
-            off_y, off_x = 0, -1  # P is the cell to the left
-            pos = np.tile(np.arange(W4) % 4, (H4, 1))
-            at_pic_edge = np.tile(np.arange(W4) == 0, (H4, 1))
+            dy, dx = 0, -1
+            pos = np.broadcast_to(np.arange(W4) % 4, (H4, W4))
+            at_edge = np.broadcast_to(np.arange(W4) == 0, (H4, W4))
         else:
-            off_y, off_x = -1, 0
-            pos = np.tile((np.arange(H4) % 4)[:, None], (1, W4))
-            at_pic_edge = np.tile((np.arange(H4) == 0)[:, None], (1, W4))
-
-        def nb(a):  # neighbor (P-side) value aligned at Q
-            return np.roll(a, (-off_y, -off_x), axis=(0, 1))
-
-        mb_boundary = pos == 0
-        p_intra = nb(intra)
-        p_coded = nb(c["coded"])
-        p_slice = nb(c["slice"])
-        p_qp = nb(c["qp"])
+            dy, dx = -1, 0
+            pos = np.broadcast_to((np.arange(H4) % 4)[:, None], (H4, W4))
+            at_edge = np.broadcast_to((np.arange(H4) == 0)[:, None], (H4, W4))
 
         bs = np.zeros((H4, W4), np.int32)
-        bs_mv = _mv_bs(c, off_y, off_x)
-        bs = bs_mv
-        bs = np.where(c["coded"] | p_coded, 2, bs)
-        bs = np.where(
-            (intra | p_intra), np.where(mb_boundary, 4, 3), bs
-        )
-        # internal-edge existence: t8 MBs only have the mid edge
-        exists = np.where(
-            mb_boundary,
-            ~at_pic_edge,
-            np.where(c["t8"], pos == 2, True),
-        )
-        # slice-level gates (evaluated on the Q MB)
-        exists &= c["disable"] != 1
-        cross_slice = mb_boundary & (p_slice != c["slice"])
-        exists &= ~((c["disable"] == 2) & cross_slice)
+        if any_inter:
+            # motion-derived bS (spec 8.7.2.1 tail): P = shifted neighbor
+            u0p, u1p = _shift(u[0], dy, dx), _shift(u[1], dy, dx)
+            np_ = u0p.astype(np.int32) + u1p
+            nq = u[0].astype(np.int32) + u[1]
+            r0p, r1p = _shift(r[0], dy, dx), _shift(r[1], dy, dx)
+            mx0p, my0p = _shift(mx[0], dy, dx), _shift(my[0], dy, dx)
+            mx1p, my1p = _shift(mx[1], dy, dx), _shift(my[1], dy, dx)
+
+            def far(ax, ay, bx, by):
+                return (np.abs(ax - bx) >= 4) | (np.abs(ay - by) >= 4)
+
+            bs = (np_ != nq).astype(np.int32)
+            single = (np_ == 1) & (nq == 1)
+            sp_r = np.where(u0p, r0p, r1p)
+            sq_r = np.where(u[0], r[0], r[1])
+            sp_mx = np.where(u0p, mx0p, mx1p)
+            sp_my = np.where(u0p, my0p, my1p)
+            sq_mx = np.where(u[0], mx[0], mx[1])
+            sq_my = np.where(u[0], my[0], my[1])
+            bs = np.where(
+                single & ((sp_r != sq_r) | far(sp_mx, sp_my, sq_mx, sq_my)), 1, bs
+            )
+            bi = (np_ == 2) & (nq == 2)
+            if bi.any():
+                sets_eq = ((r0p == r[0]) & (r1p == r[1])) | (
+                    (r0p == r[1]) & (r1p == r[0])
+                )
+                bs = np.where(bi & ~sets_eq, 1, bs)
+                same_ref = r0p == r1p
+                straight = ~far(mx0p, my0p, mx[0], my[0]) & ~far(
+                    mx1p, my1p, mx[1], my[1]
+                )
+                crossed = ~far(mx0p, my0p, mx[1], my[1]) & ~far(
+                    mx1p, my1p, mx[0], my[0]
+                )
+                bs = np.where(
+                    bi & sets_eq & same_ref & ~(straight | crossed), 1, bs
+                )
+                d_ok = np.where(r0p == r[0], straight, crossed)
+                bs = np.where(bi & sets_eq & ~same_ref & ~d_ok, 1, bs)
+
+        p_intra = _shift(intra, dy, dx)
+        p_coded = _shift(coded, dy, dx)
+        p_slice = _shift(slc, dy, dx)
+        p_qp = _shift(qp, dy, dx)
+        mb_boundary = pos == 0
+        bs = np.where(coded | p_coded, 2, bs)
+        bs = np.where(intra | p_intra, np.where(mb_boundary, 4, 3), bs)
+        exists = np.where(mb_boundary, ~at_edge, np.where(t8, pos == 2, True))
+        exists &= disable != 1
+        exists &= ~((disable == 2) & mb_boundary & (p_slice != slc))
         bs = np.where(exists, bs, 0)
 
-        qp_av = (p_qp + c["qp"] + 1) >> 1
-        ia = np.clip(qp_av + c["a_off"], 0, 51).astype(np.int32)
-        ib = np.clip(qp_av + c["b_off"], 0, 51).astype(np.int32)
+        qp_av = (p_qp + qp + 1) >> 1
         prep[f"bs_{direction}"] = bs
-        prep[f"ia_{direction}"] = ia
-        prep[f"ib_{direction}"] = ib
-        # chroma thresholds (per component)
+        prep[f"ia_{direction}"] = np.clip(qp_av + a_off, 0, 51).astype(np.int32)
+        prep[f"ib_{direction}"] = np.clip(qp_av + b_off, 0, 51).astype(np.int32)
         ca, cbt = [], []
-        for comp, off in enumerate(
-            (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset)
-        ):
+        for off in (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset):
             qpc_p = _chroma_qp_vec(p_qp, off)
-            qpc_q = _chroma_qp_vec(c["qp"], off)
+            qpc_q = _chroma_qp_vec(qp, off)
             qpc_av = (qpc_p + qpc_q + 1) >> 1
-            ca.append(np.clip(qpc_av + c["a_off"], 0, 51).astype(np.int32))
-            cbt.append(np.clip(qpc_av + c["b_off"], 0, 51).astype(np.int32))
+            ca.append(np.clip(qpc_av + a_off, 0, 51).astype(np.int32))
+            cbt.append(np.clip(qpc_av + b_off, 0, 51).astype(np.int32))
         prep[f"ca_{direction}"] = np.stack(ca)
         prep[f"cb_{direction}"] = np.stack(cbt)
     return prep

@@ -132,6 +132,16 @@ class Decoder:
         motion = MotionContext(ft.mb_w, ft.mb_h, ft.slice_id)
         ref_lists: list[tuple[list[Picture], list[Picture]]] = []
         weight_ctx: list[tuple[bool, object]] = []
+        from ..entropy import native as native_mod
+
+        use_native = native_mod.native_available() and all(
+            native_mod.supported(s, p, h) for h, s, p, _ in slices
+        )
+        native_state = (
+            native_mod.NativeFrameState(ft, motion, intra_mode_grid)
+            if use_native
+            else None
+        )
         for slice_id, (hdr, s_sps, s_pps, r) in enumerate(slices):
             map_units = map_unit_to_slice_group_map(
                 s_sps, s_pps, hdr.slice_group_change_cycle
@@ -171,6 +181,19 @@ class Decoder:
             else:
                 wmode = "none"
             weight_ctx.append((wmode, hdr.pred_weight_table))
+            if use_native:
+                native_mod.decode_slice_native(
+                    native_state,
+                    hdr,
+                    s_sps,
+                    s_pps,
+                    r.data,
+                    slice_id,
+                    [p.uid for p in l0],
+                    [p.uid for p in l1],
+                    direct_ctx,
+                )
+                continue
             from ..entropy.cabac_slice import CabacSliceDecoder
 
             cls = (
@@ -193,6 +216,8 @@ class Decoder:
                 direct_ctx=direct_ctx,
             )
             dec.decode()
+        if native_state is not None:
+            native_state.finish()
         y, cb, cr = self._reconstruct(
             ft, sps, pps, slices, ref_lists, weight_ctx, poc
         )

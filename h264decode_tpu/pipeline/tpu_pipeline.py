@@ -20,9 +20,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compilation cache: the big frame pipeline compiles once per
+# stream geometry per machine, not per process
+try:  # pragma: no cover
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_h264_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from ..kernels import mc as mc_k
 from ..kernels import transform as tr_k
 from ..kernels.deblock import deblock_frame_tpu
+from ..kernels.deblock_prep_dev import deblock_prep_device
 from ..kernels.intra import K_I4, K_I8, K_I16, K_NONE, intra_wavefront
 from ..syntax.pps import PPS
 from ..syntax.sps import SPS
@@ -33,8 +42,11 @@ from ..tensors.frame_tensors import (
     FrameTensors,
 )
 from .decoder import Decoder
-from .deblock_prep import prepare_deblock
+from .deblock_prep import _blk_to_cells, _mb_to_cells, _part_to_cells, prepare_deblock
 from .dpb import Picture
+
+_jit_half_pel = jax.jit(mc_k.half_pel_planes)
+_jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -105,10 +117,19 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int, apply_deblock: bool):
     y = y.astype(jnp.uint8)
     cb = cb.astype(jnp.uint8)
     cr = cr.astype(jnp.uint8)
-    if not apply_deblock:
-        return y, cb, cr
-    # ---- deblocking
-    prep = {k[3:]: v for k, v in inp.items() if k.startswith("db_")}
+    return y, cb, cr
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def deblock_fn(planes, inp: dict, mv, mb_h: int, mb_w: int):
+    """Second pipeline stage (separate XLA program to keep compiles fast):
+    device-side edge-parameter derivation + the wavefront deblocking filter."""
+    y, cb, cr = planes
+    prep = deblock_prep_device(
+        inp["mb_cls"], inp["qp"], inp["is_t8"], inp["slice_arr"],
+        inp["disable"], inp["aoff"], inp["boff"], inp["nnz_grid"],
+        inp["ref_pic_parts"], mv, inp["qp_offsets"], mb_h, mb_w,
+    )
     return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w)
 
 
@@ -143,28 +164,44 @@ class TpuDecoder(Decoder):
     def __init__(self, apply_deblock: bool = True, backend=None):
         super().__init__(apply_deblock=apply_deblock)
         self._dev_cache: dict[int, tuple] = {}  # pic uid -> device plane stacks
+        self._ring = None  # device DPB ring buffers (luma hp, cb, cr)
+        self._ring_slots: dict[int, int] = {}  # pic uid -> ring slot
 
     def _ref_stacks(self, pictures: list[Picture], sps: SPS):
-        """Stack half-pel/chroma planes for the given pictures on device."""
+        """Device DPB ring buffer: each reference picture's half-pel plane
+        stack lives in a fixed slot; only newly-referenced pictures are
+        inserted (one device-side .at[slot].set per picture lifetime)."""
         n_refs = max(1, sps.max_num_ref_frames + 1)
         H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
         P = mc_k.PAD
-        luma, cbs, crs = [], [], []
+        if self._ring is None:
+            self._ring = [
+                jnp.zeros((n_refs, 4, H + 2 * P, W + 2 * P), jnp.uint8),
+                jnp.zeros((n_refs, H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8),
+                jnp.zeros((n_refs, H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8),
+            ]
+        live = {p.uid for p in pictures[:n_refs]}
         for p in pictures[:n_refs]:
-            if p.uid not in self._dev_cache:
-                hp = mc_k.half_pel_planes(jnp.asarray(p.y))
-                cbp = mc_k.chroma_pad(jnp.asarray(p.cb))
-                crp = mc_k.chroma_pad(jnp.asarray(p.cr))
-                self._dev_cache[p.uid] = (hp, cbp, crp)
-            hp, cbp, crp = self._dev_cache[p.uid]
-            luma.append(hp)
-            cbs.append(cbp)
-            crs.append(crp)
-        while len(luma) < n_refs:
-            luma.append(jnp.zeros((4, H + 2 * P, W + 2 * P), jnp.uint8))
-            cbs.append(jnp.zeros((H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8))
-            crs.append(jnp.zeros((H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8))
-        return jnp.stack(luma), jnp.stack(cbs), jnp.stack(crs), n_refs
+            if p.uid in self._ring_slots:
+                continue
+            used = set(self._ring_slots.values())
+            # free a slot whose picture is no longer referenced
+            for uid, slot in list(self._ring_slots.items()):
+                if uid not in live:
+                    del self._ring_slots[uid]
+            used = set(self._ring_slots.values())
+            slot = next(i for i in range(n_refs) if i not in used)
+            if p.uid in self._dev_cache:
+                hp, cbp, crp = self._dev_cache.pop(p.uid)
+            else:
+                hp = _jit_half_pel(jnp.asarray(p.y))
+                cbp = _jit_chroma_pad(jnp.asarray(p.cb))
+                crp = _jit_chroma_pad(jnp.asarray(p.cr))
+            self._ring[0] = self._ring[0].at[slot].set(hp)
+            self._ring[1] = self._ring[1].at[slot].set(cbp)
+            self._ring[2] = self._ring[2].at[slot].set(crp)
+            self._ring_slots[p.uid] = slot
+        return self._ring[0], self._ring[1], self._ring[2], n_refs
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
         mb_h, mb_w = ft.mb_h, ft.mb_w
@@ -176,24 +213,26 @@ class TpuDecoder(Decoder):
                 uid_to_pic.setdefault(p.uid, p)
         pics = list(uid_to_pic.values())
         ref_luma, ref_cb, ref_cr, n_refs = self._ref_stacks(pics, sps)
-        uid_slot = {p.uid: i for i, p in enumerate(pics[: n_refs])}
+        uid_slot = {
+            p.uid: self._ring_slots[p.uid]
+            for p in pics[:n_refs]
+            if p.uid in self._ring_slots
+        }
 
-        # ---- per-cell slot/mv grids
+        # ---- per-cell slot/mv grids (reshape-expanded, no gathers)
         H4, W4 = mb_h * 4, mb_w * 4
-        cell_mb = (np.arange(H4)[:, None] // 4) * mb_w + (np.arange(W4)[None, :] // 4)
-        part = ((np.arange(H4) % 4) // 2)[:, None] * 2 + ((np.arange(W4) % 4) // 2)[None, :]
-        blk = (np.arange(H4) % 4)[:, None] * 4 + (np.arange(W4) % 4)[None, :]
         slot = np.full((2, H4, W4), -1, np.int32)
         mv = np.zeros((2, H4, W4, 2), np.int32)
         slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
         for uid, s in uid_slot.items():
             slot_lut[uid] = s
         for lst in range(2):
-            rp = ft.ref_pic[cell_mb, lst, part]
+            rp = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
             slot[lst] = np.where(rp >= 0, slot_lut[np.clip(rp, 0, len(slot_lut) - 1)], -1)
-            mv[lst] = ft.mv[cell_mb, lst, blk].astype(np.int32)
+            mv[lst, ..., 0] = _blk_to_cells(ft.mv[:, lst, :, 0].astype(np.int32), mb_h, mb_w)
+            mv[lst, ..., 1] = _blk_to_cells(ft.mv[:, lst, :, 1].astype(np.int32), mb_h, mb_w)
         # intra MBs never run MC
-        intra_cell = (ft.mb_class < 3)[cell_mb]
+        intra_cell = _mb_to_cells(ft.mb_class < 3, mb_h, mb_w)
         slot[:, intra_cell] = -1
 
         # ---- per-cell weights
@@ -209,7 +248,10 @@ class TpuDecoder(Decoder):
         wc[:, :, bi_cell] = 32
         lwd_y[bi_cell] = 5
         lwd_c[bi_cell] = 5
-        sl_cell = ft.slice_id[cell_mb]
+        sl_cell = _mb_to_cells(ft.slice_id, mb_h, mb_w)
+        ridx_cell = [
+            _part_to_cells(ft.ref_idx[:, lst, :], mb_h, mb_w) for lst in range(2)
+        ]
         for sid, (wmode, pwt) in enumerate(weight_ctx):
             in_slice = sl_cell == sid
             if not in_slice.any() or wmode == "none":
@@ -222,7 +264,7 @@ class TpuDecoder(Decoder):
                     lo = np.array([e.luma_offset for e in tab], np.int32)
                     cw = np.array([e.chroma_weight for e in tab], np.int32)  # [R,2]
                     co = np.array([e.chroma_offset for e in tab], np.int32)
-                    ridx = ft.ref_idx[cell_mb, lst, part]
+                    ridx = ridx_cell[lst]
                     sel = in_slice & (ridx >= 0)
                     ri = np.clip(ridx, 0, len(tab) - 1)
                     wy[lst][sel] = lw[ri][sel]
@@ -240,8 +282,8 @@ class TpuDecoder(Decoder):
                     for b, p1 in enumerate(l1):
                         w0_, w1_ = _implicit_w(p0, p1, poc)
                         w1m[a, b] = w1_
-                r0 = np.clip(ft.ref_idx[cell_mb, 0, part], 0, w1m.shape[0] - 1)
-                r1 = np.clip(ft.ref_idx[cell_mb, 1, part], 0, w1m.shape[1] - 1)
+                r0 = np.clip(ridx_cell[0], 0, w1m.shape[0] - 1)
+                r1 = np.clip(ridx_cell[1], 0, w1m.shape[1] - 1)
                 sel = in_slice & bi_cell
                 w1v = w1m[r0, r1]
                 wy[1][sel] = w1v[sel]
@@ -323,9 +365,26 @@ class TpuDecoder(Decoder):
             "avtl": jnp.asarray(avtl.reshape(-1)),
         }
         if self.apply_deblock:
-            for k, v in prepare_deblock(ft, sps, pps).items():
-                inp["db_" + k] = jnp.asarray(v)
-        y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, self.apply_deblock)
+            inp["mb_cls"] = jnp.asarray(ft.mb_class, jnp.int32)
+            inp["slice_arr"] = jnp.asarray(ft.slice_id, jnp.int32)
+            inp["disable"] = jnp.asarray(ft.disable_deblock, jnp.int32)
+            inp["aoff"] = jnp.asarray(ft.alpha_off, jnp.int32)
+            inp["boff"] = jnp.asarray(ft.beta_off, jnp.int32)
+            inp["nnz_grid"] = jnp.asarray(ft.luma_nnz, jnp.int32)
+            inp["ref_pic_parts"] = jnp.asarray(ft.ref_pic, jnp.int32)
+        y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, False)
+        if self.apply_deblock:
+            db_keys = ("mb_cls", "qp", "is_t8", "slice_arr", "disable", "aoff",
+                       "boff", "nnz_grid", "ref_pic_parts", "qp_offsets")
+            db_inp = {k: inp[k] for k in db_keys}
+            y, cb, cr = deblock_fn((y, cb, cr), db_inp, inp["mv"], mb_h, mb_w)
+        # keep this picture's half-pel planes on device for future reference
+        # use (uid_counter is assigned to this picture right after recon)
+        self._dev_cache[self.uid_counter] = (
+            _jit_half_pel(y),
+            _jit_chroma_pad(cb),
+            _jit_chroma_pad(cr),
+        )
         return np.asarray(y), np.asarray(cb), np.asarray(cr)
 
 

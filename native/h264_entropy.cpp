@@ -1,0 +1,690 @@
+// TPU-native H.264 host entropy engine: full CAVLC + CABAC slice_data()
+// decoding (spec 7.3.4/7.3.5/9.2/9.3) into the FrameTensors SoA buffers.
+//
+// This is the C++ twin of h264decode_tpu/entropy/{cavlc_slice,cabac_slice,
+// mv_pred,direct,slice_base}.py — same algorithms, same table provenance
+// (tables.h is generated from the same spec-exact Python tables), validated
+// bit-exactly against the Python reference by the test suite. It exists
+// because the sequential entropy stage is the host-side bottleneck of the
+// decoder (SURVEY.md section 7.3): CABAC/CAVLC cannot be parallelized within
+// a slice, so the engine must simply be fast.
+//
+// Build: make -C native   ->  libh264entropy.so (ctypes, see entropy/native.py)
+
+#include <cstdint>
+#include <cstring>
+
+#include "tables.h"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Bit reader (64-bit cached)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos;
+  int64_t stop_bit;  // position of rbsp_stop_one_bit
+};
+
+static void br_init(BitReader* r, const uint8_t* data, int64_t nbytes,
+                    int64_t start_bit) {
+  r->data = data;
+  r->nbits = nbytes * 8;
+  r->pos = start_bit;
+  int64_t i = nbytes - 1;
+  while (i >= 0 && data[i] == 0) i--;
+  if (i < 0) {
+    r->stop_bit = 0;
+  } else {
+    uint8_t b = data[i];
+    int low = __builtin_ctz(b);
+    r->stop_bit = i * 8 + (7 - low);
+  }
+}
+
+static inline uint32_t br_u(BitReader* r, int n) {
+  if (n == 0) return 0;
+  int64_t pos = r->pos;
+  r->pos = pos + n;
+  // read up to 32 bits MSB-first
+  int64_t byte0 = pos >> 3;
+  uint64_t chunk = 0;
+  for (int i = 0; i < 8; i++) {
+    int64_t bi = byte0 + i;
+    chunk = (chunk << 8) | (bi * 8 < r->nbits ? r->data[bi] : 0);
+  }
+  int shift = 64 - (int)(pos - byte0 * 8) - n;
+  return (uint32_t)((chunk >> shift) & ((n == 32) ? 0xffffffffu : ((1u << n) - 1)));
+}
+
+static inline uint32_t br_peek16(BitReader* r) {
+  int64_t pos = r->pos;
+  int64_t byte0 = pos >> 3;
+  uint32_t chunk = 0;
+  for (int i = 0; i < 4; i++) {
+    int64_t bi = byte0 + i;
+    chunk = (chunk << 8) | (bi * 8 < r->nbits ? r->data[bi] : 0);
+  }
+  return (chunk >> (32 - (int)(pos - byte0 * 8) - 16)) & 0xffff;
+}
+
+static inline uint32_t br_ue(BitReader* r) {
+  // count leading zeros via a 32-bit window
+  int lz = 0;
+  while (true) {
+    uint32_t w = br_peek16(r);
+    if (w == 0) {
+      r->pos += 16;
+      lz += 16;
+      if (lz > 40) return 0;  // corrupt
+      continue;
+    }
+    int l = __builtin_clz(w) - 16;
+    lz += l;
+    r->pos += l + 1;  // zeros + the marker 1
+    break;
+  }
+  if (lz == 0) return 0;
+  return (1u << lz) - 1 + br_u(r, lz);
+}
+
+static inline int32_t br_se(BitReader* r) {
+  uint32_t k = br_ue(r);
+  return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+}
+
+static inline uint32_t br_te(BitReader* r, int maxv) {
+  if (maxv == 1) return 1 - br_u(r, 1);
+  return br_ue(r);
+}
+
+static inline void br_align(BitReader* r) { r->pos = (r->pos + 7) & ~7LL; }
+
+static inline bool br_more_rbsp(BitReader* r) { return r->pos < r->stop_bit; }
+
+static inline int read_vlc(BitReader* r, const VlcEntry* tab, int n) {
+  uint32_t w = br_peek16(r);
+  for (int i = 0; i < n; i++) {
+    int len = tab[i].len;
+    if ((w >> (16 - len)) == tab[i].bits) {
+      r->pos += len;
+      return tab[i].value;
+    }
+  }
+  return -1;  // corrupt stream
+}
+
+// ---------------------------------------------------------------------------
+// CABAC engine (spec 9.3.3.2)
+// ---------------------------------------------------------------------------
+
+struct Cabac {
+  BitReader* r;
+  int32_t range, offset;
+  uint8_t state[1024];
+  uint8_t mps[1024];
+};
+
+static inline int clip3(int lo, int hi, int v) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+static void cabac_init(Cabac* c, BitReader* r, int qp, int intra_slice,
+                       int init_idc) {
+  while (r->pos & 7) br_u(r, 1);  // cabac_alignment_one_bit
+  c->r = r;
+  c->range = 510;
+  c->offset = br_u(r, 9);
+  const int(*tab)[2] = intra_slice  ? kCtxInitI
+                       : init_idc == 0 ? kCtxInitPB0
+                       : init_idc == 1 ? kCtxInitPB1
+                                       : kCtxInitPB2;
+  int q = clip3(0, 51, qp);
+  for (int i = 0; i < 1024; i++) {
+    int pre = clip3(1, 126, ((tab[i][0] * q) >> 4) + tab[i][1]);
+    if (pre <= 63) {
+      c->state[i] = 63 - pre;
+      c->mps[i] = 0;
+    } else {
+      c->state[i] = pre - 64;
+      c->mps[i] = 1;
+    }
+  }
+}
+
+static inline int cb_bit(Cabac* c) {
+  BitReader* r = c->r;
+  if (r->pos < r->nbits) return br_u(r, 1);
+  r->pos++;
+  return 0;
+}
+
+static inline int cb_dec(Cabac* c, int ctx) {
+  int st = c->state[ctx];
+  int rng = c->range;
+  int lps = kRangeLPS[st][(rng >> 6) & 3];
+  rng -= lps;
+  int off = c->offset;
+  int bin;
+  if (off >= rng) {
+    off -= rng;
+    rng = lps;
+    bin = 1 - c->mps[ctx];
+    if (st == 0) c->mps[ctx] ^= 1;
+    c->state[ctx] = kTransLPS[st];
+  } else {
+    bin = c->mps[ctx];
+    c->state[ctx] = kTransMPS[st];
+  }
+  while (rng < 256) {
+    rng <<= 1;
+    off = (off << 1) | cb_bit(c);
+  }
+  c->range = rng;
+  c->offset = off;
+  return bin;
+}
+
+static inline int cb_bypass(Cabac* c) {
+  int off = (c->offset << 1) | cb_bit(c);
+  if (off >= c->range) {
+    c->offset = off - c->range;
+    return 1;
+  }
+  c->offset = off;
+  return 0;
+}
+
+static inline int cb_term(Cabac* c) {
+  c->range -= 2;
+  if (c->offset >= c->range) return 1;
+  while (c->range < 256) {
+    c->range <<= 1;
+    c->offset = (c->offset << 1) | cb_bit(c);
+  }
+  return 0;
+}
+
+static inline void cb_flush(Cabac* c) {
+  c->range = 2;
+  while (c->range < 256) {
+    c->range <<= 1;
+    c->offset = (c->offset << 1) | cb_bit(c);
+  }
+}
+
+static inline void cb_reinit(Cabac* c) {
+  c->range = 510;
+  c->offset = br_u(c->r, 9);
+}
+
+static inline int cb_ueg_suffix(Cabac* c, int k) {
+  int v = 0;
+  while (cb_bypass(c)) {
+    v += 1 << k;
+    k++;
+    if (k > 30) break;
+  }
+  while (k > 0) {
+    k--;
+    v += cb_bypass(c) << k;
+  }
+  return v;
+}
+
+// ---------------------------------------------------------------------------
+// Parameter / buffer structs (ctypes mirror: entropy/native.py)
+// ---------------------------------------------------------------------------
+
+struct SliceParams {
+  int32_t cabac;          // entropy_coding_mode
+  int32_t slice_type;     // 0 P, 1 B, 2 I (mod-5 already applied; SP->P, SI->I)
+  int32_t slice_qp;
+  int32_t cabac_init_idc;
+  int32_t first_mb;
+  int32_t mb_w, mb_h;
+  int32_t n_ref0, n_ref1;
+  int32_t transform8x8_mode;
+  int32_t constrained_intra;
+  int32_t chroma_format;   // ChromaArrayType (1 supported)
+  int32_t direct_8x8_inference;
+  int32_t spatial_direct;
+  int32_t disable_deblock;
+  int32_t alpha_off, beta_off;
+  int32_t slice_id;
+  int32_t cur_poc;
+  int32_t col_short_term;
+  int32_t col_poc;
+  int32_t n_col;          // 1 if colocated grids provided
+  const int32_t* ref_uids0;  // [n_ref0]
+  const int32_t* ref_uids1;
+  const int32_t* l0_pocs;
+  const uint8_t* l0_lt;
+  const int32_t* col_mv;      // [H4*W4*2]
+  const int8_t* col_ref_idx;  // [H4*W4]
+  const int32_t* col_ref_uid; // [H4*W4]
+};
+
+struct FrameBuffers {
+  int8_t* mb_class;
+  uint8_t* transform8x8;
+  int8_t* qp;
+  uint8_t* cbp;
+  int8_t* intra4x4_modes;  // [n][16]
+  int8_t* intra16_mode;
+  int8_t* chroma_mode;
+  int16_t* luma_ac;   // [n][16][16]
+  int16_t* luma_dc;   // [n][16]
+  int16_t* luma8_ac;  // [n][4][64]
+  int16_t* chroma_dc; // [n][2][4]
+  int16_t* chroma_ac; // [n][2][4][16]
+  int16_t* mv;        // [n][2][16][2]
+  int8_t* ref_idx;    // [n][2][4]
+  uint8_t* pred_flags;// [n][2][4]
+  int32_t* ref_pic;   // [n][2][4]
+  int32_t* slice_id;
+  int8_t* disable_deblock;
+  int8_t* alpha_off;
+  int8_t* beta_off;
+  int8_t* cbf_dc;     // [n][3]
+  int8_t* luma_nnz;   // [H4][W4]
+  int8_t* chroma_nnz; // [2][H2][W2]
+  // motion grids
+  int32_t* g_mv;      // [2][H4][W4][2]
+  int8_t* g_ref;      // [2][H4][W4]
+  int8_t* g_refctx;   // [2][H4][W4]
+  int32_t* g_absmvd;  // [2][H4][W4][2]
+  int8_t* mode_grid;  // [H4][W4]
+  int32_t* decode_order;  // [n]
+  int32_t* n_decoded;     // scalar out
+  uint8_t* pcm_y;     // [mb_h*16][mb_w*16]
+  uint8_t* pcm_cb;    // [mb_h*8][mb_w*8]
+  uint8_t* pcm_cr;
+};
+
+// MB classes (tensors/frame_tensors.py)
+enum { MB_I_NXN = 0, MB_I_16X16 = 1, MB_I_PCM = 2, MB_P = 3, MB_P_SKIP = 4,
+       MB_B = 5, MB_B_SKIP = 6, MB_B_DIRECT = 7 };
+enum { UNAVAIL = -2, NO_LIST = -1 };
+
+struct Ctx {
+  const SliceParams* p;
+  FrameBuffers* f;
+  BitReader r;
+  Cabac c;
+  int mb_w, mb_h, n, H4, W4, H2, W2;
+  int qp_prev;
+  int last_qp_delta;
+  int is_cabac;
+};
+
+// ---------------------------------------------------------------------------
+// Shared helpers (slice_base.py)
+// ---------------------------------------------------------------------------
+
+static inline bool mb_avail(Ctx* t, int naddr) {
+  return naddr >= 0 && naddr < t->n && t->f->slice_id[naddr] == t->p->slice_id;
+}
+
+static inline int nbr_mb(Ctx* t, int addr, int dx, int dy) {
+  int mbx = addr % t->mb_w, mby = addr / t->mb_w;
+  int nx = mbx + dx, ny = mby + dy;
+  if (nx < 0 || ny < 0 || nx >= t->mb_w) return -1;
+  int naddr = ny * t->mb_w + nx;
+  return mb_avail(t, naddr) ? naddr : -1;
+}
+
+static int pred_intra_mode(Ctx* t, int gx, int gy) {
+  int modes[2];
+  int coords[2][2] = {{gx - 1, gy}, {gx, gy - 1}};
+  for (int i = 0; i < 2; i++) {
+    int nx = coords[i][0], ny = coords[i][1];
+    if (nx < 0 || ny < 0) { modes[i] = -1; continue; }
+    int naddr = (ny >> 2) * t->mb_w + (nx >> 2);
+    if (!mb_avail(t, naddr)) { modes[i] = -1; continue; }
+    if (t->p->constrained_intra && t->f->mb_class[naddr] >= 3) { modes[i] = -1; continue; }
+    int m = t->f->mode_grid[ny * t->W4 + nx];
+    modes[i] = m < 0 ? 2 : m;
+  }
+  int pred = modes[0] < modes[1] ? modes[0] : modes[1];
+  return pred < 0 ? 2 : pred;
+}
+
+static inline int update_qp(Ctx* t, int delta) {
+  t->qp_prev = (t->qp_prev + delta + 52) % 52;
+  return t->qp_prev;
+}
+
+static void store_part(Ctx* t, int addr, int dx, int dy, int w, int h,
+                       int mvx, int mvy, int ref, int lst) {
+  FrameBuffers* f = t->f;
+  const int32_t* uids = lst == 0 ? t->p->ref_uids0 : t->p->ref_uids1;
+  int n_uids = lst == 0 ? t->p->n_ref0 : t->p->n_ref1;
+  for (int cy = dy; cy < dy + h; cy++)
+    for (int cx = dx; cx < dx + w; cx++) {
+      int blk = cy * 4 + cx;
+      f->mv[((addr * 2 + lst) * 16 + blk) * 2 + 0] = (int16_t)mvx;
+      f->mv[((addr * 2 + lst) * 16 + blk) * 2 + 1] = (int16_t)mvy;
+    }
+  for (int py = dy / 2; py < (dy + h + 1) / 2; py++)
+    for (int px = dx / 2; px < (dx + w + 1) / 2; px++) {
+      int part = py * 2 + px;
+      f->ref_idx[(addr * 2 + lst) * 4 + part] = (int8_t)ref;
+      f->pred_flags[(addr * 2 + lst) * 4 + part] = ref >= 0 ? 1 : 0;
+      f->ref_pic[(addr * 2 + lst) * 4 + part] =
+          (ref >= 0 && ref < n_uids) ? uids[ref] : -1;
+    }
+}
+
+static inline void g_set_cells(Ctx* t, int lst, int bx, int by, int w, int h,
+                               int mvx, int mvy, int ref) {
+  FrameBuffers* f = t->f;
+  for (int y = by; y < by + h; y++)
+    for (int x = bx; x < bx + w; x++) {
+      int idx = (lst * t->H4 + y) * t->W4 + x;
+      f->g_mv[idx * 2 + 0] = mvx;
+      f->g_mv[idx * 2 + 1] = mvy;
+      f->g_ref[idx] = (int8_t)ref;
+      f->g_refctx[idx] = (int8_t)ref;
+    }
+}
+
+static inline void g_set_absmvd(Ctx* t, int lst, int bx, int by, int w, int h,
+                                int ax, int ay) {
+  FrameBuffers* f = t->f;
+  for (int y = by; y < by + h; y++)
+    for (int x = bx; x < bx + w; x++) {
+      int idx = (lst * t->H4 + y) * t->W4 + x;
+      f->g_absmvd[idx * 2 + 0] = ax;
+      f->g_absmvd[idx * 2 + 1] = ay;
+    }
+}
+
+static void set_intra_cells(Ctx* t, int addr) {
+  int mbx = addr % t->mb_w, mby = addr / t->mb_w;
+  for (int lst = 0; lst < 2; lst++)
+    for (int y = mby * 4; y < mby * 4 + 4; y++)
+      for (int x = mbx * 4; x < mbx * 4 + 4; x++) {
+        int idx = (lst * t->H4 + y) * t->W4 + x;
+        t->f->g_mv[idx * 2] = 0;
+        t->f->g_mv[idx * 2 + 1] = 0;
+        t->f->g_ref[idx] = NO_LIST;
+        t->f->g_refctx[idx] = NO_LIST;
+      }
+}
+
+// mv_pred.py: cell lookup with availability semantics
+static inline void cell(Ctx* t, int lst, int cx, int cy, int* mvx, int* mvy,
+                        int* ref) {
+  if (cx < 0 || cy < 0 || cx >= t->W4 || cy >= t->H4) {
+    *mvx = *mvy = 0; *ref = UNAVAIL; return;
+  }
+  int naddr = (cy >> 2) * t->mb_w + (cx >> 2);
+  if (t->f->slice_id[naddr] != t->p->slice_id) {
+    *mvx = *mvy = 0; *ref = UNAVAIL; return;
+  }
+  int idx = (lst * t->H4 + cy) * t->W4 + cx;
+  int r = t->f->g_ref[idx];
+  if (r == UNAVAIL) { *mvx = *mvy = 0; *ref = UNAVAIL; return; }
+  *mvx = t->f->g_mv[idx * 2];
+  *mvy = t->f->g_mv[idx * 2 + 1];
+  *ref = r;
+}
+
+static inline int med3(int a, int b, int c) {
+  int mx = a > b ? a : b; mx = mx > c ? mx : c;
+  int mn = a < b ? a : b; mn = mn < c ? mn : c;
+  return a + b + c - mx - mn;
+}
+
+// part_shape: 0 none, 1 16x8, 2 8x16
+static void predict_mv(Ctx* t, int lst, int ref, int bx, int by, int w, int h,
+                       int shape, int part_idx, int* px, int* py) {
+  int amx, amy, ar, bmx, bmy, br, cmx, cmy, cr;
+  cell(t, lst, bx - 1, by, &amx, &amy, &ar);
+  cell(t, lst, bx, by - 1, &bmx, &bmy, &br);
+  cell(t, lst, bx + w, by - 1, &cmx, &cmy, &cr);
+  if (cr == UNAVAIL) cell(t, lst, bx - 1, by - 1, &cmx, &cmy, &cr);
+  if (shape == 1) {
+    if (part_idx == 0 && br == ref) { *px = bmx; *py = bmy; return; }
+    if (part_idx == 1 && ar == ref) { *px = amx; *py = amy; return; }
+  } else if (shape == 2) {
+    if (part_idx == 0 && ar == ref) { *px = amx; *py = amy; return; }
+    if (part_idx == 1 && cr == ref) { *px = cmx; *py = cmy; return; }
+  }
+  int match = (ar == ref) + (br == ref) + (cr == ref);
+  if (match == 1) {
+    if (ar == ref) { *px = amx; *py = amy; }
+    else if (br == ref) { *px = bmx; *py = bmy; }
+    else { *px = cmx; *py = cmy; }
+    return;
+  }
+  if (match == 0 && br == UNAVAIL && cr == UNAVAIL && ar != UNAVAIL) {
+    *px = amx; *py = amy; return;
+  }
+  *px = med3(amx, bmx, cmx);
+  *py = med3(amy, bmy, cmy);
+}
+
+static void skip_mv(Ctx* t, int bx, int by, int* px, int* py) {
+  int amx, amy, ar, bmx, bmy, br;
+  cell(t, 0, bx - 1, by, &amx, &amy, &ar);
+  cell(t, 0, bx, by - 1, &bmx, &bmy, &br);
+  if (ar == UNAVAIL || br == UNAVAIL ||
+      (ar == 0 && amx == 0 && amy == 0) || (br == 0 && bmx == 0 && bmy == 0)) {
+    *px = 0; *py = 0; return;
+  }
+  predict_mv(t, 0, 0, bx, by, 4, 4, 0, 0, px, py);
+}
+
+static void mb_prelude(Ctx* t, int addr) {
+  FrameBuffers* f = t->f;
+  f->slice_id[addr] = t->p->slice_id;
+  f->decode_order[(*f->n_decoded)++] = addr;
+  f->disable_deblock[addr] = (int8_t)t->p->disable_deblock;
+  f->alpha_off[addr] = (int8_t)t->p->alpha_off;
+  f->beta_off[addr] = (int8_t)t->p->beta_off;
+}
+
+// ---------------------------------------------------------------------------
+// Direct derivation (direct.py)
+// ---------------------------------------------------------------------------
+
+static inline int min_positive(int a, int b) {
+  if (a >= 0 && b >= 0) return a < b ? a : b;
+  return a > b ? a : b;
+}
+
+struct DirectCell { int mv0x, mv0y, ref0, mv1x, mv1y, ref1; };
+
+static const int kInferCorner[4][2] = {{0, 0}, {3, 0}, {0, 3}, {3, 3}};
+
+static void derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
+  const SliceParams* p = t->p;
+  if (p->spatial_direct) {
+    int refs[2], mvs[2][2];
+    for (int lst = 0; lst < 2; lst++) {
+      int amx, amy, ar, bmx, bmy, br, cmx, cmy, cr;
+      cell(t, lst, bx0 - 1, by0, &amx, &amy, &ar);
+      cell(t, lst, bx0, by0 - 1, &bmx, &bmy, &br);
+      cell(t, lst, bx0 + 4, by0 - 1, &cmx, &cmy, &cr);
+      if (cr == UNAVAIL) cell(t, lst, bx0 - 1, by0 - 1, &cmx, &cmy, &cr);
+      int rr = min_positive(ar, min_positive(br, cr));
+      if (rr < 0) rr = -1;
+      refs[lst] = rr;
+      if (rr >= 0) {
+        predict_mv(t, lst, rr, bx0, by0, 4, 4, 0, 0, &mvs[lst][0], &mvs[lst][1]);
+      } else {
+        mvs[lst][0] = mvs[lst][1] = 0;
+      }
+    }
+    bool direct_zero = refs[0] < 0 && refs[1] < 0;
+    if (direct_zero) { refs[0] = refs[1] = 0; mvs[0][0] = mvs[0][1] = mvs[1][0] = mvs[1][1] = 0; }
+    for (int q = 0; q < 4; q++) {
+      int qx = bx0 + (q % 2) * 2, qy = by0 + (q / 2) * 2;
+      for (int sy = 0; sy < 2; sy++)
+        for (int sx = 0; sx < 2; sx++) {
+          int cx = qx + sx, cy = qy + sy;
+          int ccx = cx, ccy = cy;
+          if (p->direct_8x8_inference) {
+            ccx = bx0 + kInferCorner[q][0];
+            ccy = by0 + kInferCorner[q][1];
+          }
+          bool col_zero = false;
+          if (!direct_zero && p->n_col && p->col_short_term) {
+            int cref = p->col_ref_idx[ccy * t->W4 + ccx];
+            int cmvx = p->col_mv[(ccy * t->W4 + ccx) * 2];
+            int cmvy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
+            col_zero = (cref == 0 && cmvx >= -1 && cmvx <= 1 && cmvy >= -1 && cmvy <= 1);
+          }
+          DirectCell* dc = &out[(cy - by0) * 4 + (cx - bx0)];
+          dc->ref0 = dc->ref1 = -1;
+          dc->mv0x = dc->mv0y = dc->mv1x = dc->mv1y = 0;
+          for (int lst = 0; lst < 2; lst++) {
+            if (refs[lst] >= 0) {
+              int mx = mvs[lst][0], my = mvs[lst][1];
+              if (direct_zero || (col_zero && refs[lst] == 0)) { mx = 0; my = 0; }
+              if (lst == 0) { dc->mv0x = mx; dc->mv0y = my; dc->ref0 = refs[lst]; }
+              else { dc->mv1x = mx; dc->mv1y = my; dc->ref1 = refs[lst]; }
+            }
+          }
+        }
+    }
+  } else {
+    // temporal direct (8.4.1.2.3)
+    for (int q = 0; q < 4; q++) {
+      int qx = bx0 + (q % 2) * 2, qy = by0 + (q / 2) * 2;
+      for (int sy = 0; sy < 2; sy++)
+        for (int sx = 0; sx < 2; sx++) {
+          int cx = qx + sx, cy = qy + sy;
+          int ccx = cx, ccy = cy;
+          if (p->direct_8x8_inference) {
+            ccx = bx0 + kInferCorner[q][0];
+            ccy = by0 + kInferCorner[q][1];
+          }
+          int ref0 = 0, mcx = 0, mcy = 0;
+          if (p->n_col && p->col_ref_idx[ccy * t->W4 + ccx] >= 0) {
+            mcx = p->col_mv[(ccy * t->W4 + ccx) * 2];
+            mcy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
+            int uid = p->col_ref_uid[ccy * t->W4 + ccx];
+            ref0 = 0;
+            for (int i = 0; i < p->n_ref0; i++)
+              if (p->ref_uids0[i] == uid) { ref0 = i; break; }
+          }
+          int poc0 = p->l0_pocs[ref0];
+          int lt0 = p->l0_lt[ref0];
+          int poc1 = p->col_poc;
+          DirectCell* dc = &out[(cy - by0) * 4 + (cx - bx0)];
+          if (lt0 || poc1 == poc0) {
+            dc->mv0x = mcx; dc->mv0y = mcy;
+            dc->mv1x = 0; dc->mv1y = 0;
+          } else {
+            int tb = clip3(-128, 127, p->cur_poc - poc0);
+            int td = clip3(-128, 127, poc1 - poc0);
+            int tx;
+            if (td > 0) tx = (16384 + (td < 0 ? -td : td) / 2) / td;
+            else tx = -((16384 + (td < 0 ? -td : td) / 2) / -td);
+            int dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6);
+            dc->mv0x = (dsf * mcx + 128) >> 8;
+            dc->mv0y = (dsf * mcy + 128) >> 8;
+            dc->mv1x = dc->mv0x - mcx;
+            dc->mv1y = dc->mv0y - mcy;
+          }
+          dc->ref0 = ref0;
+          dc->ref1 = 0;
+        }
+    }
+  }
+}
+
+static void store_direct(Ctx* t, int addr, DirectCell cells[16], int quad) {
+  int bx0 = (addr % t->mb_w) * 4, by0 = (addr / t->mb_w) * 4;
+  int qs = quad < 0 ? 0 : quad, qe = quad < 0 ? 4 : quad + 1;
+  for (int q = qs; q < qe; q++)
+    for (int sy = 0; sy < 2; sy++)
+      for (int sx = 0; sx < 2; sx++) {
+        int dx = (q % 2) * 2 + sx, dy = (q / 2) * 2 + sy;
+        DirectCell* dc = &cells[dy * 4 + dx];
+        g_set_cells(t, 0, bx0 + dx, by0 + dy, 1, 1, dc->mv0x, dc->mv0y,
+                    dc->ref0 >= 0 ? dc->ref0 : -1);
+        g_set_cells(t, 1, bx0 + dx, by0 + dy, 1, 1, dc->mv1x, dc->mv1y,
+                    dc->ref1 >= 0 ? dc->ref1 : -1);
+        store_part(t, addr, dx, dy, 1, 1, dc->mv0x, dc->mv0y, dc->ref0, 0);
+        store_part(t, addr, dx, dy, 1, 1, dc->mv1x, dc->mv1y, dc->ref1, 1);
+      }
+}
+
+static void clear_nnz_mb(Ctx* t, int addr, int val) {
+  int mbx = addr % t->mb_w, mby = addr / t->mb_w;
+  for (int y = 0; y < 4; y++)
+    for (int x = 0; x < 4; x++)
+      t->f->luma_nnz[(mby * 4 + y) * t->W4 + mbx * 4 + x] = (int8_t)val;
+  for (int comp = 0; comp < 2; comp++)
+    for (int y = 0; y < 2; y++)
+      for (int x = 0; x < 2; x++)
+        t->f->chroma_nnz[(comp * t->H2 + mby * 2 + y) * t->W2 + mbx * 2 + x] =
+            (int8_t)val;
+}
+
+static void decode_p_skip(Ctx* t, int addr) {
+  mb_prelude(t, addr);
+  FrameBuffers* f = t->f;
+  f->mb_class[addr] = MB_P_SKIP;
+  f->qp[addr] = (int8_t)t->qp_prev;
+  f->cbp[addr] = 0;
+  int bx = (addr % t->mb_w) * 4, by = (addr / t->mb_w) * 4;
+  int mvx, mvy;
+  skip_mv(t, bx, by, &mvx, &mvy);
+  g_set_cells(t, 0, bx, by, 4, 4, mvx, mvy, 0);
+  for (int y = by; y < by + 4; y++)
+    for (int x = bx; x < bx + 4; x++) {
+      t->f->g_ref[(1 * t->H4 + y) * t->W4 + x] = NO_LIST;
+      t->f->g_refctx[(1 * t->H4 + y) * t->W4 + x] = NO_LIST;
+    }
+  store_part(t, addr, 0, 0, 4, 4, mvx, mvy, 0, 0);
+  clear_nnz_mb(t, addr, 0);
+}
+
+static void decode_b_skip(Ctx* t, int addr) {
+  mb_prelude(t, addr);
+  FrameBuffers* f = t->f;
+  f->mb_class[addr] = MB_B_SKIP;
+  f->qp[addr] = (int8_t)t->qp_prev;
+  f->cbp[addr] = 0;
+  DirectCell cells[16];
+  derive_direct(t, (addr % t->mb_w) * 4, (addr / t->mb_w) * 4, cells);
+  store_direct(t, addr, cells, -1);
+  clear_nnz_mb(t, addr, 0);
+}
+
+#include "entropy_cavlc.inc"
+#include "entropy_cabac.inc"
+
+// ---------------------------------------------------------------------------
+// Slice decode entry point
+// ---------------------------------------------------------------------------
+
+int decode_slice(const uint8_t* rbsp, int64_t rbsp_len, int64_t start_bit,
+                 const SliceParams* p, FrameBuffers* f) {
+  Ctx t;
+  t.p = p;
+  t.f = f;
+  t.mb_w = p->mb_w;
+  t.mb_h = p->mb_h;
+  t.n = p->mb_w * p->mb_h;
+  t.H4 = p->mb_h * 4;
+  t.W4 = p->mb_w * 4;
+  t.H2 = p->mb_h * 2;
+  t.W2 = p->mb_w * 2;
+  t.qp_prev = p->slice_qp;
+  t.last_qp_delta = 0;
+  t.is_cabac = p->cabac;
+  br_init(&t.r, rbsp, rbsp_len, start_bit);
+  if (p->cabac) return decode_slice_cabac(&t);
+  return decode_slice_cavlc(&t);
+}
+
+}  // extern "C"
