@@ -29,6 +29,15 @@ def _load():
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
+        # build on demand (sources ship with the repo; binary is gitignored)
+        src_dir = os.path.dirname(_LIB_PATH)
+        if os.path.exists(os.path.join(src_dir, "Makefile")):
+            import subprocess
+
+            subprocess.run(
+                ["make", "-C", src_dir], capture_output=True, check=False
+            )
+    if not os.path.exists(_LIB_PATH):
         return None
     _lib = ctypes.CDLL(_LIB_PATH)
     _lib.decode_slice.restype = c_int32

@@ -67,12 +67,19 @@ def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
 
 
 class Decoder:
-    """Stateful stream decoder with DPB/POC picture management."""
+    """Stateful stream decoder with DPB/POC picture management.
 
-    def __init__(self, apply_deblock: bool = True):
+    error_policy: "strict" raises on corrupt data; "skip" degrades
+    per-slice/per-picture and keeps decoding (SURVEY.md section 5 — the
+    reference is crash-only: panic/recover + os.Exit, h264/server.go:136).
+    """
+
+    def __init__(self, apply_deblock: bool = True, error_policy: str = "strict"):
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self.apply_deblock = apply_deblock
+        self.error_policy = error_policy
+        self.error_count = 0
         self._cur: list[tuple[SliceHeader, SPS, PPS, object]] = []
         self.poc_ctx: POCContext | None = None
         self.dpb: DPB | None = None
@@ -90,14 +97,31 @@ class Decoder:
                 p = parse_pps(nal.rbsp, self.sps_map)
                 self.pps_map[p.pic_parameter_set_id] = p
             elif nal.is_vcl:
-                hdr, sps, pps, r = parse_slice_header(
-                    nal.rbsp, nal, self.sps_map, self.pps_map
-                )
+                try:
+                    hdr, sps, pps, r = parse_slice_header(
+                        nal.rbsp, nal, self.sps_map, self.pps_map
+                    )
+                except Exception:
+                    if self.error_policy == "strict":
+                        raise
+                    self.error_count += 1
+                    continue
                 if hdr.first_mb_in_slice == 0 and self._cur:
-                    frames.append(self._finish_picture())
+                    try:
+                        frames.append(self._finish_picture())
+                    except Exception:
+                        if self.error_policy == "strict":
+                            raise
+                        self.error_count += 1
+                        self._cur = []
                 self._cur.append((hdr, sps, pps, r))
         if self._cur:
-            frames.append(self._finish_picture())
+            try:
+                frames.append(self._finish_picture())
+            except Exception:
+                if self.error_policy == "strict":
+                    raise
+                self.error_count += 1
         # output order: POC within each IDR group (spec C.4 bumping, simplified)
         frames.sort(key=lambda f: (f.idr_group, f.poc))
         return frames
