@@ -43,6 +43,7 @@ class IntraFrameReconstructor:
         self.ref_lists = ref_lists or []
         self.weight_ctx = weight_ctx or []
         self.cur_poc = cur_poc
+        self.bypass_enabled = bool(sps.qpprime_y_zero_transform_bypass_flag)
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
         self.y = np.zeros((self.H, self.W), np.uint8)
@@ -116,6 +117,22 @@ class IntraFrameReconstructor:
         self.cell_done[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         self.mb_done[addr] = True
 
+    def _bypass(self, addr) -> bool:
+        """TransformBypassModeFlag (spec 8.5.15): lossless coding when the
+        SPS enables qpprime_y_zero_transform_bypass and the MB's QP' is 0."""
+        return self.bypass_enabled and int(self.ft.qp[addr]) == 0
+
+    @staticmethod
+    def _dpcm(pred, res, mode):
+        """8.5.15 intra bypass: vertical(0)/horizontal(1) prediction turns
+        into DPCM along the prediction direction; other modes add raw
+        residual to the normal prediction."""
+        if mode == 0:  # vertical: accumulate down columns from the top refs
+            return pred + np.cumsum(res, axis=0)
+        if mode == 1:  # horizontal: accumulate along rows
+            return pred + np.cumsum(res, axis=1)
+        return pred + res
+
     # ------------------------------------------------------------- Intra 4x4
 
     def _refs_4x4(self, addr, gx, gy):
@@ -152,9 +169,12 @@ class IntraFrameReconstructor:
             left, top, tr, corner = self._refs_4x4(addr, gx, gy)
             pred = rr.intra4x4_predict(mode, left, top, tr, corner)
             c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
-            d = rr.dequant_4x4_ac(c, ls, qp)
-            res = rr.idct_4x4(d)
-            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(pred + res).astype(np.uint8)
+            if self._bypass(addr):
+                out = self._dpcm(pred, c, mode)
+            else:
+                d = rr.dequant_4x4_ac(c, ls, qp)
+                out = pred + rr.idct_4x4(d)
+            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out).astype(np.uint8)
             self.cell_done[gy, gx] = True
 
     # ------------------------------------------------------------- Intra 8x8
@@ -176,12 +196,15 @@ class IntraFrameReconstructor:
 
             c[ZIGZAG_8x8] = scan
             c = c.reshape(8, 8)
-            if qp >= 36:
-                d = (c * ls8) << (qp // 6 - 6)
+            if self._bypass(addr):
+                out = self._dpcm(pred, c, mode)
             else:
-                d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
-            res = rr.idct_8x8(d)
-            self.y[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(pred + res).astype(np.uint8)
+                if qp >= 36:
+                    d = (c * ls8) << (qp // 6 - 6)
+                else:
+                    d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+                out = pred + rr.idct_8x8(d)
+            self.y[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(out).astype(np.uint8)
             self.cell_done[gy : gy + 2, gx : gx + 2] = True
 
     def _intra8x8_pred(self, addr, gx, gy, mode):
@@ -220,13 +243,24 @@ class IntraFrameReconstructor:
         left = self.y[y0 : y0 + 16, x0 - 1].astype(np.int32) if have_l else None
         top = self.y[y0 - 1, x0 : x0 + 16].astype(np.int32) if have_t else None
         corner = int(self.y[y0 - 1, x0 - 1]) if (have_l and have_t) else None
-        pred = rr.intra16x16_predict(int(ft.intra16_mode[addr]), left, top, corner)
-        # DC path (8.5.10)
+        mode16 = int(ft.intra16_mode[addr])
+        pred = rr.intra16x16_predict(mode16, left, top, corner)
         dc_scan = ft.luma_dc[addr].astype(np.int32)
         dc = rr.dezigzag_4x4(dc_scan)
+        mb = np.zeros((16, 16), np.int32)
+        if self._bypass(addr):
+            # 8.5.15: DC/AC levels are the raw residual samples
+            for blk in range(16):
+                bx, by = LUMA_BLK_XY[blk]
+                c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+                c[0, 0] = dc[by, bx]
+                mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
+            self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(
+                self._dpcm(pred, mb, mode16)
+            ).astype(np.uint8)
+            return
         f = rr.hadamard_4x4(dc)
         dcy = rr.luma_dc_dequant(f, int(ls[0, 0]), qp)
-        mb = np.zeros((16, 16), np.int32)
         for blk in range(16):
             bx, by = LUMA_BLK_XY[blk]
             c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
@@ -346,6 +380,37 @@ class IntraFrameReconstructor:
         qp = int(ft.qp[addr])
         x0, y0 = mbx * 16, mby * 16
         res = np.zeros((16, 16), np.int32)
+        if self._bypass(addr):
+            from ..tensors.frame_tensors import ZIGZAG_8x8
+
+            if ft.transform_8x8[addr] and ft.luma8_ac is not None:
+                for b8 in range(4):
+                    c = np.zeros(64, np.int32)
+                    c[ZIGZAG_8x8] = ft.luma8_ac[addr, b8]
+                    bx, by = b8 % 2, b8 // 2
+                    res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c.reshape(8, 8)
+            else:
+                for blk in range(16):
+                    bx, by = LUMA_BLK_XY[blk]
+                    res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.dezigzag_4x4(
+                        ft.luma_ac[addr, blk].astype(np.int32)
+                    )
+            self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred_y + res).astype(np.uint8)
+            if self.sps.chroma_array_type == 1:
+                for comp, (plane, pred) in enumerate(
+                    ((self.cb, pred_cb), (self.cr, pred_cr))
+                ):
+                    mbres = np.zeros((8, 8), np.int32)
+                    c2 = ft.chroma_dc[addr, comp].astype(np.int32).reshape(2, 2)
+                    for blk in range(4):
+                        bx, by = CHROMA_BLK_XY[blk]
+                        c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                        c[0, 0] = c2[by, bx]
+                        mbres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
+                    plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = rr.clip1(
+                        pred + mbres
+                    ).astype(np.uint8)
+            return
         if ft.transform_8x8[addr] and ft.luma8_ac is not None:
             ls8 = self.ls8[1][qp % 6]  # 8x8 list 1: Inter Y
             from ..tensors.frame_tensors import ZIGZAG_8x8
@@ -418,8 +483,20 @@ class IntraFrameReconstructor:
             pred = rr.intra_chroma_predict(mode, left, top, corner, None)
             dc_scan = ft.chroma_dc[addr, comp].astype(np.int32)
             c2 = dc_scan.reshape(2, 2)  # raster scan per 8.5.11 note
-            dcc = rr.chroma_dc_dequant(c2, int(ls[0, 0]), qpc)
             mb = np.zeros((8, 8), np.int32)
+            if self.bypass_enabled and qpc == 0 and int(ft.qp[addr]) == 0:
+                for blk in range(4):
+                    bx, by = CHROMA_BLK_XY[blk]
+                    c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                    c[0, 0] = c2[by, bx]
+                    mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
+                # chroma modes: 1 horizontal, 2 vertical (8.3.4 numbering)
+                dmode = 1 if mode == 1 else (0 if mode == 2 else -1)
+                plane[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(
+                    self._dpcm(pred, mb, dmode)
+                ).astype(np.uint8)
+                continue
+            dcc = rr.chroma_dc_dequant(c2, int(ls[0, 0]), qpc)
             for blk in range(4):
                 bx, by = CHROMA_BLK_XY[blk]
                 c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))

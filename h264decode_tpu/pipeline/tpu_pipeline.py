@@ -204,6 +204,11 @@ class TpuDecoder(Decoder):
         return self._ring[0], self._ring[1], self._ring[2], n_refs
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+        if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
+            # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path
+            return super()._reconstruct(
+                ft, sps, pps, slices, ref_lists, weight_ctx, poc
+            )
         mb_h, mb_w = ft.mb_h, ft.mb_w
         n = ft.n_mbs
         # ---- unique reference pictures -> stack slots

@@ -99,3 +99,22 @@ class TestIntraHighProfile:
             extra_x264="cqm=jvt",
         )
         assert_bit_exact(bs)
+
+
+class TestLossless:
+    """High 4:4:4 Predictive transform bypass (spec 8.5.15): x264 qp=0
+    silently switches to lossless coding with H/V DPCM intra residuals."""
+
+    def test_lossless_i_cavlc(self, test_frames_64):
+        bs = lavc.encode_x264(test_frames_64[:1], qp=0, profile="main", cabac=False)
+        assert_bit_exact(bs)
+
+    def test_lossless_i_cabac(self, test_frames_64):
+        bs = lavc.encode_x264(test_frames_64[:1], qp=0, profile="main", cabac=True)
+        assert_bit_exact(bs)
+
+    def test_lossless_ip(self, test_frames_64):
+        bs = lavc.encode_x264(
+            test_frames_64[:3], qp=0, profile="main", cabac=True, bframes=0
+        )
+        assert_bit_exact(bs)
