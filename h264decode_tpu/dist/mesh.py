@@ -23,5 +23,7 @@ def make_mesh(n_gop: int | None = None, n_row: int | None = None) -> Mesh:
             n_row *= 2
         n_row = min(n_row, n)
         n_gop = n // n_row
-    assert n_gop * n_row == n, f"mesh {n_gop}x{n_row} != {n} devices"
-    return Mesh(devs.reshape(n_gop, n_row), axis_names=("gop", "row"))
+    assert n_gop * n_row <= n, f"mesh {n_gop}x{n_row} > {n} devices"
+    return Mesh(
+        devs[: n_gop * n_row].reshape(n_gop, n_row), axis_names=("gop", "row")
+    )

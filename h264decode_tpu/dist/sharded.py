@@ -32,7 +32,7 @@ from ..kernels.deblock import deblock_frame_tpu
 from ..kernels.intra import intra_wavefront
 
 
-def _band_recon(inp, mb_hl: int, mb_w: int, apply_deblock: bool):
+def _band_recon(inp, mb_hl: int, mb_w: int, apply_deblock: bool, qp_offsets=(0, 0)):
     """Reconstruct one row band (local geometry mb_hl x mb_w MBs).
     Mirrors pipeline/tpu_pipeline.frame_fn on band-local tensors; `inp`
     holds band-local per-MB/cell arrays plus FULL reference plane stacks."""
@@ -45,7 +45,7 @@ def _band_recon(inp, mb_hl: int, mb_w: int, apply_deblock: bool):
     )
     rcb, rcr = tr_k.chroma_residual_planes(
         inp["chroma_dc"], inp["chroma_ac"], inp["qp"], inp["is_intra"],
-        inp["ls4_c"], (0, 0), mb_hl, mb_w,
+        inp["ls4_c"], qp_offsets, mb_hl, mb_w,
     )
     # MC: band-local MVs gather from the full (all-gathered) reference stack;
     # row offset maps band coordinates into frame coordinates via the MV.
@@ -90,7 +90,7 @@ def _band_recon(inp, mb_hl: int, mb_w: int, apply_deblock: bool):
 
 
 def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
-                      apply_deblock: bool = True):
+                      apply_deblock: bool = True, qp_offsets=(0, 0)):
     """Build the jitted multi-chip decode step.
 
     Global input shapes (G = gop-axis size, leading axis):
@@ -117,12 +117,15 @@ def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
         "ref_luma_raw": P("gop", None, "row"),
         "ref_cb_raw": P("gop", None, "row"),
         "ref_cr_raw": P("gop", None, "row"),
-        "db_bs_v": mb_spec, "db_bs_h": mb_spec,
-        "db_ia_v": mb_spec, "db_ib_v": mb_spec,
-        "db_ia_h": mb_spec, "db_ib_h": mb_spec,
-        "db_ca_v": P("gop", None, "row"), "db_cb_v": P("gop", None, "row"),
-        "db_ca_h": P("gop", None, "row"), "db_cb_h": P("gop", None, "row"),
     }
+    if apply_deblock:
+        specs.update({
+            "db_bs_v": mb_spec, "db_bs_h": mb_spec,
+            "db_ia_v": mb_spec, "db_ib_v": mb_spec,
+            "db_ia_h": mb_spec, "db_ib_h": mb_spec,
+            "db_ca_v": P("gop", None, "row"), "db_cb_v": P("gop", None, "row"),
+            "db_ca_h": P("gop", None, "row"), "db_cb_h": P("gop", None, "row"),
+        })
     out_spec = (P("gop", "row"), P("gop", "row"), P("gop", "row"))
 
     @partial(
@@ -151,7 +154,7 @@ def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
         band["ref_cb"] = cbs
         band["ref_cr"] = crs
         band["band_row0"] = row_idx.astype(jnp.int32) * (mb_hl * 16)
-        y, cb, cr = _band_recon(band, mb_hl, mb_w, apply_deblock)
+        y, cb, cr = _band_recon(band, mb_hl, mb_w, apply_deblock, qp_offsets)
         return y[None], cb[None], cr[None]
 
     return jax.jit(step)

@@ -142,3 +142,26 @@ class TestHighProfileSPS:
         assert pps.transform_8x8_mode_flag in (True, False)
         assert len(sps.scaling_lists_4x4) == 6
         assert all(len(sl) == 16 for sl in sps.scaling_lists_4x4)
+
+
+class TestSequenceSwitch:
+    def test_concatenated_streams_resolution_switch(self):
+        """Two concatenated sequences with different geometry: parameter-set
+        replacement + DPB/POC reset at the IDR of the second sequence."""
+        from tests.conftest import make_test_frames
+        from h264decode_tpu.pipeline.decoder import decode_annexb
+
+        bs1 = lavc.encode_x264(
+            make_test_frames(2, 64, 64), qp=28, profile="baseline", bframes=0
+        )
+        bs2 = lavc.encode_x264(
+            make_test_frames(2, 144, 176, seed=5), qp=26, profile="baseline", bframes=0
+        )
+        data = bs1 + bs2
+        golden = lavc.decode_annexb(data)
+        ours = decode_annexb(data)
+        assert len(golden) == len(ours) == 4
+        for g, o in zip(golden, ours):
+            assert g.y.shape == o.y.shape
+            for gp, op in zip(g.planes(), o.planes()):
+                assert np.array_equal(gp, np.asarray(op))
