@@ -67,23 +67,13 @@ class ShardedDecoder(Decoder):
             ref_cb[i] = np.asarray(p.cb)
             ref_cr[i] = np.asarray(p.cr)
 
-        from ..pipeline.deblock_prep import _blk_to_cells, _mb_to_cells, _part_to_cells
-
-        H4, W4 = mb_h * 4, mb_w * 4
-        slot = np.full((2, H4, W4), -1, np.int32)
-        mv = np.zeros((2, H4, W4, 2), np.int32)
         slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
         for uid, sidx in uid_slot.items():
             slot_lut[uid] = sidx
-        for lst in range(2):
-            rp = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
-            slot[lst] = np.where(
-                rp >= 0, slot_lut[np.clip(rp, 0, len(slot_lut) - 1)], -1
-            )
-            mv[lst, ..., 0] = _blk_to_cells(ft.mv[:, lst, :, 0].astype(np.int32), mb_h, mb_w)
-            mv[lst, ..., 1] = _blk_to_cells(ft.mv[:, lst, :, 1].astype(np.int32), mb_h, mb_w)
-        intra_cell = _mb_to_cells(ft.mb_class < 3, mb_h, mb_w)
-        slot[:, intra_cell] = -1
+        rp = ft.ref_pic  # [n, 2, 4] picture uids
+        slot_parts = np.where(
+            rp >= 0, slot_lut[np.clip(rp, 0, len(slot_lut) - 1)], -1
+        ).astype(np.int8)
 
         kind = np.zeros(ft.n_mbs, np.int32)
         kind[(ft.mb_class == MB_I_NXN) & ~ft.transform_8x8] = K_I4
@@ -131,8 +121,8 @@ class ShardedDecoder(Decoder):
             "avt": g(avt.reshape(-1)),
             "avtr": g(avtr.reshape(-1)),
             "avtl": g(avtl.reshape(-1)),
-            "slot": g(slot),
-            "mv": g(mv),
+            "slot_parts": g(slot_parts),
+            "mv_parts": g(ft.mv),
             "ref_luma_raw": g(ref_y),
             "ref_cb_raw": g(ref_cb),
             "ref_cr_raw": g(ref_cr),

@@ -29,6 +29,7 @@ from jax.experimental.shard_map import shard_map
 from ..kernels import mc as mc_k
 from ..kernels import transform as tr_k
 from ..kernels.deblock import deblock_frame_tpu
+from ..kernels.deblock_prep_dev import expand_slot_mv
 from ..kernels.intra import intra_wavefront
 
 
@@ -49,23 +50,26 @@ def _band_recon(inp, mb_hl: int, mb_w: int, apply_deblock: bool, qp_offsets=(0, 
     )
     # MC: band-local MVs gather from the full (all-gathered) reference stack;
     # row offset maps band coordinates into frame coordinates via the MV.
+    slot, mv = expand_slot_mv(
+        inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_hl, mb_w
+    )
     row0 = inp["band_row0"]  # scalar int32: first luma row of this band
-    mv0 = inp["mv"][0].at[..., 1].add(4 * row0)  # quarter-pel vertical shift
-    mv1 = inp["mv"][1].at[..., 1].add(4 * row0)
-    p0y = mc_k.luma_mc(inp["ref_luma"], inp["slot"][0], mv0, H, W)
-    p1y = mc_k.luma_mc(inp["ref_luma"], inp["slot"][1], mv1, H, W)
-    use0 = jnp.repeat(jnp.repeat(inp["slot"][0] >= 0, 4, 0), 4, 1)
-    use1 = jnp.repeat(jnp.repeat(inp["slot"][1] >= 0, 4, 0), 4, 1)
+    mv0 = mv[0].at[..., 1].add(4 * row0)  # quarter-pel vertical shift
+    mv1 = mv[1].at[..., 1].add(4 * row0)
+    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv0, H, W)
+    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv1, H, W)
+    use0 = jnp.repeat(jnp.repeat(slot[0] >= 0, 4, 0), 4, 1)
+    use1 = jnp.repeat(jnp.repeat(slot[1] >= 0, 4, 0), 4, 1)
     pred_y = jnp.where(use0 & use1, (p0y + p1y + 1) >> 1, jnp.where(use0, p0y, p1y))
     inter_y = jnp.clip(pred_y + ry, 0, 255)
-    mv0c = inp["mv"][0].at[..., 1].add(8 * (row0 // 2))
-    mv1c = inp["mv"][1].at[..., 1].add(8 * (row0 // 2))
-    use0c = jnp.repeat(jnp.repeat(inp["slot"][0] >= 0, 2, 0), 2, 1)
-    use1c = jnp.repeat(jnp.repeat(inp["slot"][1] >= 0, 2, 0), 2, 1)
+    mv0c = mv[0].at[..., 1].add(8 * (row0 // 2))
+    mv1c = mv[1].at[..., 1].add(8 * (row0 // 2))
+    use0c = jnp.repeat(jnp.repeat(slot[0] >= 0, 2, 0), 2, 1)
+    use1c = jnp.repeat(jnp.repeat(slot[1] >= 0, 2, 0), 2, 1)
     planes_c = []
     for refs, rc in ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr)):
-        p0 = mc_k.chroma_mc(refs, inp["slot"][0], mv0c, Hc, Wc)
-        p1 = mc_k.chroma_mc(refs, inp["slot"][1], mv1c, Hc, Wc)
+        p0 = mc_k.chroma_mc(refs, slot[0], mv0c, Hc, Wc)
+        p1 = mc_k.chroma_mc(refs, slot[1], mv1c, Hc, Wc)
         pred = jnp.where(use0c & use1c, (p0 + p1 + 1) >> 1, jnp.where(use0c, p0, p1))
         planes_c.append(jnp.clip(pred + rc, 0, 255))
     inter_mb = (~inp["is_intra"]).reshape(mb_hl, mb_w)
@@ -112,8 +116,8 @@ def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
         "kind": mb_spec, "modes4": mb_spec, "i16mode": mb_spec, "cmode": mb_spec,
         "avl": mb_spec, "avt": mb_spec, "avtr": mb_spec, "avtl": mb_spec,
         "ls4_y": P(), "ls8_y": P(), "ls4_c": P(),
-        "slot": P("gop", None, "row"),
-        "mv": P("gop", None, "row"),
+        "slot_parts": mb_spec,
+        "mv_parts": mb_spec,
         "ref_luma_raw": P("gop", None, "row"),
         "ref_cb_raw": P("gop", None, "row"),
         "ref_cr_raw": P("gop", None, "row"),

@@ -141,3 +141,37 @@ def deblock_prep_device(
         prep[f"ca_{direction}"] = jnp.stack(ca)
         prep[f"cb_{direction}"] = jnp.stack(cbt)
     return prep
+
+
+def _blk_to_cells(a, mb_h, mb_w):
+    """[nMB, 16] (raster 4x4 within MB) -> [4*mb_h, 4*mb_w] (jnp twin of
+    pipeline/deblock_prep._blk_to_cells)."""
+    return (
+        a.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(mb_h * 4, mb_w * 4)
+    )
+
+
+def expand_slot_mv(slot_parts, mv_parts, is_intra, mb_h, mb_w):
+    """Expand compact per-MB motion arrays to per-cell grids on device:
+    slot_parts [n,2,4] int8 -> slot [2,H4,W4] i32 (intra cells forced -1),
+    mv_parts [n,2,16,2] int16 -> mv [2,H4,W4,2] i32. The compact form is
+    what crosses the (slow) host->device link."""
+    intra_cell = _mb_to_cells(is_intra, mb_h, mb_w)
+    sp = slot_parts.astype(jnp.int32)
+    mp = mv_parts.astype(jnp.int32)
+    slot = jnp.stack(
+        [
+            jnp.where(intra_cell, -1, _part_to_cells(sp[:, lst], mb_h, mb_w))
+            for lst in range(2)
+        ]
+    )
+    mv = jnp.stack(
+        [
+            jnp.stack(
+                [_blk_to_cells(mp[:, lst, :, c], mb_h, mb_w) for c in range(2)],
+                axis=-1,
+            )
+            for lst in range(2)
+        ]
+    )
+    return slot, mv

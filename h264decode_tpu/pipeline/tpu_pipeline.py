@@ -31,7 +31,7 @@ except Exception:
 from ..kernels import mc as mc_k
 from ..kernels import transform as tr_k
 from ..kernels.deblock import deblock_frame_tpu
-from ..kernels.deblock_prep_dev import deblock_prep_device
+from ..kernels.deblock_prep_dev import deblock_prep_device, expand_slot_mv
 from ..kernels.intra import K_I4, K_I8, K_I16, K_NONE, intra_wavefront
 from ..syntax.pps import PPS
 from ..syntax.sps import SPS
@@ -50,52 +50,80 @@ _jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int, apply_deblock: bool):
+def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
+             flags: tuple = (True, True, True)):
+    """flags = (has_l8, has_pcm, has_weights): static gates letting streams
+    without 8x8 transforms / I_PCM / non-default weighted prediction skip
+    those input tensors entirely (host->device transfer is the 1080p
+    bottleneck: ~7-50 MB/s through the device tunnel)."""
+    has_l8, has_pcm, has_w = flags
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = mb_h * 8, mb_w * 8
+    n = mb_h * mb_w
+    # narrow wire dtypes -> compute dtypes (free: fused into consumers)
+    l8 = (
+        inp["luma8_ac"].astype(jnp.int32)
+        if has_l8
+        else jnp.zeros((n, 4, 64), jnp.int32)
+    )
+    qp = inp["qp"].astype(jnp.int32)
     # ---- residual planes (all MBs)
     ry = tr_k.luma_residual_plane(
-        inp["luma_ac"], inp["luma_dc"], inp["luma8_ac"], inp["qp"],
-        inp["is_i16"], inp["is_t8"], inp["is_intra"],
+        inp["luma_ac"].astype(jnp.int32), inp["luma_dc"].astype(jnp.int32),
+        l8, qp, inp["is_i16"], inp["is_t8"], inp["is_intra"],
         inp["ls4_y"], inp["ls8_y"], mb_h, mb_w,
     )
     rcb, rcr = tr_k.chroma_residual_planes(
-        inp["chroma_dc"], inp["chroma_ac"], inp["qp"], inp["is_intra"],
-        inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
+        inp["chroma_dc"].astype(jnp.int32), inp["chroma_ac"].astype(jnp.int32),
+        qp, inp["is_intra"], inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
     )
     # ---- inter prediction
-    p0y = mc_k.luma_mc(inp["ref_luma"], inp["slot"][0], inp["mv"][0], H, W)
-    p1y = mc_k.luma_mc(inp["ref_luma"], inp["slot"][1], inp["mv"][1], H, W)
-    use0 = jnp.repeat(jnp.repeat(inp["slot"][0] >= 0, 4, 0), 4, 1)
-    use1 = jnp.repeat(jnp.repeat(inp["slot"][1] >= 0, 4, 0), 4, 1)
+    slot, mv = expand_slot_mv(
+        inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
+    )
+    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
+    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W)
+    use0 = jnp.repeat(jnp.repeat(slot[0] >= 0, 4, 0), 4, 1)
+    use1 = jnp.repeat(jnp.repeat(slot[1] >= 0, 4, 0), 4, 1)
 
     def px4(a):
-        return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
 
-    pred_y = mc_k.weighted_combine(
-        p0y, p1y, use0, use1,
-        px4(inp["wy"][0]), px4(inp["oy"][0]), px4(inp["wy"][1]), px4(inp["oy"][1]),
-        px4(inp["lwd_y"]),
-    )
+    if has_w:
+        pred_y = mc_k.weighted_combine(
+            p0y, p1y, use0, use1,
+            px4(inp["wy"][0]), px4(inp["oy"][0]),
+            px4(inp["wy"][1]), px4(inp["oy"][1]),
+            px4(inp["lwd_y"]),
+        )
+    else:
+        pred_y = jnp.where(
+            use0 & use1, (p0y + p1y + 1) >> 1, jnp.where(use0, p0y, p1y)
+        )
     inter_y = jnp.clip(pred_y + ry, 0, 255)
 
     def px2(a):
-        return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 2, 0), 2, 1)
 
-    use0c = px2(inp["slot"][0] >= 0)
-    use1c = px2(inp["slot"][1] >= 0)
+    use0c = px2(slot[0] >= 0).astype(bool)
+    use1c = px2(slot[1] >= 0).astype(bool)
     chroma_planes = []
     for comp, (refs, rc) in enumerate(
         ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
     ):
-        p0 = mc_k.chroma_mc(refs, inp["slot"][0], inp["mv"][0], Hc, Wc)
-        p1 = mc_k.chroma_mc(refs, inp["slot"][1], inp["mv"][1], Hc, Wc)
-        pred = mc_k.weighted_combine(
-            p0, p1, use0c, use1c,
-            px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
-            px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
-            px2(inp["lwd_c"]),
-        )
+        p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
+        p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc)
+        if has_w:
+            pred = mc_k.weighted_combine(
+                p0, p1, use0c, use1c,
+                px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
+                px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
+                px2(inp["lwd_c"]),
+            )
+        else:
+            pred = jnp.where(
+                use0c & use1c, (p0 + p1 + 1) >> 1, jnp.where(use0c, p0, p1)
+            )
         chroma_planes.append(jnp.clip(pred + rc, 0, 255))
     inter_cb, inter_cr = chroma_planes
 
@@ -103,14 +131,18 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int, apply_deblock: bool):
     inter_mb = (~inp["is_intra"]).reshape(mb_h, mb_w)
     im_y = jnp.repeat(jnp.repeat(inter_mb, 16, 0), 16, 1)
     im_c = jnp.repeat(jnp.repeat(inter_mb, 8, 0), 8, 1)
-    base_y = jnp.where(im_y, inter_y, inp["pcm_y"].astype(jnp.int32))
-    base_cb = jnp.where(im_c, inter_cb, inp["pcm_cb"].astype(jnp.int32))
-    base_cr = jnp.where(im_c, inter_cr, inp["pcm_cr"].astype(jnp.int32))
+    pcm_y = inp["pcm_y"].astype(jnp.int32) if has_pcm else 0
+    pcm_cb = inp["pcm_cb"].astype(jnp.int32) if has_pcm else 0
+    pcm_cr = inp["pcm_cr"].astype(jnp.int32) if has_pcm else 0
+    base_y = jnp.where(im_y, inter_y, pcm_y)
+    base_cb = jnp.where(im_c, inter_cb, pcm_cb)
+    base_cr = jnp.where(im_c, inter_cr, pcm_cr)
 
     # ---- intra wavefront
     y, cb, cr = intra_wavefront(
         base_y, base_cb, base_cr, ry, rcb, rcr,
-        inp["kind"], inp["modes4"], inp["i16mode"], inp["cmode"],
+        inp["kind"].astype(jnp.int32), inp["modes4"].astype(jnp.int32),
+        inp["i16mode"].astype(jnp.int32), inp["cmode"].astype(jnp.int32),
         inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
         mb_h, mb_w,
     )
@@ -120,15 +152,30 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int, apply_deblock: bool):
     return y, cb, cr
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def deblock_fn(planes, inp: dict, mv, mb_h: int, mb_w: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def deblock_fn(planes, inp: dict, mb_h: int, mb_w: int):
     """Second pipeline stage (separate XLA program to keep compiles fast):
-    device-side edge-parameter derivation + the wavefront deblocking filter."""
+    device-side edge-parameter derivation + the wavefront deblocking filter.
+    Expands the compact mv_parts to per-cell MVs on device."""
+    from ..kernels.deblock_prep_dev import _blk_to_cells as jblk
+
     y, cb, cr = planes
+    mp = inp["mv_parts"].astype(jnp.int32)
+    mv = jnp.stack(
+        [
+            jnp.stack(
+                [jblk(mp[:, lst, :, c], mb_h, mb_w) for c in range(2)], axis=-1
+            )
+            for lst in range(2)
+        ]
+    )
     prep = deblock_prep_device(
-        inp["mb_cls"], inp["qp"], inp["is_t8"], inp["slice_arr"],
-        inp["disable"], inp["aoff"], inp["boff"], inp["nnz_grid"],
-        inp["ref_pic_parts"], mv, inp["qp_offsets"], mb_h, mb_w,
+        inp["mb_cls"].astype(jnp.int32), inp["qp"].astype(jnp.int32),
+        inp["is_t8"], inp["slice_arr"].astype(jnp.int32),
+        inp["disable"].astype(jnp.int32), inp["aoff"].astype(jnp.int32),
+        inp["boff"].astype(jnp.int32), inp["nnz_grid"].astype(jnp.int32),
+        inp["ref_pic_parts"].astype(jnp.int32), mv, inp["qp_offsets"],
+        mb_h, mb_w,
     )
     return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w)
 
@@ -203,60 +250,11 @@ class TpuDecoder(Decoder):
             self._ring_slots[p.uid] = slot
         return self._ring[0], self._ring[1], self._ring[2], n_refs
 
-    def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
-        if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
-            # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path
-            return super()._reconstruct(
-                ft, sps, pps, slices, ref_lists, weight_ctx, poc
-            )
-        mb_h, mb_w = ft.mb_h, ft.mb_w
-        n = ft.n_mbs
-        # ---- unique reference pictures -> stack slots
-        uid_to_pic = {}
-        for l0, l1 in ref_lists:
-            for p in l0 + l1:
-                uid_to_pic.setdefault(p.uid, p)
-        pics = list(uid_to_pic.values())
-        ref_luma, ref_cb, ref_cr, n_refs = self._ref_stacks(pics, sps)
-        uid_slot = {
-            p.uid: self._ring_slots[p.uid]
-            for p in pics[:n_refs]
-            if p.uid in self._ring_slots
-        }
-
-        # ---- per-cell slot/mv grids (reshape-expanded, no gathers)
-        H4, W4 = mb_h * 4, mb_w * 4
-        slot = np.full((2, H4, W4), -1, np.int32)
-        mv = np.zeros((2, H4, W4, 2), np.int32)
-        slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
-        for uid, s in uid_slot.items():
-            slot_lut[uid] = s
-        for lst in range(2):
-            rp = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
-            slot[lst] = np.where(rp >= 0, slot_lut[np.clip(rp, 0, len(slot_lut) - 1)], -1)
-            mv[lst, ..., 0] = _blk_to_cells(ft.mv[:, lst, :, 0].astype(np.int32), mb_h, mb_w)
-            mv[lst, ..., 1] = _blk_to_cells(ft.mv[:, lst, :, 1].astype(np.int32), mb_h, mb_w)
-        # intra MBs never run MC
-        intra_cell = _mb_to_cells(ft.mb_class < 3, mb_h, mb_w)
-        slot[:, intra_cell] = -1
-
-        # ---- per-cell weights
-        wy = np.ones((2, H4, W4), np.int32)
-        oy = np.zeros((2, H4, W4), np.int32)
-        wc = np.ones((2, 2, H4, W4), np.int32)
-        oc = np.zeros((2, 2, H4, W4), np.int32)
-        lwd_y = np.zeros((H4, W4), np.int32)
-        lwd_c = np.zeros((H4, W4), np.int32)
-        bi_cell = (slot[0] >= 0) & (slot[1] >= 0)
-        # defaults: bi average == weights 32/32 with logWD 5
-        wy[:, bi_cell] = 32
-        wc[:, :, bi_cell] = 32
-        lwd_y[bi_cell] = 5
-        lwd_c[bi_cell] = 5
-        sl_cell = _mb_to_cells(ft.slice_id, mb_h, mb_w)
-        ridx_cell = [
-            _part_to_cells(ft.ref_idx[:, lst, :], mb_h, mb_w) for lst in range(2)
-        ]
+    @staticmethod
+    def _build_weight_cells(weight_ctx, ref_lists, poc, sl_cell, ridx_cell,
+                            bi_cell, wy, oy, wc, oc, lwd_y, lwd_c):
+        """Fill the per-cell weight grids in place (explicit 7.3.3.2 tables /
+        implicit 8.4.2.3.1 POC-distance weights), per slice."""
         for sid, (wmode, pwt) in enumerate(weight_ctx):
             in_slice = sl_cell == sid
             if not in_slice.any() or wmode == "none":
@@ -298,6 +296,74 @@ class TpuDecoder(Decoder):
                     wc[0, comp][sel] = 64 - w1v[sel]
                 # offsets stay 0; logWD stays 5 (set via bi defaults)
 
+    def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+        if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
+            # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path
+            return super()._reconstruct(
+                ft, sps, pps, slices, ref_lists, weight_ctx, poc
+            )
+        mb_h, mb_w = ft.mb_h, ft.mb_w
+        n = ft.n_mbs
+        # ---- unique reference pictures -> stack slots
+        uid_to_pic = {}
+        for l0, l1 in ref_lists:
+            for p in l0 + l1:
+                uid_to_pic.setdefault(p.uid, p)
+        pics = list(uid_to_pic.values())
+        ref_luma, ref_cb, ref_cr, n_refs = self._ref_stacks(pics, sps)
+        uid_slot = {
+            p.uid: self._ring_slots[p.uid]
+            for p in pics[:n_refs]
+            if p.uid in self._ring_slots
+        }
+
+        # ---- compact per-part ref slots (expanded to cells on device)
+        H4, W4 = mb_h * 4, mb_w * 4
+        slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
+        for uid, s in uid_slot.items():
+            slot_lut[uid] = s
+        rp_parts = ft.ref_pic  # [n, 2, 4] picture uids (or -1/-2)
+        slot_parts = np.where(
+            rp_parts >= 0,
+            slot_lut[np.clip(rp_parts, 0, len(slot_lut) - 1)],
+            -1,
+        ).astype(np.int8)
+
+        # ---- weighted prediction: detect the (common) degenerate case where
+        # every slice's weights reduce to the default average so the cell
+        # grids need not be built or transferred at all
+        has_w = not _weights_degenerate(weight_ctx, ref_lists, poc)
+        if has_w:
+            slot = np.full((2, H4, W4), -1, np.int32)
+            for lst in range(2):
+                rpc = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
+                slot[lst] = np.where(
+                    rpc >= 0, slot_lut[np.clip(rpc, 0, len(slot_lut) - 1)], -1
+                )
+            intra_cell = _mb_to_cells(ft.mb_class < 3, mb_h, mb_w)
+            slot[:, intra_cell] = -1
+            wy = np.ones((2, H4, W4), np.int32)
+            oy = np.zeros((2, H4, W4), np.int32)
+            wc = np.ones((2, 2, H4, W4), np.int32)
+            oc = np.zeros((2, 2, H4, W4), np.int32)
+            lwd_y = np.zeros((H4, W4), np.int32)
+            lwd_c = np.zeros((H4, W4), np.int32)
+            bi_cell = (slot[0] >= 0) & (slot[1] >= 0)
+            # defaults: bi average == weights 32/32 with logWD 5
+            wy[:, bi_cell] = 32
+            wc[:, :, bi_cell] = 32
+            lwd_y[bi_cell] = 5
+            lwd_c[bi_cell] = 5
+            sl_cell = _mb_to_cells(ft.slice_id, mb_h, mb_w)
+            ridx_cell = [
+                _part_to_cells(ft.ref_idx[:, lst, :], mb_h, mb_w)
+                for lst in range(2)
+            ]
+            self._build_weight_cells(
+                weight_ctx, ref_lists, poc, sl_cell, ridx_cell, bi_cell,
+                wy, oy, wc, oc, lwd_y, lwd_c,
+            )
+
         # ---- intra wavefront metadata
         kind = np.zeros(n, np.int32)
         kind[(ft.mb_class == MB_I_NXN) & ~ft.transform_8x8] = K_I4
@@ -305,15 +371,17 @@ class TpuDecoder(Decoder):
         kind[ft.mb_class == MB_I_16X16] = K_I16
         avl, avt, avtr, avtl = _mb_avail_grids(ft, pps)
 
-        # ---- PCM planes
-        pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-        pcm_cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-        pcm_cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-        for addr, (py, pcb, pcr) in ft.pcm_samples.items():
-            mbx, mby = ft.mb_xy(addr)
-            pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
-            pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcb
-            pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcr
+        # ---- PCM planes (only built and transferred when the frame has any)
+        has_pcm = bool(ft.pcm_samples)
+        if has_pcm:
+            pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+            pcm_cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+            pcm_cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+            for addr, (py, pcb, pcr) in ft.pcm_samples.items():
+                mbx, mby = ft.mb_xy(addr)
+                pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
+                pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcb
+                pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcr
 
         # ---- scaling lists
         s4 = pps.effective_scaling_4x4(sps)
@@ -331,14 +399,16 @@ class TpuDecoder(Decoder):
             ]
         )
 
-        l8 = ft.luma8_ac if ft.luma8_ac is not None else np.zeros((n, 4, 64), np.int16)
+        # narrow wire dtypes: the device tunnel moves ~7-50 MB/s, so every
+        # tensor ships in its FrameTensors dtype (int16/int8/bool) and is
+        # widened on device inside frame_fn
+        has_l8 = ft.luma8_ac is not None and bool(ft.transform_8x8.any())
         inp = {
-            "luma_ac": jnp.asarray(ft.luma_ac, jnp.int32),
-            "luma_dc": jnp.asarray(ft.luma_dc, jnp.int32),
-            "luma8_ac": jnp.asarray(l8, jnp.int32),
-            "chroma_dc": jnp.asarray(ft.chroma_dc, jnp.int32),
-            "chroma_ac": jnp.asarray(ft.chroma_ac, jnp.int32),
-            "qp": jnp.asarray(ft.qp, jnp.int32),
+            "luma_ac": jnp.asarray(ft.luma_ac),
+            "luma_dc": jnp.asarray(ft.luma_dc),
+            "chroma_dc": jnp.asarray(ft.chroma_dc),
+            "chroma_ac": jnp.asarray(ft.chroma_ac),
+            "qp": jnp.asarray(ft.qp),
             "is_i16": jnp.asarray(ft.mb_class == MB_I_16X16),
             "is_t8": jnp.asarray(ft.transform_8x8),
             "is_intra": jnp.asarray(ft.mb_class < 3),
@@ -349,40 +419,46 @@ class TpuDecoder(Decoder):
             "ref_luma": ref_luma,
             "ref_cb": ref_cb,
             "ref_cr": ref_cr,
-            "slot": jnp.asarray(slot),
-            "mv": jnp.asarray(mv),
-            "wy": jnp.asarray(wy),
-            "oy": jnp.asarray(oy),
-            "wc": jnp.asarray(wc),
-            "oc": jnp.asarray(oc),
-            "lwd_y": jnp.asarray(lwd_y),
-            "lwd_c": jnp.asarray(lwd_c),
-            "pcm_y": jnp.asarray(pcm_y),
-            "pcm_cb": jnp.asarray(pcm_cb),
-            "pcm_cr": jnp.asarray(pcm_cr),
-            "kind": jnp.asarray(kind),
-            "modes4": jnp.asarray(ft.intra4x4_modes, jnp.int32),
-            "i16mode": jnp.asarray(ft.intra16_mode, jnp.int32),
-            "cmode": jnp.asarray(ft.chroma_mode, jnp.int32),
+            "slot_parts": jnp.asarray(slot_parts),
+            "mv_parts": jnp.asarray(ft.mv),
+            "kind": jnp.asarray(kind.astype(np.int8)),
+            "modes4": jnp.asarray(ft.intra4x4_modes),
+            "i16mode": jnp.asarray(ft.intra16_mode),
+            "cmode": jnp.asarray(ft.chroma_mode),
             "avl": jnp.asarray(avl.reshape(-1)),
             "avt": jnp.asarray(avt.reshape(-1)),
             "avtr": jnp.asarray(avtr.reshape(-1)),
             "avtl": jnp.asarray(avtl.reshape(-1)),
         }
+        if has_l8:
+            inp["luma8_ac"] = jnp.asarray(ft.luma8_ac)
+        if has_pcm:
+            inp["pcm_y"] = jnp.asarray(pcm_y)
+            inp["pcm_cb"] = jnp.asarray(pcm_cb)
+            inp["pcm_cr"] = jnp.asarray(pcm_cr)
+        if has_w:
+            inp["wy"] = jnp.asarray(wy.astype(np.int16))
+            inp["oy"] = jnp.asarray(oy.astype(np.int16))
+            inp["wc"] = jnp.asarray(wc.astype(np.int16))
+            inp["oc"] = jnp.asarray(oc.astype(np.int16))
+            inp["lwd_y"] = jnp.asarray(lwd_y.astype(np.int8))
+            inp["lwd_c"] = jnp.asarray(lwd_c.astype(np.int8))
+        y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, (has_l8, has_pcm, has_w))
         if self.apply_deblock:
-            inp["mb_cls"] = jnp.asarray(ft.mb_class, jnp.int32)
-            inp["slice_arr"] = jnp.asarray(ft.slice_id, jnp.int32)
-            inp["disable"] = jnp.asarray(ft.disable_deblock, jnp.int32)
-            inp["aoff"] = jnp.asarray(ft.alpha_off, jnp.int32)
-            inp["boff"] = jnp.asarray(ft.beta_off, jnp.int32)
-            inp["nnz_grid"] = jnp.asarray(ft.luma_nnz, jnp.int32)
-            inp["ref_pic_parts"] = jnp.asarray(ft.ref_pic, jnp.int32)
-        y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, False)
-        if self.apply_deblock:
-            db_keys = ("mb_cls", "qp", "is_t8", "slice_arr", "disable", "aoff",
-                       "boff", "nnz_grid", "ref_pic_parts", "qp_offsets")
-            db_inp = {k: inp[k] for k in db_keys}
-            y, cb, cr = deblock_fn((y, cb, cr), db_inp, inp["mv"], mb_h, mb_w)
+            db_inp = {
+                "mb_cls": jnp.asarray(ft.mb_class),
+                "qp": inp["qp"],
+                "is_t8": inp["is_t8"],
+                "slice_arr": jnp.asarray(ft.slice_id.astype(np.int16)),
+                "disable": jnp.asarray(ft.disable_deblock),
+                "aoff": jnp.asarray(ft.alpha_off),
+                "boff": jnp.asarray(ft.beta_off),
+                "nnz_grid": jnp.asarray(ft.luma_nnz),
+                "ref_pic_parts": jnp.asarray(ft.ref_pic),
+                "qp_offsets": inp["qp_offsets"],
+                "mv_parts": inp["mv_parts"],
+            }
+            y, cb, cr = deblock_fn((y, cb, cr), db_inp, mb_h, mb_w)
         # keep this picture's half-pel planes on device for future reference
         # use (uid_counter is assigned to this picture right after recon)
         self._dev_cache[self.uid_counter] = (
@@ -391,6 +467,37 @@ class TpuDecoder(Decoder):
             _jit_chroma_pad(cr),
         )
         return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+
+def _weights_degenerate(weight_ctx, ref_lists, poc) -> bool:
+    """True when every slice's weighted prediction reduces to the default
+    combine (single-list copy / bi average) so the per-cell weight grids
+    need not be built or transferred. Default explicit weights w=1<<logWD,
+    o=0 are an exact identity for any logWD; implicit weights are default
+    iff every ref pair yields w1 == 32 (8.4.2.3.1)."""
+    for sid, (wmode, pwt) in enumerate(weight_ctx):
+        if wmode == "none":
+            continue
+        if wmode == "explicit":
+            if pwt is None:
+                continue
+            ld = pwt.luma_log2_weight_denom
+            cd = pwt.chroma_log2_weight_denom
+            for tab in (pwt.l0, pwt.l1):
+                for e in tab or []:
+                    if e.luma_weight != (1 << ld) or e.luma_offset != 0:
+                        return False
+                    if (np.asarray(e.chroma_weight) != (1 << cd)).any():
+                        return False
+                    if (np.asarray(e.chroma_offset) != 0).any():
+                        return False
+        elif wmode == "implicit":
+            l0, l1 = ref_lists[sid]
+            for p0 in l0:
+                for p1 in l1:
+                    if _implicit_w(p0, p1, poc)[1] != 32:
+                        return False
+    return True
 
 
 def _implicit_w(p0: Picture, p1: Picture, cur_poc: int) -> tuple[int, int]:
