@@ -61,6 +61,8 @@ def main():
     dec = TpuDecoder()
     t_warm = time.time()
     frames = dec.decode_stream(bs)
+    for f in frames:
+        f.planes()  # materialize: planes download lazily
     warm_s = time.time() - t_warm
     assert len(frames) == n_frames
 
@@ -68,6 +70,8 @@ def main():
     dec2 = TpuDecoder()
     t0 = time.time()
     frames = dec2.decode_stream(bs)
+    for f in frames:
+        f.planes()  # e2e includes the device->host download
     dt = time.time() - t0
     fps = len(frames) / dt
 
@@ -83,10 +87,10 @@ def main():
     )
     print(
         f"# {len(frames)} frames in {dt:.2f}s (warm-up incl. compile: {warm_s:.1f}s); "
-        f"native C++ entropy ~0.1s/frame; remaining time splits roughly evenly "
-        f"between the device wavefront/deblock loops and host tensor prep — "
-        f"Pallas wavefront kernels and async host/device overlap are the "
-        f"next levers",
+        f"device compute is ~0.8s/frame-equivalent; the dominant cost is the "
+        f"host<->device tunnel (measured 7-50 MB/s), attacked via compact "
+        f"int8/int16 inputs (~10MB/frame) and fully async dispatch with lazy "
+        f"plane downloads",
         file=sys.stderr,
     )
 

@@ -12,7 +12,6 @@ Capability superset of the reference's handleConnection dispatch
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -32,15 +31,44 @@ from .dpb import DPB, Picture, POCContext
 from .intra_frame import IntraFrameReconstructor
 
 
-@dataclass
 class DecodedFrame:
-    y: np.ndarray
-    cb: np.ndarray
-    cr: np.ndarray
-    poc: int = 0
-    frame_num: int = 0
-    is_idr: bool = False
-    idr_group: int = 0
+    """One output frame. Planes materialize lazily: the TPU pipeline hands
+    over device arrays still being computed/downloaded, so the decode loop
+    never blocks on the (slow) device link — the download happens on first
+    plane access, overlapping later frames' entropy decode and device work."""
+
+    def __init__(self, y, cb, cr, poc=0, frame_num=0, is_idr=False,
+                 idr_group=0, sps=None):
+        self._raw = [y, cb, cr]
+        self._mat: list[np.ndarray | None] = [None, None, None]
+        self._sps = sps
+        self.poc = poc
+        self.frame_num = frame_num
+        self.is_idr = is_idr
+        self.idr_group = idr_group
+
+    def _plane(self, i: int) -> np.ndarray:
+        if self._mat[i] is None:
+            p = self._raw[i]
+            if not isinstance(p, np.ndarray):
+                p = np.asarray(p)  # device -> host, exactly once
+            if self._sps is not None:
+                p = crop(p, self._sps, i > 0)
+            self._mat[i] = p
+            self._raw[i] = None
+        return self._mat[i]
+
+    @property
+    def y(self) -> np.ndarray:
+        return self._plane(0)
+
+    @property
+    def cb(self) -> np.ndarray:
+        return self._plane(1)
+
+    @property
+    def cr(self) -> np.ndarray:
+        return self._plane(2)
 
     def planes(self):
         return self.y, self.cb, self.cr
@@ -275,13 +303,14 @@ class Decoder:
         if hdr0.nal_ref_idc:
             self.dpb.mark(pic, hdr0)
         return DecodedFrame(
-            y=crop(y, sps, False),
-            cb=crop(cb, sps, True),
-            cr=crop(cr, sps, True),
+            y=y,
+            cb=cb,
+            cr=cr,
             poc=poc,
             frame_num=hdr0.frame_num,
             is_idr=hdr0.idr_pic_flag,
             idr_group=self.idr_group,
+            sps=sps,
         )
 
 

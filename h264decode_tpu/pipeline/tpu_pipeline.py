@@ -51,11 +51,18 @@ _jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-             flags: tuple = (True, True, True)):
-    """flags = (has_l8, has_pcm, has_weights): static gates letting streams
+             flags: tuple = (True, True, 1)):
+    """flags = (has_l8, has_pcm, wmode): static gates letting streams
     without 8x8 transforms / I_PCM / non-default weighted prediction skip
     those input tensors entirely (host->device transfer is the 1080p
-    bottleneck: ~7-50 MB/s through the device tunnel)."""
+    bottleneck: ~7-50 MB/s through the device tunnel).
+
+    wmode: 0 = default combine (no weight tensors at all);
+           1 = explicit per-cell weight grids (wy/oy/wc/oc/lwd_*);
+           2 = implicit-only: w1 derived ON DEVICE from the tiny per-slice
+               POC-distance table w1_tab[S,R,R] + ridx_parts + slice_mb
+               (8.4.2.3.1: offsets 0, logWD 5), replacing ~3.3MB of grids
+               with a few KB."""
     has_l8, has_pcm, has_w = flags
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = mb_h * 8, mb_w * 8
@@ -89,12 +96,30 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     def px4(a):
         return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
 
-    if has_w:
+    if has_w == 2:
+        # implicit weights on device: w1[cell] from the per-slice table
+        from ..kernels.deblock_prep_dev import _mb_to_cells as jmb
+        from ..kernels.deblock_prep_dev import _part_to_cells as jpart
+
+        tab = inp["w1_tab"].astype(jnp.int32)  # [S, R, R]
+        sc = jmb(inp["slice_mb"].astype(jnp.int32), mb_h, mb_w)
+        rp = inp["ridx_parts"].astype(jnp.int32)
+        r0c = jnp.clip(jpart(rp[:, 0], mb_h, mb_w), 0, tab.shape[1] - 1)
+        r1c = jnp.clip(jpart(rp[:, 1], mb_h, mb_w), 0, tab.shape[2] - 1)
+        w1_cell = tab[jnp.clip(sc, 0, tab.shape[0] - 1), r0c, r1c]
+
+    if has_w == 1:
         pred_y = mc_k.weighted_combine(
             p0y, p1y, use0, use1,
             px4(inp["wy"][0]), px4(inp["oy"][0]),
             px4(inp["wy"][1]), px4(inp["oy"][1]),
             px4(inp["lwd_y"]),
+        )
+    elif has_w == 2:
+        w1y = jnp.repeat(jnp.repeat(w1_cell, 4, 0), 4, 1)
+        bi_y = (p0y * (64 - w1y) + p1y * w1y + 32) >> 6
+        pred_y = jnp.where(
+            use0 & use1, bi_y, jnp.where(use0, p0y, p1y)
         )
     else:
         pred_y = jnp.where(
@@ -107,18 +132,25 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
 
     use0c = px2(slot[0] >= 0).astype(bool)
     use1c = px2(slot[1] >= 0).astype(bool)
+    if has_w == 2:
+        w1c = jnp.repeat(jnp.repeat(w1_cell, 2, 0), 2, 1)
     chroma_planes = []
     for comp, (refs, rc) in enumerate(
         ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
     ):
         p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
         p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc)
-        if has_w:
+        if has_w == 1:
             pred = mc_k.weighted_combine(
                 p0, p1, use0c, use1c,
                 px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
                 px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
                 px2(inp["lwd_c"]),
+            )
+        elif has_w == 2:
+            bi_c = (p0 * (64 - w1c) + p1 * w1c + 32) >> 6
+            pred = jnp.where(
+                use0c & use1c, bi_c, jnp.where(use0c, p0, p1)
             )
         else:
             pred = jnp.where(
@@ -298,7 +330,16 @@ class TpuDecoder(Decoder):
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
         if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
-            # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path
+            # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path.
+            # Reference pictures may hold still-device planes from earlier
+            # TPU frames; materialize them once so the oracle's per-pixel
+            # numpy indexing never touches a device array.
+            for l0, l1 in ref_lists:
+                for p in l0 + l1:
+                    if not isinstance(p.y, np.ndarray):
+                        p.y = np.asarray(p.y)
+                        p.cb = np.asarray(p.cb)
+                        p.cr = np.asarray(p.cr)
             return super()._reconstruct(
                 ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
@@ -329,11 +370,10 @@ class TpuDecoder(Decoder):
             -1,
         ).astype(np.int8)
 
-        # ---- weighted prediction: detect the (common) degenerate case where
-        # every slice's weights reduce to the default average so the cell
-        # grids need not be built or transferred at all
-        has_w = not _weights_degenerate(weight_ctx, ref_lists, poc)
-        if has_w:
+        # ---- weighted prediction: 0 = default combine, 1 = explicit cell
+        # grids, 2 = implicit table gathered on device
+        has_w, w1_tab = _classify_weights(weight_ctx, ref_lists, poc)
+        if has_w == 1:
             slot = np.full((2, H4, W4), -1, np.int32)
             for lst in range(2):
                 rpc = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
@@ -436,13 +476,17 @@ class TpuDecoder(Decoder):
             inp["pcm_y"] = jnp.asarray(pcm_y)
             inp["pcm_cb"] = jnp.asarray(pcm_cb)
             inp["pcm_cr"] = jnp.asarray(pcm_cr)
-        if has_w:
+        if has_w == 1:
             inp["wy"] = jnp.asarray(wy.astype(np.int16))
             inp["oy"] = jnp.asarray(oy.astype(np.int16))
             inp["wc"] = jnp.asarray(wc.astype(np.int16))
             inp["oc"] = jnp.asarray(oc.astype(np.int16))
             inp["lwd_y"] = jnp.asarray(lwd_y.astype(np.int8))
             inp["lwd_c"] = jnp.asarray(lwd_c.astype(np.int8))
+        elif has_w == 2:
+            inp["w1_tab"] = jnp.asarray(w1_tab)
+            inp["slice_mb"] = jnp.asarray(ft.slice_id.astype(np.int16))
+            inp["ridx_parts"] = jnp.asarray(ft.ref_idx)
         y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, (has_l8, has_pcm, has_w))
         if self.apply_deblock:
             db_inp = {
@@ -466,15 +510,24 @@ class TpuDecoder(Decoder):
             _jit_chroma_pad(cb),
             _jit_chroma_pad(cr),
         )
-        return np.asarray(y), np.asarray(cb), np.asarray(cr)
+        # return the device arrays: all dispatch above is async, so the
+        # decode loop proceeds straight to the next frame's entropy while
+        # this frame computes; DecodedFrame downloads lazily on plane access
+        return y, cb, cr
 
 
-def _weights_degenerate(weight_ctx, ref_lists, poc) -> bool:
-    """True when every slice's weighted prediction reduces to the default
-    combine (single-list copy / bi average) so the per-cell weight grids
-    need not be built or transferred. Default explicit weights w=1<<logWD,
-    o=0 are an exact identity for any logWD; implicit weights are default
-    iff every ref pair yields w1 == 32 (8.4.2.3.1)."""
+def _classify_weights(weight_ctx, ref_lists, poc):
+    """Classify the frame's weighted prediction for the static wmode flag:
+
+    (0, None)    every slice reduces to the default combine (explicit
+                 w=1<<logWD, o=0 is an exact identity for any logWD;
+                 implicit is default iff every ref pair yields w1 == 32)
+    (1, None)    some slice needs the full explicit per-cell grids
+    (2, w1_tab)  only implicit weights are non-default: w1_tab[S,R0,R1]
+                 int16 holds the 8.4.2.3.1 POC-distance weights, to be
+                 gathered per cell on device."""
+    has_expl = False
+    has_impl = False
     for sid, (wmode, pwt) in enumerate(weight_ctx):
         if wmode == "none":
             continue
@@ -485,19 +538,35 @@ def _weights_degenerate(weight_ctx, ref_lists, poc) -> bool:
             cd = pwt.chroma_log2_weight_denom
             for tab in (pwt.l0, pwt.l1):
                 for e in tab or []:
-                    if e.luma_weight != (1 << ld) or e.luma_offset != 0:
-                        return False
-                    if (np.asarray(e.chroma_weight) != (1 << cd)).any():
-                        return False
-                    if (np.asarray(e.chroma_offset) != 0).any():
-                        return False
+                    if (
+                        e.luma_weight != (1 << ld)
+                        or e.luma_offset != 0
+                        or (np.asarray(e.chroma_weight) != (1 << cd)).any()
+                        or (np.asarray(e.chroma_offset) != 0).any()
+                    ):
+                        has_expl = True
         elif wmode == "implicit":
             l0, l1 = ref_lists[sid]
             for p0 in l0:
                 for p1 in l1:
                     if _implicit_w(p0, p1, poc)[1] != 32:
-                        return False
-    return True
+                        has_impl = True
+    if has_expl:
+        return 1, None
+    if not has_impl:
+        return 0, None
+    nS = len(weight_ctx)
+    r0m = max([1] + [len(l0) for l0, _ in ref_lists])
+    r1m = max([1] + [len(l1) for _, l1 in ref_lists])
+    w1_tab = np.full((nS, r0m, r1m), 32, np.int16)
+    for sid, (wmode, _) in enumerate(weight_ctx):
+        if wmode != "implicit":
+            continue
+        l0, l1 = ref_lists[sid]
+        for a, p0 in enumerate(l0):
+            for b, p1 in enumerate(l1):
+                w1_tab[sid, a, b] = _implicit_w(p0, p1, poc)[1]
+    return 2, w1_tab
 
 
 def _implicit_w(p0: Picture, p1: Picture, cur_poc: int) -> tuple[int, int]:
