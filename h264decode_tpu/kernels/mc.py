@@ -53,6 +53,32 @@ def chroma_pad(ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(ref, PAD, mode="edge")
 
 
+# Table 8-12 quarter-sample selection as 2 samples from the {G,b,h,j} stack:
+# per frac class (fx + 4*fy): (plane1, dy1, dx1, plane2, dy2, dx2, single).
+# The predicted sample is s1 when single, else (s1 + s2 + 1) >> 1.
+_QPEL_TAB = np.array(
+    [
+        (0, 0, 0, 0, 0, 0, 1),  # G
+        (0, 0, 0, 1, 0, 0, 0),  # avg(G, b)
+        (1, 0, 0, 1, 0, 0, 1),  # b
+        (1, 0, 0, 0, 0, 1, 0),  # avg(b, G[x+1])
+        (0, 0, 0, 2, 0, 0, 0),  # avg(G, h)
+        (1, 0, 0, 2, 0, 0, 0),  # avg(b, h)
+        (1, 0, 0, 3, 0, 0, 0),  # avg(b, j)
+        (1, 0, 0, 2, 0, 1, 0),  # avg(b, h[x+1])
+        (2, 0, 0, 2, 0, 0, 1),  # h
+        (2, 0, 0, 3, 0, 0, 0),  # avg(h, j)
+        (3, 0, 0, 3, 0, 0, 1),  # j
+        (2, 0, 1, 3, 0, 0, 0),  # avg(h[x+1], j)
+        (2, 0, 0, 0, 1, 0, 0),  # avg(h, G[y+1])
+        (2, 0, 0, 1, 1, 0, 0),  # avg(h, b[y+1])
+        (1, 1, 0, 3, 0, 0, 0),  # avg(b[y+1], j)
+        (2, 0, 1, 1, 1, 0, 0),  # avg(h[x+1], b[y+1])
+    ],
+    np.int32,
+)
+
+
 def luma_mc(
     planes: jnp.ndarray,  # [R, 4, H+2P, W+2P] uint8 half-pel stacks
     slot: jnp.ndarray,  # [H4, W4] int32 (valid where >= 0; clamped by caller)
@@ -60,63 +86,33 @@ def luma_mc(
     H: int,
     W: int,
 ) -> jnp.ndarray:
-    """Per-pixel luma prediction [H, W] int32 for one reference list."""
+    """Per-pixel luma prediction [H, W] int32 for one reference list.
+
+    TPU cost model: general N-d gathers dominate, so this does exactly two
+    flat 1-D gathers per pixel (the Table 8-12 sample pair) instead of the
+    naive eight, with linear indices into the flattened plane stack."""
     # reference geometry from the plane stack itself (may exceed the output
     # band in the row-sharded path, where refs are all-gathered)
     RH = planes.shape[-2] - 2 * PAD
     RW = planes.shape[-1] - 2 * PAD
+    Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
+    flat = planes.reshape(-1)
     mvp = jnp.repeat(jnp.repeat(mv, 4, axis=0), 4, axis=1)  # [H, W, 2]
     sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 4, axis=0), 4, axis=1)
     yy, xx = jnp.mgrid[0:H, 0:W]
-    xi = xx + (mvp[..., 0] >> 2)
-    yi = yy + (mvp[..., 1] >> 2)
-    fx = mvp[..., 0] & 3
-    fy = mvp[..., 1] & 3
     # clamp into the padded canvas (flat margins make this exact)
-    xi = jnp.clip(xi, -PAD, RW - 1 + PAD) + PAD
-    yi = jnp.clip(yi, -PAD, RH - 1 + PAD) + PAD
-    xi1 = jnp.minimum(xi + 1, RW - 1 + 2 * PAD)
-    yi1 = jnp.minimum(yi + 1, RH - 1 + 2 * PAD)
-
-    def at(plane_idx, y, x):
-        return planes[sl, plane_idx, y, x].astype(jnp.int32)
-
-    G = at(0, yi, xi)
-    b = at(1, yi, xi)
-    hh = at(2, yi, xi)
-    j = at(3, yi, xi)
-    G1 = at(0, yi, xi1)
-    Gv = at(0, yi1, xi)
-    m = at(2, yi, xi1)  # h at x+1
-    s = at(1, yi1, xi)  # b at y+1
-
-    def avg(a, b_):
-        return (a + b_ + 1) >> 1
-
-    # Table 8-12 quarter-sample selection, vectorized over the frac class
-    frac = fx + 4 * fy  # 0..15
-    cases = [
-        G,            # (0,0)
-        avg(G, b),    # (1,0)
-        b,            # (2,0)
-        avg(b, G1),   # (3,0)
-        avg(G, hh),   # (0,1)
-        avg(b, hh),   # (1,1)
-        avg(b, j),    # (2,1)
-        avg(b, m),    # (3,1)
-        hh,           # (0,2)
-        avg(hh, j),   # (1,2)
-        j,            # (2,2)
-        avg(m, j),    # (3,2)
-        avg(hh, Gv),  # (0,3)
-        avg(hh, s),   # (1,3)
-        avg(s, j),    # (2,3)
-        avg(m, s),    # (3,3)
-    ]
-    out = cases[0]
-    for k in range(1, 16):
-        out = jnp.where(frac == k, cases[k], out)
-    return out
+    xi = jnp.clip(xx + (mvp[..., 0] >> 2), -PAD, RW - 1 + PAD) + PAD
+    yi = jnp.clip(yy + (mvp[..., 1] >> 2), -PAD, RH - 1 + PAD) + PAD
+    frac = (mvp[..., 0] & 3) + 4 * (mvp[..., 1] & 3)
+    t = jnp.asarray(_QPEL_TAB)[frac]  # [H, W, 7]
+    base = sl * (4 * Hp * Wp)
+    x1 = jnp.minimum(xi + t[..., 2], Wp - 1)
+    y1 = jnp.minimum(yi + t[..., 1], Hp - 1)
+    x2 = jnp.minimum(xi + t[..., 5], Wp - 1)
+    y2 = jnp.minimum(yi + t[..., 4], Hp - 1)
+    s1 = flat[base + t[..., 0] * (Hp * Wp) + y1 * Wp + x1].astype(jnp.int32)
+    s2 = flat[base + t[..., 3] * (Hp * Wp) + y2 * Wp + x2].astype(jnp.int32)
+    return jnp.where(t[..., 6] == 1, s1, (s1 + s2 + 1) >> 1)
 
 
 def chroma_mc(
@@ -141,10 +137,14 @@ def chroma_mc(
     yi = jnp.clip(yi, -PAD, RH - 1 + PAD) + PAD
     xi1 = jnp.minimum(xi + 1, RW - 1 + 2 * PAD)
     yi1 = jnp.minimum(yi + 1, RH - 1 + 2 * PAD)
-    A = refs[sl, yi, xi].astype(jnp.int32)
-    B = refs[sl, yi, xi1].astype(jnp.int32)
-    C = refs[sl, yi1, xi].astype(jnp.int32)
-    D = refs[sl, yi1, xi1].astype(jnp.int32)
+    # flat 1-D gathers (cheaper than N-d gathers on TPU; see luma_mc)
+    Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
+    flat = refs.reshape(-1)
+    base = sl * (Hp * Wp)
+    A = flat[base + yi * Wp + xi].astype(jnp.int32)
+    B = flat[base + yi * Wp + xi1].astype(jnp.int32)
+    C = flat[base + yi1 * Wp + xi].astype(jnp.int32)
+    D = flat[base + yi1 * Wp + xi1].astype(jnp.int32)
     return (
         (8 - fx) * (8 - fy) * A + fx * (8 - fy) * B + (8 - fx) * fy * C + fx * fy * D + 32
     ) >> 6

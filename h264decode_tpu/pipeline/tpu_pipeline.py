@@ -48,14 +48,31 @@ from .dpb import Picture
 _jit_half_pel = jax.jit(mc_k.half_pel_planes)
 _jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
+_ON_TPU: bool | None = None
+
+
+def _on_tpu() -> bool:
+    """True when the default device is a real TPU (Pallas kernels usable)."""
+    global _ON_TPU
+    if _ON_TPU is None:
+        try:
+            d = jax.devices()[0]
+            _ON_TPU = "tpu" in (d.platform or "").lower() or "TPU" in (
+                getattr(d, "device_kind", "") or ""
+            )
+        except Exception:
+            _ON_TPU = False
+    return _ON_TPU
+
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
              flags: tuple = (True, True, 1)):
-    """flags = (has_l8, has_pcm, wmode): static gates letting streams
-    without 8x8 transforms / I_PCM / non-default weighted prediction skip
-    those input tensors entirely (host->device transfer is the 1080p
-    bottleneck: ~7-50 MB/s through the device tunnel).
+    """flags = (has_l8, has_pcm, wmode[, has_l1, has_inter]): static gates
+    letting streams without 8x8 transforms / I_PCM / non-default weighted
+    prediction skip those input tensors entirely (host->device transfer is
+    a 1080p bottleneck: ~7-50 MB/s through the device tunnel), and letting
+    P frames skip the list-1 MC gathers / I frames skip MC entirely.
 
     wmode: 0 = default combine (no weight tensors at all);
            1 = explicit per-cell weight grids (wy/oy/wc/oc/lwd_*);
@@ -63,7 +80,9 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
                POC-distance table w1_tab[S,R,R] + ridx_parts + slice_mb
                (8.4.2.3.1: offsets 0, logWD 5), replacing ~3.3MB of grids
                with a few KB."""
-    has_l8, has_pcm, has_w = flags
+    has_l8, has_pcm, has_w = flags[:3]
+    has_l1 = flags[3] if len(flags) > 3 else True
+    has_inter = flags[4] if len(flags) > 4 else True
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = mb_h * 8, mb_w * 8
     n = mb_h * mb_w
@@ -85,18 +104,25 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
         qp, inp["is_intra"], inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
     )
     # ---- inter prediction
-    slot, mv = expand_slot_mv(
-        inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
-    )
-    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
-    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W)
-    use0 = jnp.repeat(jnp.repeat(slot[0] >= 0, 4, 0), 4, 1)
-    use1 = jnp.repeat(jnp.repeat(slot[1] >= 0, 4, 0), 4, 1)
+    if has_inter:
+        slot, mv = expand_slot_mv(
+            inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
+        )
+        p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
+        p1y = (
+            mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W) if has_l1 else p0y
+        )
+        use0 = jnp.repeat(jnp.repeat(slot[0] >= 0, 4, 0), 4, 1)
+        use1 = (
+            jnp.repeat(jnp.repeat(slot[1] >= 0, 4, 0), 4, 1)
+            if has_l1
+            else jnp.zeros((H, W), bool)
+        )
 
     def px4(a):
         return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
 
-    if has_w == 2:
+    if has_w == 2 and has_inter:
         # implicit weights on device: w1[cell] from the per-slice table
         from ..kernels.deblock_prep_dev import _mb_to_cells as jmb
         from ..kernels.deblock_prep_dev import _part_to_cells as jpart
@@ -108,56 +134,63 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
         r1c = jnp.clip(jpart(rp[:, 1], mb_h, mb_w), 0, tab.shape[2] - 1)
         w1_cell = tab[jnp.clip(sc, 0, tab.shape[0] - 1), r0c, r1c]
 
-    if has_w == 1:
-        pred_y = mc_k.weighted_combine(
-            p0y, p1y, use0, use1,
-            px4(inp["wy"][0]), px4(inp["oy"][0]),
-            px4(inp["wy"][1]), px4(inp["oy"][1]),
-            px4(inp["lwd_y"]),
-        )
-    elif has_w == 2:
-        w1y = jnp.repeat(jnp.repeat(w1_cell, 4, 0), 4, 1)
-        bi_y = (p0y * (64 - w1y) + p1y * w1y + 32) >> 6
-        pred_y = jnp.where(
-            use0 & use1, bi_y, jnp.where(use0, p0y, p1y)
-        )
+    if not has_inter:
+        inter_y = jnp.zeros((H, W), jnp.int32)
+        inter_cb = jnp.zeros((Hc, Wc), jnp.int32)
+        inter_cr = jnp.zeros((Hc, Wc), jnp.int32)
     else:
-        pred_y = jnp.where(
-            use0 & use1, (p0y + p1y + 1) >> 1, jnp.where(use0, p0y, p1y)
-        )
-    inter_y = jnp.clip(pred_y + ry, 0, 255)
-
-    def px2(a):
-        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 2, 0), 2, 1)
-
-    use0c = px2(slot[0] >= 0).astype(bool)
-    use1c = px2(slot[1] >= 0).astype(bool)
-    if has_w == 2:
-        w1c = jnp.repeat(jnp.repeat(w1_cell, 2, 0), 2, 1)
-    chroma_planes = []
-    for comp, (refs, rc) in enumerate(
-        ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
-    ):
-        p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
-        p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc)
         if has_w == 1:
-            pred = mc_k.weighted_combine(
-                p0, p1, use0c, use1c,
-                px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
-                px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
-                px2(inp["lwd_c"]),
+            pred_y = mc_k.weighted_combine(
+                p0y, p1y, use0, use1,
+                px4(inp["wy"][0]), px4(inp["oy"][0]),
+                px4(inp["wy"][1]), px4(inp["oy"][1]),
+                px4(inp["lwd_y"]),
             )
         elif has_w == 2:
-            bi_c = (p0 * (64 - w1c) + p1 * w1c + 32) >> 6
-            pred = jnp.where(
-                use0c & use1c, bi_c, jnp.where(use0c, p0, p1)
+            w1y = jnp.repeat(jnp.repeat(w1_cell, 4, 0), 4, 1)
+            bi_y = (p0y * (64 - w1y) + p1y * w1y + 32) >> 6
+            pred_y = jnp.where(
+                use0 & use1, bi_y, jnp.where(use0, p0y, p1y)
             )
         else:
-            pred = jnp.where(
-                use0c & use1c, (p0 + p1 + 1) >> 1, jnp.where(use0c, p0, p1)
+            pred_y = jnp.where(
+                use0 & use1, (p0y + p1y + 1) >> 1, jnp.where(use0, p0y, p1y)
             )
-        chroma_planes.append(jnp.clip(pred + rc, 0, 255))
-    inter_cb, inter_cr = chroma_planes
+        inter_y = jnp.clip(pred_y + ry, 0, 255)
+
+        def px2(a):
+            return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 2, 0), 2, 1)
+
+        use0c = px2(slot[0] >= 0).astype(bool)
+        use1c = (
+            px2(slot[1] >= 0).astype(bool) if has_l1 else jnp.zeros((Hc, Wc), bool)
+        )
+        if has_w == 2:
+            w1c = jnp.repeat(jnp.repeat(w1_cell, 2, 0), 2, 1)
+        chroma_planes = []
+        for comp, (refs, rc) in enumerate(
+            ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
+        ):
+            p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
+            p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc) if has_l1 else p0
+            if has_w == 1:
+                pred = mc_k.weighted_combine(
+                    p0, p1, use0c, use1c,
+                    px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
+                    px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
+                    px2(inp["lwd_c"]),
+                )
+            elif has_w == 2:
+                bi_c = (p0 * (64 - w1c) + p1 * w1c + 32) >> 6
+                pred = jnp.where(
+                    use0c & use1c, bi_c, jnp.where(use0c, p0, p1)
+                )
+            else:
+                pred = jnp.where(
+                    use0c & use1c, (p0 + p1 + 1) >> 1, jnp.where(use0c, p0, p1)
+                )
+            chroma_planes.append(jnp.clip(pred + rc, 0, 255))
+        inter_cb, inter_cr = chroma_planes
 
     # ---- base planes: inter pixels + PCM pixels, zeros where intra fills
     inter_mb = (~inp["is_intra"]).reshape(mb_h, mb_w)
@@ -209,6 +242,10 @@ def deblock_fn(planes, inp: dict, mb_h: int, mb_w: int):
         inp["ref_pic_parts"].astype(jnp.int32), mv, inp["qp_offsets"],
         mb_h, mb_w,
     )
+    if _on_tpu():
+        from ..kernels.deblock_pallas import deblock_frame_pallas
+
+        return deblock_frame_pallas(y, cb, cr, prep, mb_h, mb_w)
     return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w)
 
 
@@ -487,7 +524,11 @@ class TpuDecoder(Decoder):
             inp["w1_tab"] = jnp.asarray(w1_tab)
             inp["slice_mb"] = jnp.asarray(ft.slice_id.astype(np.int16))
             inp["ridx_parts"] = jnp.asarray(ft.ref_idx)
-        y, cb, cr = frame_fn(inp, mb_h, mb_w, n_refs, (has_l8, has_pcm, has_w))
+        has_inter = bool((ft.mb_class >= 3).any())
+        has_l1 = has_inter and bool((slot_parts[:, 1, :] >= 0).any())
+        y, cb, cr = frame_fn(
+            inp, mb_h, mb_w, n_refs, (has_l8, has_pcm, has_w, has_l1, has_inter)
+        )
         if self.apply_deblock:
             db_inp = {
                 "mb_cls": jnp.asarray(ft.mb_class),
