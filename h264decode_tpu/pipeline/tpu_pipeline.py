@@ -33,6 +33,7 @@ from ..kernels import transform as tr_k
 from ..kernels.deblock import deblock_frame_tpu
 from ..kernels.deblock_prep_dev import deblock_prep_device, expand_slot_mv
 from ..kernels.intra import K_I4, K_I8, K_I16, K_NONE, intra_wavefront
+from ..kernels.intra_pallas import intra_frame_pallas
 from ..syntax.pps import PPS
 from ..syntax.sps import SPS
 from ..tensors.frame_tensors import (
@@ -65,9 +66,91 @@ def _on_tpu() -> bool:
     return _ON_TPU
 
 
+class _HostPack:
+    """Coalesce every per-frame host tensor into ONE device transfer.
+
+    The device link here is latency-bound (each jnp.asarray costs a full
+    round trip); ~25 small per-frame uploads collapse into a single uint8
+    buffer plus a static unpack recipe (offset/dtype/shape per tensor) that
+    frame_fn slices/bitcasts on device for free."""
+
+    _KIND = {
+        np.dtype(np.bool_): "b1",
+        np.dtype(np.uint8): "u1",
+        np.dtype(np.int8): "i1",
+        np.dtype(np.int16): "i2",
+        np.dtype(np.int32): "i4",
+    }
+
+    def __init__(self):
+        self._parts: list[np.ndarray] = []
+        self._meta: list[tuple] = []
+        self._off = 0
+
+    def add(self, name: str, arr: np.ndarray):
+        arr = np.ascontiguousarray(arr)
+        raw = arr.reshape(-1).view(np.uint8)
+        pad = (-self._off) % 4
+        if pad:
+            self._parts.append(np.zeros(pad, np.uint8))
+            self._off += pad
+        self._meta.append(
+            (name, self._KIND[arr.dtype], arr.shape, self._off, raw.nbytes)
+        )
+        self._parts.append(raw)
+        self._off += raw.nbytes
+
+    def finish(self):
+        pad = (-self._off) % 4
+        if pad:
+            self._parts.append(np.zeros(pad, np.uint8))
+        buf = np.concatenate(self._parts) if self._parts else np.zeros(4, np.uint8)
+        return buf, tuple(self._meta)
+
+
+def _unpack(buf, meta: tuple) -> dict:
+    """Device-side inverse of _HostPack (slices + bitcasts, fused by XLA)."""
+    out = {}
+    for name, kind, shape, off, nbytes in meta:
+        seg = jax.lax.slice(buf, (off,), (off + nbytes,))
+        if kind == "b1":
+            arr = seg != 0
+        elif kind == "u1":
+            arr = seg
+        elif kind == "i1":
+            arr = jax.lax.bitcast_convert_type(seg, jnp.int8)
+        elif kind == "i2":
+            arr = jax.lax.bitcast_convert_type(seg.reshape(-1, 2), jnp.int16)
+        else:
+            arr = jax.lax.bitcast_convert_type(seg.reshape(-1, 4), jnp.int32)
+        out[name] = arr.reshape(shape)
+    return out
+
+
+# tensors consumed only by the deblock stage (split out of frame_fn's meta)
+_DB_ONLY = {
+    "mb_cls", "slice_arr", "disable", "aoff", "boff", "nnz_grid",
+    "ref_pic_parts",
+}
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def frame_fn_packed(buf, dev: dict, mb_h: int, mb_w: int, n_refs: int,
+                    flags: tuple, meta: tuple):
+    """frame_fn over a single packed host buffer + device-resident dict."""
+    inp = dict(dev)
+    inp.update(_unpack(buf, meta))
+    return _frame_core(inp, mb_h, mb_w, n_refs, flags)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
              flags: tuple = (True, True, 1)):
+    return _frame_core(inp, mb_h, mb_w, n_refs, flags)
+
+
+def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
+                flags: tuple = (True, True, 1)):
     """flags = (has_l8, has_pcm, wmode[, has_l1, has_inter]): static gates
     letting streams without 8x8 transforms / I_PCM / non-default weighted
     prediction skip those input tensors entirely (host->device transfer is
@@ -203,8 +286,10 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     base_cb = jnp.where(im_c, inter_cb, pcm_cb)
     base_cr = jnp.where(im_c, inter_cr, pcm_cr)
 
-    # ---- intra wavefront
-    y, cb, cr = intra_wavefront(
+    # ---- intra reconstruction: Pallas raster kernel on TPU, XLA wavefront
+    # elsewhere (CPU tests / virtual device meshes)
+    intra_impl = intra_frame_pallas if _on_tpu() else intra_wavefront
+    y, cb, cr = intra_impl(
         base_y, base_cb, base_cr, ry, rcb, rcr,
         inp["kind"].astype(jnp.int32), inp["modes4"].astype(jnp.int32),
         inp["i16mode"].astype(jnp.int32), inp["cmode"].astype(jnp.int32),
@@ -217,11 +302,24 @@ def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     return y, cb, cr
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def deblock_fn_packed(planes, buf, mb_h: int, mb_w: int, meta: tuple,
+                      dev: dict | None = None):
+    inp = dict(dev or {})
+    inp.update(_unpack(buf, meta))
+    return _deblock_core(planes, inp, mb_h, mb_w)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def deblock_fn(planes, inp: dict, mb_h: int, mb_w: int):
+    return _deblock_core(planes, inp, mb_h, mb_w)
+
+
+def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
     """Second pipeline stage (separate XLA program to keep compiles fast):
-    device-side edge-parameter derivation + the wavefront deblocking filter.
-    Expands the compact mv_parts to per-cell MVs on device."""
+    device-side edge-parameter derivation + the deblocking filter (Pallas
+    raster kernel on TPU, XLA wavefront elsewhere). Expands the compact
+    mv_parts to per-cell MVs on device."""
     from ..kernels.deblock_prep_dev import _blk_to_cells as jblk
 
     y, cb, cr = planes
@@ -476,74 +574,87 @@ class TpuDecoder(Decoder):
             ]
         )
 
-        # narrow wire dtypes: the device tunnel moves ~7-50 MB/s, so every
-        # tensor ships in its FrameTensors dtype (int16/int8/bool) and is
-        # widened on device inside frame_fn
+        # one packed upload: the device link is latency-bound, so every
+        # per-frame host tensor ships in a single uint8 buffer (narrow
+        # dtypes preserved; widened on device inside frame_fn)
         has_l8 = ft.luma8_ac is not None and bool(ft.transform_8x8.any())
-        inp = {
-            "luma_ac": jnp.asarray(ft.luma_ac),
-            "luma_dc": jnp.asarray(ft.luma_dc),
-            "chroma_dc": jnp.asarray(ft.chroma_dc),
-            "chroma_ac": jnp.asarray(ft.chroma_ac),
-            "qp": jnp.asarray(ft.qp),
-            "is_i16": jnp.asarray(ft.mb_class == MB_I_16X16),
-            "is_t8": jnp.asarray(ft.transform_8x8),
-            "is_intra": jnp.asarray(ft.mb_class < 3),
-            "ls4_y": jnp.asarray(ls4_y),
-            "ls8_y": jnp.asarray(ls8_y),
-            "ls4_c": jnp.asarray(ls4_c),
-            "qp_offsets": (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset),
+        pk = _HostPack()
+        pk.add("luma_ac", ft.luma_ac)
+        pk.add("luma_dc", ft.luma_dc)
+        pk.add("chroma_dc", ft.chroma_dc)
+        pk.add("chroma_ac", ft.chroma_ac)
+        pk.add("qp", ft.qp)
+        pk.add("is_i16", ft.mb_class == MB_I_16X16)
+        pk.add("is_t8", ft.transform_8x8)
+        pk.add("is_intra", ft.mb_class < 3)
+        pk.add("slot_parts", slot_parts)
+        pk.add("mv_parts", ft.mv)
+        pk.add("kind", kind.astype(np.int8))
+        pk.add("modes4", ft.intra4x4_modes)
+        pk.add("i16mode", ft.intra16_mode)
+        pk.add("cmode", ft.chroma_mode)
+        pk.add("avl", avl.reshape(-1))
+        pk.add("avt", avt.reshape(-1))
+        pk.add("avtr", avtr.reshape(-1))
+        pk.add("avtl", avtl.reshape(-1))
+        if has_l8:
+            pk.add("luma8_ac", ft.luma8_ac)
+        if has_pcm:
+            pk.add("pcm_y", pcm_y)
+            pk.add("pcm_cb", pcm_cb)
+            pk.add("pcm_cr", pcm_cr)
+        if has_w == 1:
+            pk.add("wy", wy.astype(np.int16))
+            pk.add("oy", oy.astype(np.int16))
+            pk.add("wc", wc.astype(np.int16))
+            pk.add("oc", oc.astype(np.int16))
+            pk.add("lwd_y", lwd_y.astype(np.int8))
+            pk.add("lwd_c", lwd_c.astype(np.int8))
+        elif has_w == 2:
+            pk.add("w1_tab", w1_tab)
+            pk.add("slice_mb", ft.slice_id.astype(np.int16))
+            pk.add("ridx_parts", ft.ref_idx)
+        if self.apply_deblock:
+            pk.add("mb_cls", ft.mb_class)
+            pk.add("slice_arr", ft.slice_id.astype(np.int16))
+            pk.add("disable", ft.disable_deblock)
+            pk.add("aoff", ft.alpha_off)
+            pk.add("boff", ft.beta_off)
+            pk.add("nnz_grid", ft.luma_nnz)
+            pk.add("ref_pic_parts", ft.ref_pic)
+        buf_np, meta = pk.finish()
+        buf = jnp.asarray(buf_np)
+        # scaling-list tables are per-(SPS, PPS) constants: upload once
+        ls_key = (id(sps), id(pps))
+        if getattr(self, "_ls_key", None) != ls_key:
+            self._ls_key = ls_key
+            self._ls_dev = (
+                jnp.asarray(ls4_y), jnp.asarray(ls8_y), jnp.asarray(ls4_c)
+            )
+        qp_off = (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset)
+        dev = {
+            "ls4_y": self._ls_dev[0],
+            "ls8_y": self._ls_dev[1],
+            "ls4_c": self._ls_dev[2],
+            "qp_offsets": qp_off,
             "ref_luma": ref_luma,
             "ref_cb": ref_cb,
             "ref_cr": ref_cr,
-            "slot_parts": jnp.asarray(slot_parts),
-            "mv_parts": jnp.asarray(ft.mv),
-            "kind": jnp.asarray(kind.astype(np.int8)),
-            "modes4": jnp.asarray(ft.intra4x4_modes),
-            "i16mode": jnp.asarray(ft.intra16_mode),
-            "cmode": jnp.asarray(ft.chroma_mode),
-            "avl": jnp.asarray(avl.reshape(-1)),
-            "avt": jnp.asarray(avt.reshape(-1)),
-            "avtr": jnp.asarray(avtr.reshape(-1)),
-            "avtl": jnp.asarray(avtl.reshape(-1)),
         }
-        if has_l8:
-            inp["luma8_ac"] = jnp.asarray(ft.luma8_ac)
-        if has_pcm:
-            inp["pcm_y"] = jnp.asarray(pcm_y)
-            inp["pcm_cb"] = jnp.asarray(pcm_cb)
-            inp["pcm_cr"] = jnp.asarray(pcm_cr)
-        if has_w == 1:
-            inp["wy"] = jnp.asarray(wy.astype(np.int16))
-            inp["oy"] = jnp.asarray(oy.astype(np.int16))
-            inp["wc"] = jnp.asarray(wc.astype(np.int16))
-            inp["oc"] = jnp.asarray(oc.astype(np.int16))
-            inp["lwd_y"] = jnp.asarray(lwd_y.astype(np.int8))
-            inp["lwd_c"] = jnp.asarray(lwd_c.astype(np.int8))
-        elif has_w == 2:
-            inp["w1_tab"] = jnp.asarray(w1_tab)
-            inp["slice_mb"] = jnp.asarray(ft.slice_id.astype(np.int16))
-            inp["ridx_parts"] = jnp.asarray(ft.ref_idx)
         has_inter = bool((ft.mb_class >= 3).any())
         has_l1 = has_inter and bool((slot_parts[:, 1, :] >= 0).any())
-        y, cb, cr = frame_fn(
-            inp, mb_h, mb_w, n_refs, (has_l8, has_pcm, has_w, has_l1, has_inter)
+        frame_meta = tuple(m for m in meta if m[0] not in _DB_ONLY)
+        y, cb, cr = frame_fn_packed(
+            buf, dev, mb_h, mb_w, n_refs,
+            (has_l8, has_pcm, has_w, has_l1, has_inter), frame_meta,
         )
         if self.apply_deblock:
-            db_inp = {
-                "mb_cls": jnp.asarray(ft.mb_class),
-                "qp": inp["qp"],
-                "is_t8": inp["is_t8"],
-                "slice_arr": jnp.asarray(ft.slice_id.astype(np.int16)),
-                "disable": jnp.asarray(ft.disable_deblock),
-                "aoff": jnp.asarray(ft.alpha_off),
-                "boff": jnp.asarray(ft.beta_off),
-                "nnz_grid": jnp.asarray(ft.luma_nnz),
-                "ref_pic_parts": jnp.asarray(ft.ref_pic),
-                "qp_offsets": inp["qp_offsets"],
-                "mv_parts": inp["mv_parts"],
-            }
-            y, cb, cr = deblock_fn((y, cb, cr), db_inp, mb_h, mb_w)
+            db_keys = _DB_ONLY | {"qp", "is_t8", "mv_parts"}
+            db_meta = tuple(m for m in meta if m[0] in db_keys)
+            y, cb, cr = deblock_fn_packed(
+                (y, cb, cr), buf, mb_h, mb_w, db_meta,
+                {"qp_offsets": qp_off},
+            )
         # keep this picture's half-pel planes on device for future reference
         # use (uid_counter is assigned to this picture right after recon)
         self._dev_cache[self.uid_counter] = (
