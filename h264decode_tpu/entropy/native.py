@@ -163,7 +163,7 @@ class NativeFrameState:
         """Mirror side state back into Python structures."""
         ft = self.ft
         cnt = int(self.n_decoded[0])
-        ft.decode_order.extend(int(a) for a in self.decode_order[:cnt])
+        ft.decode_order.extend(self.decode_order[:cnt].tolist())
         self.n_decoded[0] = 0
         from ..tensors.frame_tensors import MB_I_PCM
 

@@ -102,11 +102,13 @@ class Decoder:
     reference is crash-only: panic/recover + os.Exit, h264/server.go:136).
     """
 
-    def __init__(self, apply_deblock: bool = True, error_policy: str = "strict"):
+    def __init__(self, apply_deblock: bool = True, error_policy: str = "strict",
+                 metrics=None):
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self.apply_deblock = apply_deblock
         self.error_policy = error_policy
+        self.metrics = metrics
         self.error_count = 0
         self._cur: list[tuple[SliceHeader, SPS, PPS, object]] = []
         self.poc_ctx: POCContext | None = None
@@ -194,6 +196,13 @@ class Decoder:
             if use_native
             else None
         )
+        import contextlib
+
+        _t_entropy = (
+            self.metrics.timer("entropy") if self.metrics is not None
+            else contextlib.nullcontext()
+        )
+        _t_entropy.__enter__()
         for slice_id, (hdr, s_sps, s_pps, r) in enumerate(slices):
             map_units = map_unit_to_slice_group_map(
                 s_sps, s_pps, hdr.slice_group_change_cycle
@@ -270,6 +279,10 @@ class Decoder:
             dec.decode()
         if native_state is not None:
             native_state.finish()
+        _t_entropy.__exit__(None, None, None)
+        if self.metrics is not None:
+            self.metrics.count("frames")
+            self.metrics.count("mbs", ft.n_mbs)
         y, cb, cr = self._reconstruct(
             ft, sps, pps, slices, ref_lists, weight_ctx, poc
         )
@@ -291,14 +304,18 @@ class Decoder:
         pic.col_mv = np.where(
             use_l0[..., None], motion.mv[0], np.where(use_l1[..., None], motion.mv[1], 0)
         ).astype(np.int32)
-        col_uid = np.full(pic.col_ref_idx.shape, -1, np.int32)
-        for addr in range(ft.n_mbs):
-            mbx, mby = ft.mb_xy(addr)
-            for part in range(4):
-                py, px = mby * 4 + (part // 2) * 2, mbx * 4 + (part % 2) * 2
-                lsel = 0 if ft.ref_pic[addr, 0, part] >= 0 else 1
-                col_uid[py : py + 2, px : px + 2] = ft.ref_pic[addr, lsel, part]
-        pic.col_ref_uid = col_uid
+        # per-part colocated picture uid (prefer L0), vectorized: parts are
+        # 2x2 8x8 blocks in raster order within each MB
+        rp = ft.ref_pic  # [n, 2, 4]
+        sel = np.where(rp[:, 0, :] >= 0, rp[:, 0, :], rp[:, 1, :])  # [n, 4]
+        part_grid = (
+            sel.reshape(ft.mb_h, ft.mb_w, 2, 2)
+            .transpose(0, 2, 1, 3)
+            .reshape(ft.mb_h * 2, ft.mb_w * 2)
+        )
+        pic.col_ref_uid = (
+            part_grid.repeat(2, axis=0).repeat(2, axis=1).astype(np.int32)
+        )
         self.uid_counter += 1
         if hdr0.nal_ref_idc:
             self.dpb.mark(pic, hdr0)

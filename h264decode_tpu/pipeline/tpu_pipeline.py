@@ -1,15 +1,31 @@
 """The jitted per-frame TPU reconstruction pipeline and its host glue.
 
-One XLA program per stream geometry runs the entire parallel pixel path:
-  residual transforms (kernels/transform) -> motion compensation
-  (kernels/mc) -> intra wavefront (kernels/intra) -> deblocking
-  (kernels/deblock).
+ONE XLA program per stream geometry (frame_step) runs the entire device
+path for a frame: residual transforms (kernels/transform) -> motion
+compensation (kernels/mc) -> intra wavefront (kernels/intra) -> deblocking
+(kernels/deblock) -> half-pel reference-plane generation -> in-place DPB
+ring update -> packed YUV output plane.
+
+Designed for the measured transport profile of the device link (a
+latency-bound tunnel: ~30 ms per transfer roundtrip, uploads ~200 MB/s,
+downloads ~25-60 MB/s):
+  * every per-frame host tensor ships in a single packed uint8 buffer;
+  * the frame's three output planes leave the device as ONE packed
+    [H + H/2, W] buffer whose device->host copy starts asynchronously the
+    moment the frame is dispatched, overlapping later frames' entropy
+    decode and device work;
+  * the DPB's half-pel plane stacks never leave the device: frame_step
+    updates a donated ring buffer in place;
+  * there is exactly ONE compile variant per stream geometry: weighted
+    prediction (explicit 7.3.3.2 / implicit 8.4.2.3.1 / none) is resolved
+    on device from tiny per-slice weight tables, and both reference lists
+    are always evaluated (masked where unused), so I/P/B frames share one
+    program. (The reference interleaves parse and "decode" per MB and has
+    no pixel path at all: /root/reference/h264/slice.go:599-828.)
 
 The host side (TpuDecoder) drives entropy decoding into FrameTensors,
-derives the small per-frame parameter tensors (MC slots/weights, deblock
-edge parameters, intra availability), keeps the DPB's half-pel plane stacks
-on device, and feeds the jitted function. Bit-exact vs the numpy oracle and
-therefore vs libavcodec.
+derives the small per-frame parameter tensors, and feeds the jitted
+function. Bit-exact vs the numpy oracle and therefore vs libavcodec.
 """
 
 from __future__ import annotations
@@ -42,14 +58,19 @@ from ..tensors.frame_tensors import (
     MB_I_PCM,
     FrameTensors,
 )
+from ..utils.metrics import DecodeMetrics
 from .decoder import Decoder
-from .deblock_prep import _blk_to_cells, _mb_to_cells, _part_to_cells, prepare_deblock
 from .dpb import Picture
 
 _jit_half_pel = jax.jit(mc_k.half_pel_planes)
 _jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
 _ON_TPU: bool | None = None
+
+# weight tables cover ref-list indices 0..R_W-1; ref lists can nominally be
+# up to 32 entries (with duplicates), so R_W grows (pow2) when a stream
+# actually uses longer lists
+R_W_DEFAULT = 16
 
 
 def _on_tpu() -> bool:
@@ -70,9 +91,9 @@ class _HostPack:
     """Coalesce every per-frame host tensor into ONE device transfer.
 
     The device link here is latency-bound (each jnp.asarray costs a full
-    round trip); ~25 small per-frame uploads collapse into a single uint8
+    round trip); ~30 small per-frame uploads collapse into a single uint8
     buffer plus a static unpack recipe (offset/dtype/shape per tensor) that
-    frame_fn slices/bitcasts on device for free."""
+    frame_step slices/bitcasts on device for free."""
 
     _KIND = {
         np.dtype(np.bool_): "b1",
@@ -127,45 +148,67 @@ def _unpack(buf, meta: tuple) -> dict:
     return out
 
 
-# tensors consumed only by the deblock stage (split out of frame_fn's meta)
-_DB_ONLY = {
-    "mb_cls", "slice_arr", "disable", "aoff", "boff", "nnz_grid",
-    "ref_pic_parts",
-}
+def _weight_cells(inp: dict, mb_h: int, mb_w: int):
+    """Per-4x4-cell weighted-prediction parameters, gathered on device from
+    the tiny per-slice tables the host packs every frame (identity defaults
+    w=32/o=0/logWD=5 make unweighted slices exact no-ops through
+    mc.weighted_combine).
 
+    Returns (w0, o0, w1, o1, lwd) luma cell grids and a chroma getter
+    comp -> (w0, o0, w1, o1, lwd)."""
+    from ..kernels.deblock_prep_dev import _mb_to_cells as jmb
+    from ..kernels.deblock_prep_dev import _part_to_cells as jpart
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def frame_fn_packed(buf, dev: dict, mb_h: int, mb_w: int, n_refs: int,
-                    flags: tuple, meta: tuple):
-    """frame_fn over a single packed host buffer + device-resident dict."""
-    inp = dict(dev)
-    inp.update(_unpack(buf, meta))
-    return _frame_core(inp, mb_h, mb_w, n_refs, flags)
+    w_tab = inp["w_tab"].astype(jnp.int32)  # [S, 2, R]
+    o_tab = inp["o_tab"].astype(jnp.int32)  # [S, 2, R]
+    wc_tab = inp["wc_tab"].astype(jnp.int32)  # [S, 2, R, 2]
+    oc_tab = inp["oc_tab"].astype(jnp.int32)  # [S, 2, R, 2]
+    lwd_tab = inp["lwd_tab"].astype(jnp.int32)  # [S, 2]
+    pw0 = inp["pw0"].astype(jnp.int32)  # [S, R, R] bi weights (pair-indexed)
+    pw1 = inp["pw1"].astype(jnp.int32)
+    pwc0 = inp["pwc0"].astype(jnp.int32)  # [S, R, R, 2]
+    pwc1 = inp["pwc1"].astype(jnp.int32)
 
+    S, _, R = w_tab.shape
+    sl = jnp.clip(jmb(inp["slice_mb"].astype(jnp.int32), mb_h, mb_w), 0, S - 1)
+    rp = inp["ridx_parts"].astype(jnp.int32)
+    r0 = jnp.clip(jpart(rp[:, 0], mb_h, mb_w), 0, R - 1)
+    r1 = jnp.clip(jpart(rp[:, 1], mb_h, mb_w), 0, R - 1)
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-             flags: tuple = (True, True, 1)):
-    return _frame_core(inp, mb_h, mb_w, n_refs, flags)
+    def pick(uni_tab, pair0, pair1, bi):
+        u0 = uni_tab[sl, 0, r0]
+        u1 = uni_tab[sl, 1, r1]
+        b0 = pair0[sl, r0, r1]
+        b1 = pair1[sl, r0, r1]
+        return jnp.where(bi, b0, u0), jnp.where(bi, b1, u1)
+
+    def luma(bi):
+        w0, w1 = pick(w_tab, pw0, pw1, bi)
+        return w0, o_tab[sl, 0, r0], w1, o_tab[sl, 1, r1], lwd_tab[sl, 0]
+
+    def chroma(comp, bi):
+        w0, w1 = pick(
+            wc_tab[..., comp], pwc0[..., comp], pwc1[..., comp], bi
+        )
+        return (
+            w0,
+            oc_tab[sl, 0, r0, comp],
+            w1,
+            oc_tab[sl, 1, r1, comp],
+            lwd_tab[sl, 1],
+        )
+
+    return luma, chroma
 
 
 def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-                flags: tuple = (True, True, 1)):
-    """flags = (has_l8, has_pcm, wmode[, has_l1, has_inter]): static gates
-    letting streams without 8x8 transforms / I_PCM / non-default weighted
-    prediction skip those input tensors entirely (host->device transfer is
-    a 1080p bottleneck: ~7-50 MB/s through the device tunnel), and letting
-    P frames skip the list-1 MC gathers / I frames skip MC entirely.
+                has_l8: bool, has_pcm: bool):
+    """The full parallel pixel path for one frame, one compile variant.
 
-    wmode: 0 = default combine (no weight tensors at all);
-           1 = explicit per-cell weight grids (wy/oy/wc/oc/lwd_*);
-           2 = implicit-only: w1 derived ON DEVICE from the tiny per-slice
-               POC-distance table w1_tab[S,R,R] + ridx_parts + slice_mb
-               (8.4.2.3.1: offsets 0, logWD 5), replacing ~3.3MB of grids
-               with a few KB."""
-    has_l8, has_pcm, has_w = flags[:3]
-    has_l1 = flags[3] if len(flags) > 3 else True
-    has_inter = flags[4] if len(flags) > 4 else True
+    has_l8/has_pcm are the only static gates left: has_l8 is a per-PPS
+    stream constant (transform_8x8_mode_flag) and I_PCM frames are rare
+    enough that the occasional extra variant beats always shipping three
+    full-size PCM planes over the link."""
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = mb_h * 8, mb_w * 8
     n = mb_h * mb_w
@@ -186,94 +229,46 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
         inp["chroma_dc"].astype(jnp.int32), inp["chroma_ac"].astype(jnp.int32),
         qp, inp["is_intra"], inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
     )
-    # ---- inter prediction
-    if has_inter:
-        slot, mv = expand_slot_mv(
-            inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
-        )
-        p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
-        p1y = (
-            mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W) if has_l1 else p0y
-        )
-        use0 = jnp.repeat(jnp.repeat(slot[0] >= 0, 4, 0), 4, 1)
-        use1 = (
-            jnp.repeat(jnp.repeat(slot[1] >= 0, 4, 0), 4, 1)
-            if has_l1
-            else jnp.zeros((H, W), bool)
-        )
+    # ---- inter prediction: both lists always evaluated (masked where
+    # unused) so I/P/B frames share one XLA program
+    slot, mv = expand_slot_mv(
+        inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
+    )
+    use0_cell = slot[0] >= 0  # [H4, W4]
+    use1_cell = slot[1] >= 0
+    bi_cell = use0_cell & use1_cell
+    luma_w, chroma_w = _weight_cells(inp, mb_h, mb_w)
 
     def px4(a):
         return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
 
-    if has_w == 2 and has_inter:
-        # implicit weights on device: w1[cell] from the per-slice table
-        from ..kernels.deblock_prep_dev import _mb_to_cells as jmb
-        from ..kernels.deblock_prep_dev import _part_to_cells as jpart
+    def px2(a):
+        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 2, 0), 2, 1)
 
-        tab = inp["w1_tab"].astype(jnp.int32)  # [S, R, R]
-        sc = jmb(inp["slice_mb"].astype(jnp.int32), mb_h, mb_w)
-        rp = inp["ridx_parts"].astype(jnp.int32)
-        r0c = jnp.clip(jpart(rp[:, 0], mb_h, mb_w), 0, tab.shape[1] - 1)
-        r1c = jnp.clip(jpart(rp[:, 1], mb_h, mb_w), 0, tab.shape[2] - 1)
-        w1_cell = tab[jnp.clip(sc, 0, tab.shape[0] - 1), r0c, r1c]
+    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
+    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W)
+    w0, o0, w1, o1, lwd = luma_w(bi_cell)
+    pred_y = mc_k.weighted_combine(
+        p0y, p1y, px4(use0_cell).astype(bool), px4(use1_cell).astype(bool),
+        px4(w0), px4(o0), px4(w1), px4(o1), px4(lwd),
+    )
+    inter_y = jnp.clip(pred_y + ry, 0, 255)
 
-    if not has_inter:
-        inter_y = jnp.zeros((H, W), jnp.int32)
-        inter_cb = jnp.zeros((Hc, Wc), jnp.int32)
-        inter_cr = jnp.zeros((Hc, Wc), jnp.int32)
-    else:
-        if has_w == 1:
-            pred_y = mc_k.weighted_combine(
-                p0y, p1y, use0, use1,
-                px4(inp["wy"][0]), px4(inp["oy"][0]),
-                px4(inp["wy"][1]), px4(inp["oy"][1]),
-                px4(inp["lwd_y"]),
-            )
-        elif has_w == 2:
-            w1y = jnp.repeat(jnp.repeat(w1_cell, 4, 0), 4, 1)
-            bi_y = (p0y * (64 - w1y) + p1y * w1y + 32) >> 6
-            pred_y = jnp.where(
-                use0 & use1, bi_y, jnp.where(use0, p0y, p1y)
-            )
-        else:
-            pred_y = jnp.where(
-                use0 & use1, (p0y + p1y + 1) >> 1, jnp.where(use0, p0y, p1y)
-            )
-        inter_y = jnp.clip(pred_y + ry, 0, 255)
-
-        def px2(a):
-            return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 2, 0), 2, 1)
-
-        use0c = px2(slot[0] >= 0).astype(bool)
-        use1c = (
-            px2(slot[1] >= 0).astype(bool) if has_l1 else jnp.zeros((Hc, Wc), bool)
+    use0c = px2(use0_cell).astype(bool)
+    use1c = px2(use1_cell).astype(bool)
+    chroma_planes = []
+    for comp, (refs, rc) in enumerate(
+        ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
+    ):
+        p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
+        p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc)
+        cw0, co0, cw1, co1, clwd = chroma_w(comp, bi_cell)
+        pred = mc_k.weighted_combine(
+            p0, p1, use0c, use1c,
+            px2(cw0), px2(co0), px2(cw1), px2(co1), px2(clwd),
         )
-        if has_w == 2:
-            w1c = jnp.repeat(jnp.repeat(w1_cell, 2, 0), 2, 1)
-        chroma_planes = []
-        for comp, (refs, rc) in enumerate(
-            ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
-        ):
-            p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
-            p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc) if has_l1 else p0
-            if has_w == 1:
-                pred = mc_k.weighted_combine(
-                    p0, p1, use0c, use1c,
-                    px2(inp["wc"][0, comp]), px2(inp["oc"][0, comp]),
-                    px2(inp["wc"][1, comp]), px2(inp["oc"][1, comp]),
-                    px2(inp["lwd_c"]),
-                )
-            elif has_w == 2:
-                bi_c = (p0 * (64 - w1c) + p1 * w1c + 32) >> 6
-                pred = jnp.where(
-                    use0c & use1c, bi_c, jnp.where(use0c, p0, p1)
-                )
-            else:
-                pred = jnp.where(
-                    use0c & use1c, (p0 + p1 + 1) >> 1, jnp.where(use0c, p0, p1)
-                )
-            chroma_planes.append(jnp.clip(pred + rc, 0, 255))
-        inter_cb, inter_cr = chroma_planes
+        chroma_planes.append(jnp.clip(pred + rc, 0, 255))
+    inter_cb, inter_cr = chroma_planes
 
     # ---- base planes: inter pixels + PCM pixels, zeros where intra fills
     inter_mb = (~inp["is_intra"]).reshape(mb_h, mb_w)
@@ -296,28 +291,11 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
         inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
         mb_h, mb_w,
     )
-    y = y.astype(jnp.uint8)
-    cb = cb.astype(jnp.uint8)
-    cr = cr.astype(jnp.uint8)
-    return y, cb, cr
-
-
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def deblock_fn_packed(planes, buf, mb_h: int, mb_w: int, meta: tuple,
-                      dev: dict | None = None):
-    inp = dict(dev or {})
-    inp.update(_unpack(buf, meta))
-    return _deblock_core(planes, inp, mb_h, mb_w)
-
-
-@partial(jax.jit, static_argnums=(2, 3))
-def deblock_fn(planes, inp: dict, mb_h: int, mb_w: int):
-    return _deblock_core(planes, inp, mb_h, mb_w)
+    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
 def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
-    """Second pipeline stage (separate XLA program to keep compiles fast):
-    device-side edge-parameter derivation + the deblocking filter (Pallas
+    """Device-side edge-parameter derivation + the deblocking filter (Pallas
     raster kernel on TPU, XLA wavefront elsewhere). Expands the compact
     mv_parts to per-cell MVs on device."""
     from ..kernels.deblock_prep_dev import _blk_to_cells as jblk
@@ -347,6 +325,98 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
     return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w)
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), donate_argnums=(1, 2, 3))
+def frame_step(buf, ring_y, ring_cb, ring_cr, dyn: dict,
+               mb_h: int, mb_w: int, n_refs: int, flags: tuple, meta: tuple):
+    """The whole per-frame device program: unpack -> reconstruct ->
+    deblock -> half-pel planes -> in-place DPB ring update -> packed output.
+
+    flags = (has_l8, has_pcm, apply_deblock). The ring buffers are donated:
+    the DPB's reference planes live on device for the whole stream, and the
+    only per-frame transfers are the packed input buffer (host->device) and
+    the packed output plane (device->host, fetched asynchronously)."""
+    has_l8, has_pcm, apply_db = flags
+    inp = dict(dyn)
+    inp.update(_unpack(buf, meta))
+    inp["ref_luma"] = ring_y
+    inp["ref_cb"] = ring_cb
+    inp["ref_cr"] = ring_cr
+    y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
+    if apply_db:
+        y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w)
+    hp = mc_k.half_pel_planes(y)
+    cbp = mc_k.chroma_pad(cb)
+    crp = mc_k.chroma_pad(cr)
+    slot = inp["slot_idx"].astype(jnp.int32).reshape(())
+    ring_y = jax.lax.dynamic_update_slice(ring_y, hp[None], (slot, 0, 0, 0))
+    ring_cb = jax.lax.dynamic_update_slice(ring_cb, cbp[None], (slot, 0, 0))
+    ring_cr = jax.lax.dynamic_update_slice(ring_cr, crp[None], (slot, 0, 0))
+    packed = jnp.concatenate([y, jnp.concatenate([cb, cr], axis=1)], axis=0)
+    return ring_y, ring_cb, ring_cr, packed
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def frame_fn(inp: dict, mb_h: int, mb_w: int, n_refs: int,
+             has_l8: bool = False, has_pcm: bool = False,
+             apply_deblock: bool = False):
+    """Ring-free single-frame entry (driver compile checks, kernel tests)."""
+    y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
+    if apply_deblock:
+        y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w)
+    return y, cb, cr
+
+
+class _PackedFrame:
+    """One decoded frame leaving the device as a single packed buffer
+    [H + H/2, W] (Y on top; Cb | Cr side by side below). The device->host
+    copy is started asynchronously at dispatch time; the first plane access
+    waits for it and splits the planes."""
+
+    def __init__(self, packed, H: int, W: int, metrics: DecodeMetrics | None):
+        self._packed = packed
+        self._H = H
+        self._W = W
+        self._planes = None
+        self._metrics = metrics
+
+    def fetch(self):
+        if self._planes is None:
+            m = self._metrics
+            if m is not None:
+                with m.timer("download"):
+                    a = np.asarray(self._packed)
+                m.count("bytes_down", a.nbytes)
+            else:
+                a = np.asarray(self._packed)
+            H, W = self._H, self._W
+            self._planes = (a[:H], a[H:, : W // 2], a[H:, W // 2 :])
+            self._packed = None
+        return self._planes
+
+
+class _PlaneView:
+    """numpy-coercible view of one plane of a _PackedFrame."""
+
+    def __init__(self, frame: _PackedFrame, idx: int):
+        self._frame = frame
+        self._idx = idx
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._frame.fetch()[self._idx]
+        if dtype is not None and a.dtype != dtype:
+            a = a.astype(dtype)
+        return a
+
+    @property
+    def shape(self):
+        H, W = self._frame._H, self._frame._W
+        return (H, W) if self._idx == 0 else (H // 2, W // 2)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.uint8)
+
+
 def _mb_avail_grids(ft: FrameTensors, pps: PPS):
     """MB-level intra availability (left/top/topright/topleft) incl. slice
     gating and constrained_intra_pred."""
@@ -372,96 +442,114 @@ def _mb_avail_grids(ft: FrameTensors, pps: PPS):
     return nb(0, -1), nb(-1, 0), nb(-1, 1), nb(-1, -1)
 
 
-class TpuDecoder(Decoder):
-    """Stream decoder whose pixel pipeline runs as one jitted XLA program."""
+def _weight_tables(weight_ctx, ref_lists, poc, s_pad: int, r_w: int):
+    """Per-slice weighted-prediction tables for the device-side gather.
 
-    def __init__(self, apply_deblock: bool = True, backend=None):
-        super().__init__(apply_deblock=apply_deblock)
-        self._dev_cache: dict[int, tuple] = {}  # pic uid -> device plane stacks
+    Identity default everywhere: w=32, o=0, logWD=5 — exact for unweighted
+    uni (p*32+16)>>5 = p and for default bi (32p0+32p1+32)>>6 = (p0+p1+1)>>1.
+    Explicit slices (7.3.3.2) fill per-(list, ref_idx) entries; implicit
+    slices (8.4.2.3.1) fill the pair-indexed bi tables from POC distances."""
+    S, R = s_pad, r_w
+    w_tab = np.full((S, 2, R), 32, np.int16)
+    o_tab = np.zeros((S, 2, R), np.int16)
+    wc_tab = np.full((S, 2, R, 2), 32, np.int16)
+    oc_tab = np.zeros((S, 2, R, 2), np.int16)
+    lwd_tab = np.full((S, 2), 5, np.int8)
+    pw0 = np.full((S, R, R), 32, np.int16)
+    pw1 = np.full((S, R, R), 32, np.int16)
+    pwc0 = np.full((S, R, R, 2), 32, np.int16)
+    pwc1 = np.full((S, R, R, 2), 32, np.int16)
+    for sid, (wmode, pwt) in enumerate(weight_ctx):
+        if sid >= S or wmode == "none":
+            continue
+        if wmode == "explicit" and pwt is not None:
+            lwd_tab[sid] = (pwt.luma_log2_weight_denom,
+                            pwt.chroma_log2_weight_denom)
+            ld, cd = int(pwt.luma_log2_weight_denom), int(
+                pwt.chroma_log2_weight_denom)
+            w_tab[sid] = 1 << ld
+            wc_tab[sid] = 1 << cd
+            for lst, tab in ((0, pwt.l0), (1, pwt.l1)):
+                for ridx, e in enumerate(tab or []):
+                    if ridx >= R:
+                        break
+                    w_tab[sid, lst, ridx] = e.luma_weight
+                    o_tab[sid, lst, ridx] = e.luma_offset
+                    wc_tab[sid, lst, ridx] = e.chroma_weight
+                    oc_tab[sid, lst, ridx] = e.chroma_offset
+            # explicit bi weights are separable per (list, ref_idx)
+            pw0[sid] = w_tab[sid, 0, :, None]
+            pw1[sid] = w_tab[sid, 1, None, :]
+            pwc0[sid] = wc_tab[sid, 0, :, None, :]
+            pwc1[sid] = wc_tab[sid, 1, None, :, :]
+        elif wmode == "implicit":
+            l0, l1 = ref_lists[sid]
+            for a, p0 in enumerate(l0[:R]):
+                for b, p1 in enumerate(l1[:R]):
+                    _, w1v = _implicit_w(p0, p1, poc)
+                    pw0[sid, a, b] = 64 - w1v
+                    pw1[sid, a, b] = w1v
+                    pwc0[sid, a, b] = 64 - w1v
+                    pwc1[sid, a, b] = w1v
+            # implicit uni-prediction is the default combine: uni tables
+            # stay identity; offsets stay 0, logWD stays 5
+    return {
+        "w_tab": w_tab, "o_tab": o_tab, "wc_tab": wc_tab, "oc_tab": oc_tab,
+        "lwd_tab": lwd_tab, "pw0": pw0, "pw1": pw1,
+        "pwc0": pwc0, "pwc1": pwc1,
+    }
+
+
+class TpuDecoder(Decoder):
+    """Stream decoder whose pixel pipeline runs as one jitted XLA program
+    per frame, with device-resident DPB reference planes and asynchronous
+    packed-plane output."""
+
+    def __init__(self, apply_deblock: bool = True, backend=None,
+                 metrics: DecodeMetrics | None = None):
+        super().__init__(apply_deblock=apply_deblock, metrics=metrics)
         self._ring = None  # device DPB ring buffers (luma hp, cb, cr)
         self._ring_slots: dict[int, int] = {}  # pic uid -> ring slot
+        self._ring_geom = None
+        self._r_w = R_W_DEFAULT
 
-    def _ref_stacks(self, pictures: list[Picture], sps: SPS):
-        """Device DPB ring buffer: each reference picture's half-pel plane
-        stack lives in a fixed slot; only newly-referenced pictures are
-        inserted (one device-side .at[slot].set per picture lifetime)."""
+    def _ensure_ring(self, sps: SPS):
         n_refs = max(1, sps.max_num_ref_frames + 1)
         H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
-        P = mc_k.PAD
-        if self._ring is None:
+        geom = (n_refs, H, W)
+        if self._ring is None or self._ring_geom != geom:
+            P = mc_k.PAD
             self._ring = [
                 jnp.zeros((n_refs, 4, H + 2 * P, W + 2 * P), jnp.uint8),
                 jnp.zeros((n_refs, H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8),
                 jnp.zeros((n_refs, H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8),
             ]
-        live = {p.uid for p in pictures[:n_refs]}
+            self._ring_slots = {}
+            self._ring_geom = geom
+        return n_refs
+
+    def _alloc_slot(self, live_uids: set, n_refs: int) -> int:
+        """A free ring slot, evicting slots of no-longer-referenced uids."""
+        for uid in [u for u in self._ring_slots if u not in live_uids]:
+            del self._ring_slots[uid]
+        used = set(self._ring_slots.values())
+        return next(i for i in range(n_refs) if i not in used)
+
+    def _insert_host_refs(self, pictures: list[Picture], n_refs: int,
+                          live: set):
+        """Upload reference pictures that lack a ring slot (pictures decoded
+        by a host fallback path, e.g. lossless transform-bypass frames)."""
         for p in pictures[:n_refs]:
             if p.uid in self._ring_slots:
                 continue
-            used = set(self._ring_slots.values())
-            # free a slot whose picture is no longer referenced
-            for uid, slot in list(self._ring_slots.items()):
-                if uid not in live:
-                    del self._ring_slots[uid]
-            used = set(self._ring_slots.values())
-            slot = next(i for i in range(n_refs) if i not in used)
-            if p.uid in self._dev_cache:
-                hp, cbp, crp = self._dev_cache.pop(p.uid)
-            else:
-                hp = _jit_half_pel(jnp.asarray(p.y))
-                cbp = _jit_chroma_pad(jnp.asarray(p.cb))
-                crp = _jit_chroma_pad(jnp.asarray(p.cr))
+            slot = self._alloc_slot(live, n_refs)
+            hp = _jit_half_pel(jnp.asarray(np.asarray(p.y)))
+            cbp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cb)))
+            crp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cr)))
             self._ring[0] = self._ring[0].at[slot].set(hp)
             self._ring[1] = self._ring[1].at[slot].set(cbp)
             self._ring[2] = self._ring[2].at[slot].set(crp)
             self._ring_slots[p.uid] = slot
-        return self._ring[0], self._ring[1], self._ring[2], n_refs
-
-    @staticmethod
-    def _build_weight_cells(weight_ctx, ref_lists, poc, sl_cell, ridx_cell,
-                            bi_cell, wy, oy, wc, oc, lwd_y, lwd_c):
-        """Fill the per-cell weight grids in place (explicit 7.3.3.2 tables /
-        implicit 8.4.2.3.1 POC-distance weights), per slice."""
-        for sid, (wmode, pwt) in enumerate(weight_ctx):
-            in_slice = sl_cell == sid
-            if not in_slice.any() or wmode == "none":
-                continue
-            if wmode == "explicit" and pwt is not None:
-                for lst, tab in ((0, pwt.l0), (1, pwt.l1)):
-                    if not tab:
-                        continue
-                    lw = np.array([e.luma_weight for e in tab], np.int32)
-                    lo = np.array([e.luma_offset for e in tab], np.int32)
-                    cw = np.array([e.chroma_weight for e in tab], np.int32)  # [R,2]
-                    co = np.array([e.chroma_offset for e in tab], np.int32)
-                    ridx = ridx_cell[lst]
-                    sel = in_slice & (ridx >= 0)
-                    ri = np.clip(ridx, 0, len(tab) - 1)
-                    wy[lst][sel] = lw[ri][sel]
-                    oy[lst][sel] = lo[ri][sel]
-                    for comp in range(2):
-                        wc[lst, comp][sel] = cw[ri, comp][sel]
-                        oc[lst, comp][sel] = co[ri, comp][sel]
-                lwd_y[in_slice] = pwt.luma_log2_weight_denom
-                lwd_c[in_slice] = pwt.chroma_log2_weight_denom
-            elif wmode == "implicit":
-                l0, l1 = ref_lists[sid]
-                # W1[r0, r1] per ref-pair from POC distances (8.4.2.3.1)
-                w1m = np.full((max(1, len(l0)), max(1, len(l1))), 32, np.int32)
-                for a, p0 in enumerate(l0):
-                    for b, p1 in enumerate(l1):
-                        w0_, w1_ = _implicit_w(p0, p1, poc)
-                        w1m[a, b] = w1_
-                r0 = np.clip(ridx_cell[0], 0, w1m.shape[0] - 1)
-                r1 = np.clip(ridx_cell[1], 0, w1m.shape[1] - 1)
-                sel = in_slice & bi_cell
-                w1v = w1m[r0, r1]
-                wy[1][sel] = w1v[sel]
-                wy[0][sel] = 64 - w1v[sel]
-                for comp in range(2):
-                    wc[1, comp][sel] = w1v[sel]
-                    wc[0, comp][sel] = 64 - w1v[sel]
-                # offsets stay 0; logWD stays 5 (set via bi defaults)
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
         if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
@@ -478,23 +566,30 @@ class TpuDecoder(Decoder):
             return super()._reconstruct(
                 ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
+        m = self.metrics
         mb_h, mb_w = ft.mb_h, ft.mb_w
+        H, W = mb_h * 16, mb_w * 16
         n = ft.n_mbs
-        # ---- unique reference pictures -> stack slots
+        hdr0 = slices[0][0]
+        n_refs = self._ensure_ring(sps)
+        # ---- unique reference pictures -> ring slots
         uid_to_pic = {}
         for l0, l1 in ref_lists:
             for p in l0 + l1:
                 uid_to_pic.setdefault(p.uid, p)
         pics = list(uid_to_pic.values())
-        ref_luma, ref_cb, ref_cr, n_refs = self._ref_stacks(pics, sps)
+        live = {p.uid for p in pics[:n_refs]}
+        self._insert_host_refs(pics, n_refs, live)
         uid_slot = {
-            p.uid: self._ring_slots[p.uid]
-            for p in pics[:n_refs]
-            if p.uid in self._ring_slots
+            u: s for u, s in self._ring_slots.items() if u in live
         }
+        # slot for the current frame's half-pel planes (a free slot always
+        # exists: the ring has max_num_ref_frames+1 slots)
+        cur_slot = self._alloc_slot(live, n_refs)
+        if hdr0.nal_ref_idc:
+            self._ring_slots[self.uid_counter] = cur_slot
 
         # ---- compact per-part ref slots (expanded to cells on device)
-        H4, W4 = mb_h * 4, mb_w * 4
         slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
         for uid, s in uid_slot.items():
             slot_lut[uid] = s
@@ -505,39 +600,14 @@ class TpuDecoder(Decoder):
             -1,
         ).astype(np.int8)
 
-        # ---- weighted prediction: 0 = default combine, 1 = explicit cell
-        # grids, 2 = implicit table gathered on device
-        has_w, w1_tab = _classify_weights(weight_ctx, ref_lists, poc)
-        if has_w == 1:
-            slot = np.full((2, H4, W4), -1, np.int32)
-            for lst in range(2):
-                rpc = _part_to_cells(ft.ref_pic[:, lst, :], mb_h, mb_w)
-                slot[lst] = np.where(
-                    rpc >= 0, slot_lut[np.clip(rpc, 0, len(slot_lut) - 1)], -1
-                )
-            intra_cell = _mb_to_cells(ft.mb_class < 3, mb_h, mb_w)
-            slot[:, intra_cell] = -1
-            wy = np.ones((2, H4, W4), np.int32)
-            oy = np.zeros((2, H4, W4), np.int32)
-            wc = np.ones((2, 2, H4, W4), np.int32)
-            oc = np.zeros((2, 2, H4, W4), np.int32)
-            lwd_y = np.zeros((H4, W4), np.int32)
-            lwd_c = np.zeros((H4, W4), np.int32)
-            bi_cell = (slot[0] >= 0) & (slot[1] >= 0)
-            # defaults: bi average == weights 32/32 with logWD 5
-            wy[:, bi_cell] = 32
-            wc[:, :, bi_cell] = 32
-            lwd_y[bi_cell] = 5
-            lwd_c[bi_cell] = 5
-            sl_cell = _mb_to_cells(ft.slice_id, mb_h, mb_w)
-            ridx_cell = [
-                _part_to_cells(ft.ref_idx[:, lst, :], mb_h, mb_w)
-                for lst in range(2)
-            ]
-            self._build_weight_cells(
-                weight_ctx, ref_lists, poc, sl_cell, ridx_cell, bi_cell,
-                wy, oy, wc, oc, lwd_y, lwd_c,
-            )
+        # ---- per-slice weight tables (identity unless weighted)
+        s_pad = 1 << max(0, len(slices) - 1).bit_length()
+        max_list = max(
+            [1] + [len(l0) for l0, _ in ref_lists] + [len(l1) for _, l1 in ref_lists]
+        )
+        while self._r_w < max_list:
+            self._r_w *= 2
+        wt = _weight_tables(weight_ctx, ref_lists, poc, s_pad, self._r_w)
 
         # ---- intra wavefront metadata
         kind = np.zeros(n, np.int32)
@@ -558,26 +628,10 @@ class TpuDecoder(Decoder):
                 pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcb
                 pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcr
 
-        # ---- scaling lists
-        s4 = pps.effective_scaling_4x4(sps)
-        s8 = pps.effective_scaling_8x8(sps)
-        ls4_y = np.stack(
-            [tr_k.level_scale_tables_4x4(s4[0]), tr_k.level_scale_tables_4x4(s4[3])]
-        )
-        ls8_y = np.stack(
-            [tr_k.level_scale_tables_8x8(s8[0]), tr_k.level_scale_tables_8x8(s8[1])]
-        )
-        ls4_c = np.stack(
-            [
-                np.stack([tr_k.level_scale_tables_4x4(s4[1]), tr_k.level_scale_tables_4x4(s4[2])]),
-                np.stack([tr_k.level_scale_tables_4x4(s4[4]), tr_k.level_scale_tables_4x4(s4[5])]),
-            ]
-        )
-
         # one packed upload: the device link is latency-bound, so every
         # per-frame host tensor ships in a single uint8 buffer (narrow
-        # dtypes preserved; widened on device inside frame_fn)
-        has_l8 = ft.luma8_ac is not None and bool(ft.transform_8x8.any())
+        # dtypes preserved; widened on device inside frame_step)
+        has_l8 = pps.transform_8x8_mode_flag and ft.luma8_ac is not None
         pk = _HostPack()
         pk.add("luma_ac", ft.luma_ac)
         pk.add("luma_dc", ft.luma_dc)
@@ -597,23 +651,17 @@ class TpuDecoder(Decoder):
         pk.add("avt", avt.reshape(-1))
         pk.add("avtr", avtr.reshape(-1))
         pk.add("avtl", avtl.reshape(-1))
+        pk.add("slice_mb", ft.slice_id.astype(np.int16))
+        pk.add("ridx_parts", ft.ref_idx)
+        for k, v in wt.items():
+            pk.add(k, v)
+        pk.add("slot_idx", np.asarray([cur_slot], np.int32))
         if has_l8:
             pk.add("luma8_ac", ft.luma8_ac)
         if has_pcm:
             pk.add("pcm_y", pcm_y)
             pk.add("pcm_cb", pcm_cb)
             pk.add("pcm_cr", pcm_cr)
-        if has_w == 1:
-            pk.add("wy", wy.astype(np.int16))
-            pk.add("oy", oy.astype(np.int16))
-            pk.add("wc", wc.astype(np.int16))
-            pk.add("oc", oc.astype(np.int16))
-            pk.add("lwd_y", lwd_y.astype(np.int8))
-            pk.add("lwd_c", lwd_c.astype(np.int8))
-        elif has_w == 2:
-            pk.add("w1_tab", w1_tab)
-            pk.add("slice_mb", ft.slice_id.astype(np.int16))
-            pk.add("ridx_parts", ft.ref_idx)
         if self.apply_deblock:
             pk.add("mb_cls", ft.mb_class)
             pk.add("slice_arr", ft.slice_id.astype(np.int16))
@@ -623,102 +671,60 @@ class TpuDecoder(Decoder):
             pk.add("nnz_grid", ft.luma_nnz)
             pk.add("ref_pic_parts", ft.ref_pic)
         buf_np, meta = pk.finish()
-        buf = jnp.asarray(buf_np)
+        if m is not None:
+            m.count("bytes_up", buf_np.nbytes)
+        buf = jax.device_put(buf_np)
         # scaling-list tables are per-(SPS, PPS) constants: upload once
         ls_key = (id(sps), id(pps))
         if getattr(self, "_ls_key", None) != ls_key:
             self._ls_key = ls_key
+            s4 = pps.effective_scaling_4x4(sps)
+            s8 = pps.effective_scaling_8x8(sps)
+            ls4_y = np.stack(
+                [tr_k.level_scale_tables_4x4(s4[0]),
+                 tr_k.level_scale_tables_4x4(s4[3])]
+            )
+            ls8_y = np.stack(
+                [tr_k.level_scale_tables_8x8(s8[0]),
+                 tr_k.level_scale_tables_8x8(s8[1])]
+            )
+            ls4_c = np.stack(
+                [
+                    np.stack([tr_k.level_scale_tables_4x4(s4[1]),
+                              tr_k.level_scale_tables_4x4(s4[2])]),
+                    np.stack([tr_k.level_scale_tables_4x4(s4[4]),
+                              tr_k.level_scale_tables_4x4(s4[5])]),
+                ]
+            )
             self._ls_dev = (
                 jnp.asarray(ls4_y), jnp.asarray(ls8_y), jnp.asarray(ls4_c)
             )
-        qp_off = (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset)
-        dev = {
+        dyn = {
             "ls4_y": self._ls_dev[0],
             "ls8_y": self._ls_dev[1],
             "ls4_c": self._ls_dev[2],
-            "qp_offsets": qp_off,
-            "ref_luma": ref_luma,
-            "ref_cb": ref_cb,
-            "ref_cr": ref_cr,
+            "qp_offsets": (pps.chroma_qp_index_offset,
+                           pps.second_chroma_qp_index_offset),
         }
-        has_inter = bool((ft.mb_class >= 3).any())
-        has_l1 = has_inter and bool((slot_parts[:, 1, :] >= 0).any())
-        frame_meta = tuple(m for m in meta if m[0] not in _DB_ONLY)
-        y, cb, cr = frame_fn_packed(
-            buf, dev, mb_h, mb_w, n_refs,
-            (has_l8, has_pcm, has_w, has_l1, has_inter), frame_meta,
-        )
-        if self.apply_deblock:
-            db_keys = _DB_ONLY | {"qp", "is_t8", "mv_parts"}
-            db_meta = tuple(m for m in meta if m[0] in db_keys)
-            y, cb, cr = deblock_fn_packed(
-                (y, cb, cr), buf, mb_h, mb_w, db_meta,
-                {"qp_offsets": qp_off},
+        flags = (has_l8, has_pcm, self.apply_deblock)
+        if m is not None:
+            with m.timer("dispatch"):
+                ry, rcb, rcr, packed = frame_step(
+                    buf, *self._ring, dyn, mb_h, mb_w, n_refs, flags, meta
+                )
+        else:
+            ry, rcb, rcr, packed = frame_step(
+                buf, *self._ring, dyn, mb_h, mb_w, n_refs, flags, meta
             )
-        # keep this picture's half-pel planes on device for future reference
-        # use (uid_counter is assigned to this picture right after recon)
-        self._dev_cache[self.uid_counter] = (
-            _jit_half_pel(y),
-            _jit_chroma_pad(cb),
-            _jit_chroma_pad(cr),
-        )
-        # return the device arrays: all dispatch above is async, so the
-        # decode loop proceeds straight to the next frame's entropy while
-        # this frame computes; DecodedFrame downloads lazily on plane access
-        return y, cb, cr
-
-
-def _classify_weights(weight_ctx, ref_lists, poc):
-    """Classify the frame's weighted prediction for the static wmode flag:
-
-    (0, None)    every slice reduces to the default combine (explicit
-                 w=1<<logWD, o=0 is an exact identity for any logWD;
-                 implicit is default iff every ref pair yields w1 == 32)
-    (1, None)    some slice needs the full explicit per-cell grids
-    (2, w1_tab)  only implicit weights are non-default: w1_tab[S,R0,R1]
-                 int16 holds the 8.4.2.3.1 POC-distance weights, to be
-                 gathered per cell on device."""
-    has_expl = False
-    has_impl = False
-    for sid, (wmode, pwt) in enumerate(weight_ctx):
-        if wmode == "none":
-            continue
-        if wmode == "explicit":
-            if pwt is None:
-                continue
-            ld = pwt.luma_log2_weight_denom
-            cd = pwt.chroma_log2_weight_denom
-            for tab in (pwt.l0, pwt.l1):
-                for e in tab or []:
-                    if (
-                        e.luma_weight != (1 << ld)
-                        or e.luma_offset != 0
-                        or (np.asarray(e.chroma_weight) != (1 << cd)).any()
-                        or (np.asarray(e.chroma_offset) != 0).any()
-                    ):
-                        has_expl = True
-        elif wmode == "implicit":
-            l0, l1 = ref_lists[sid]
-            for p0 in l0:
-                for p1 in l1:
-                    if _implicit_w(p0, p1, poc)[1] != 32:
-                        has_impl = True
-    if has_expl:
-        return 1, None
-    if not has_impl:
-        return 0, None
-    nS = len(weight_ctx)
-    r0m = max([1] + [len(l0) for l0, _ in ref_lists])
-    r1m = max([1] + [len(l1) for _, l1 in ref_lists])
-    w1_tab = np.full((nS, r0m, r1m), 32, np.int16)
-    for sid, (wmode, _) in enumerate(weight_ctx):
-        if wmode != "implicit":
-            continue
-        l0, l1 = ref_lists[sid]
-        for a, p0 in enumerate(l0):
-            for b, p1 in enumerate(l1):
-                w1_tab[sid, a, b] = _implicit_w(p0, p1, poc)[1]
-    return 2, w1_tab
+        self._ring = [ry, rcb, rcr]
+        # start the device->host copy now; it overlaps later frames' entropy
+        # decode and device compute, and the first plane access just waits
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        out = _PackedFrame(packed, H, W, m)
+        return _PlaneView(out, 0), _PlaneView(out, 1), _PlaneView(out, 2)
 
 
 def _implicit_w(p0: Picture, p1: Picture, cur_poc: int) -> tuple[int, int]:
