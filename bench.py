@@ -52,12 +52,14 @@ def make_stream(h, w, n_frames):
 def main():
     size = os.environ.get("BENCH_SIZE", "1080p")
     h, w = {"1080p": (1080, 1920), "720p": (720, 1280), "qcif": (144, 176)}[size]
-    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
     bs = make_stream(h, w, n_frames)
 
     from h264decode_tpu.pipeline.tpu_pipeline import TpuDecoder
+    from h264decode_tpu.utils.metrics import DecodeMetrics
 
-    # warm-up decode compiles the XLA pipeline for this geometry
+    # warm-up decode compiles the XLA pipeline for this geometry (persistent
+    # compile cache at /tmp/jax_h264_cache makes this fast across processes)
     dec = TpuDecoder()
     t_warm = time.time()
     frames = dec.decode_stream(bs)
@@ -67,7 +69,8 @@ def main():
     assert len(frames) == n_frames
 
     # timed pass (fresh decoder state, compiled cache hot)
-    dec2 = TpuDecoder()
+    metrics = DecodeMetrics()
+    dec2 = TpuDecoder(metrics=metrics)
     t0 = time.time()
     frames = dec2.decode_stream(bs)
     for f in frames:
@@ -86,11 +89,8 @@ def main():
         )
     )
     print(
-        f"# {len(frames)} frames in {dt:.2f}s (warm-up incl. compile: {warm_s:.1f}s); "
-        f"device compute is ~0.8s/frame-equivalent; the dominant cost is the "
-        f"host<->device tunnel (measured 7-50 MB/s), attacked via compact "
-        f"int8/int16 inputs (~10MB/frame) and fully async dispatch with lazy "
-        f"plane downloads",
+        f"# {len(frames)} frames in {dt:.2f}s (warm-up incl. compile: "
+        f"{warm_s:.1f}s); per-stage: {metrics.summary()}",
         file=sys.stderr,
     )
 

@@ -94,6 +94,36 @@ def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
     return plane[top : h - bottom, left : w - right]
 
 
+def _new_picture(prev: SliceHeader, hdr: SliceHeader) -> bool:
+    """First-VCL-NAL-of-a-new-picture detection, spec 7.4.1.2.4.
+
+    The reference has no picture assembly at all (it parses slice by slice,
+    h264/server.go:157-164); a first_mb_in_slice==0 heuristic would split
+    FMO pictures, whose later slice groups can start at MB address 0."""
+    if hdr.frame_num != prev.frame_num:
+        return True
+    if hdr.pic_parameter_set_id != prev.pic_parameter_set_id:
+        return True
+    if hdr.field_pic_flag != prev.field_pic_flag:
+        return True
+    if hdr.field_pic_flag and hdr.bottom_field_flag != prev.bottom_field_flag:
+        return True
+    if (hdr.nal_ref_idc == 0) != (prev.nal_ref_idc == 0):
+        return True
+    if hdr.idr_pic_flag != prev.idr_pic_flag:
+        return True
+    if hdr.idr_pic_flag and hdr.idr_pic_id != prev.idr_pic_id:
+        return True
+    if hdr.pic_order_cnt_lsb != prev.pic_order_cnt_lsb:
+        return True
+    if hdr.delta_pic_order_cnt_bottom != prev.delta_pic_order_cnt_bottom:
+        return True
+    if hdr.delta_pic_order_cnt != prev.delta_pic_order_cnt:
+        return True
+    # same picture only if MB addresses advance (redundant slices aside)
+    return hdr.first_mb_in_slice == 0 and prev.first_mb_in_slice == 0
+
+
 class Decoder:
     """Stateful stream decoder with DPB/POC picture management.
 
@@ -136,7 +166,7 @@ class Decoder:
                         raise
                     self.error_count += 1
                     continue
-                if hdr.first_mb_in_slice == 0 and self._cur:
+                if self._cur and _new_picture(self._cur[-1][0], hdr):
                     try:
                         frames.append(self._finish_picture())
                     except Exception:

@@ -96,11 +96,13 @@ def map_unit_to_slice_group_map(
     elif t == 5:  # wipe, 8.2.2.6
         g0 = map_units_in_slice_group0(pps, slice_group_change_cycle, size)
         d = int(pps.slice_group_change_direction_flag)
+        # columns scanned left->right, top->bottom; the first
+        # sizeOfUpperLeftGroup units belong to group d, the rest to 1-d
+        size_ul = size - g0 if d else g0
         k = 0
         for j in range(w):
-            col = w - 1 - j if d else j
             for i in range(h):
-                m[i * w + col] = 0 if k < g0 else 1
+                m[i * w + j] = d if k < size_ul else 1 - d
                 k += 1
     elif t == 6:  # explicit, 8.2.2.7
         ids = pps.slice_group_id

@@ -291,7 +291,11 @@ def parse_slice_header(
     if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
         pic_size_in_map_units = sps.pic_width_in_mbs * sps.pic_height_in_map_units
         rate = pps.slice_group_change_rate_minus1 + 1
-        bits = ceil(log2(pic_size_in_map_units // rate + 2))
+        # Ceil(Log2(PicSizeInMapUnits / SliceGroupChangeRate + 1)) with REAL
+        # division (spec 7.4.3): smallest b with 2^b * rate >= size + rate
+        bits = 1
+        while (1 << bits) * rate < pic_size_in_map_units + rate:
+            bits += 1
         h.slice_group_change_cycle = r.u(bits)
     h.data_bit_offset = r.pos
     return h, sps, pps, r

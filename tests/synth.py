@@ -1,0 +1,334 @@
+"""Synthetic conformant H.264 stream writer for spec machinery x264 never
+emits: FMO slice groups (all 7 map types), I_PCM macroblocks, MMCO ops,
+long-term references, ref-list modification, POC types 1/2.
+
+Streams are built from two macroblock shapes that need no residual coding:
+
+  * I_PCM macroblocks (mb_type 25 in I slices, 30 in P slices): raw pixels,
+    so the decoded output is known exactly — this also makes FMO map-unit
+    traversal (spec 8.2.2) observable: every MB carries its own pattern, so
+    any mis-mapping shows up as misplaced pixels.
+  * P_Skip runs covering a whole slice: with static references every
+    predicted MV is (0,0) (spec 8.4.1.1), so the frame is an exact copy of
+    RefPicList0[0] — which makes DPB state (MMCO, long-term, list
+    modification, POC) directly observable in pixels.
+
+Reference syntax maps: SPS 7.3.2.1.1, PPS 7.3.2.2, slice header 7.3.3
+(incl. 7.3.3.1 ref-list modification and 7.3.3.3 marking), slice data 7.3.4,
+macroblock layer 7.3.5. (The reference parser walks the same layers without
+ever decoding: /root/reference/h264/sps.go:192, pps.go:40, slice.go:835.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BitWriter:
+    """MSB-first bit writer with Exp-Golomb and RBSP finalization."""
+
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def u(self, n: int, v: int):
+        assert 0 <= v < (1 << n), (n, v)
+        for i in range(n - 1, -1, -1):
+            self._bits.append((v >> i) & 1)
+
+    def flag(self, v) -> None:
+        self.u(1, 1 if v else 0)
+
+    def ue(self, v: int):
+        assert v >= 0
+        code = v + 1
+        n = code.bit_length()
+        self.u(2 * n - 1, code)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align_zero(self):
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def bytes_raw(self, data: bytes):
+        assert len(self._bits) % 8 == 0
+        for b in data:
+            self.u(8, b)
+
+    def trailing_bits(self):
+        self._bits.append(1)
+        self.align_zero()
+
+    def rbsp(self) -> bytes:
+        assert len(self._bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            v = 0
+            for b in self._bits[i : i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+def escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (spec 7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + escape_rbsp(rbsp)
+
+
+def write_sps(
+    mb_w: int,
+    mb_h: int,
+    *,
+    poc_type: int = 0,
+    log2_max_frame_num: int = 4,
+    log2_max_poc_lsb: int = 6,
+    max_num_ref_frames: int = 4,
+    offset_for_non_ref_pic: int = 0,
+    poc_cycle_offsets: tuple = (2,),
+    delta_pic_order_always_zero: bool = False,
+) -> bytes:
+    w = BitWriter()
+    w.u(8, 66)  # profile_idc: Baseline
+    w.u(8, 0)  # constraint flags + reserved
+    w.u(8, 30)  # level_idc
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(log2_max_frame_num - 4)
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(log2_max_poc_lsb - 4)
+    elif poc_type == 1:
+        w.flag(delta_pic_order_always_zero)
+        w.se(offset_for_non_ref_pic)
+        w.se(0)  # offset_for_top_to_bottom_field
+        w.ue(len(poc_cycle_offsets))
+        for off in poc_cycle_offsets:
+            w.se(off)
+    w.ue(max_num_ref_frames)
+    w.flag(False)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.flag(True)  # frame_mbs_only_flag
+    w.flag(True)  # direct_8x8_inference_flag
+    w.flag(False)  # frame_cropping_flag
+    w.flag(False)  # vui_parameters_present_flag
+    w.trailing_bits()
+    return nal(7, 3, w.rbsp())
+
+
+def write_pps(
+    *,
+    num_slice_groups: int = 1,
+    map_type: int = 0,
+    run_lengths: list | None = None,
+    top_left: list | None = None,
+    bottom_right: list | None = None,
+    change_direction: bool = False,
+    change_rate: int = 1,
+    slice_group_id: list | None = None,
+    num_ref_l0: int = 1,
+) -> bytes:
+    w = BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.flag(False)  # entropy_coding_mode_flag (CAVLC)
+    w.flag(False)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(num_slice_groups - 1)
+    if num_slice_groups > 1:
+        w.ue(map_type)
+        if map_type == 0:
+            for r in run_lengths:
+                w.ue(r - 1)
+        elif map_type == 2:
+            for tl, br in zip(top_left, bottom_right):
+                w.ue(tl)
+                w.ue(br)
+        elif map_type in (3, 4, 5):
+            w.flag(change_direction)
+            w.ue(change_rate - 1)
+        elif map_type == 6:
+            w.ue(len(slice_group_id) - 1)
+            bits = max(1, (num_slice_groups - 1).bit_length())
+            for g in slice_group_id:
+                w.u(bits, g)
+    w.ue(num_ref_l0 - 1)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.flag(False)  # weighted_pred_flag
+    w.u(2, 0)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.flag(True)  # deblocking_filter_control_present_flag
+    w.flag(False)  # constrained_intra_pred_flag
+    w.flag(False)  # redundant_pic_cnt_present_flag
+    w.trailing_bits()
+    return nal(8, 3, w.rbsp())
+
+
+def _slice_header(
+    w: BitWriter,
+    *,
+    first_mb: int,
+    slice_type: int,  # 7.4.3 value as written (e.g. 7 = all-I, 5 = all-P)
+    frame_num: int,
+    idr: bool,
+    ref_idc: int,
+    poc_type: int = 0,
+    poc_lsb: int = 0,
+    log2_max_frame_num: int = 4,
+    log2_max_poc_lsb: int = 6,
+    delta_poc: int | None = None,
+    idr_pic_id: int = 0,
+    long_term_reference_flag: bool = False,
+    mmco_ops: list | None = None,  # [(op, value...), ...]
+    ref_list_mod: list | None = None,  # [(idc, value), ...]
+    num_ref_override: int | None = None,
+    num_groups_cycle_bits: int = 0,
+    change_cycle: int = 0,
+):
+    is_p = slice_type % 5 == 0
+    w.ue(first_mb)
+    w.ue(slice_type)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(log2_max_frame_num, frame_num)
+    if idr:
+        w.ue(idr_pic_id)
+    if poc_type == 0:
+        w.u(log2_max_poc_lsb, poc_lsb)
+    elif poc_type == 1 and delta_poc is not None:
+        w.se(delta_poc)
+    if is_p:
+        if num_ref_override is not None:
+            w.flag(True)
+            w.ue(num_ref_override - 1)
+        else:
+            w.flag(False)
+        # ref_pic_list_modification (7.3.3.1)
+        if ref_list_mod:
+            w.flag(True)
+            for idc, val in ref_list_mod:
+                w.ue(idc)
+                w.ue(val)
+            w.ue(3)
+        else:
+            w.flag(False)
+    if ref_idc:
+        if idr:
+            w.flag(False)  # no_output_of_prior_pics_flag
+            w.flag(long_term_reference_flag)
+        else:
+            if mmco_ops:
+                w.flag(True)
+                for op, *vals in mmco_ops:
+                    w.ue(op)
+                    for v in vals:
+                        w.ue(v)
+                w.ue(0)
+            else:
+                w.flag(False)
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc = 1 (off: keeps PCM/skip exact)
+    if num_groups_cycle_bits:
+        w.u(num_groups_cycle_bits, change_cycle)
+
+
+def pcm_mb(w: BitWriter, y16: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
+           in_p_slice: bool):
+    """macroblock_layer() for one I_PCM MB (spec 7.3.5)."""
+    w.ue(30 if in_p_slice else 25)  # mb_type: I_PCM (+5 in P slices)
+    w.align_zero()  # pcm_alignment_zero_bit
+    w.bytes_raw(y16.astype(np.uint8).tobytes())
+    w.bytes_raw(cb8.astype(np.uint8).tobytes())
+    w.bytes_raw(cr8.astype(np.uint8).tobytes())
+
+
+def pcm_frame_planes(mb_w: int, mb_h: int, seed: int):
+    """Deterministic per-MB PCM pattern (address-dependent, catches any
+    traversal misordering)."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = rng.integers(0, 256, (mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = rng.integers(0, 256, (mb_h * 8, mb_w * 8), dtype=np.uint8)
+    return y, cb, cr
+
+
+def pcm_slice(
+    planes,
+    mb_addrs: list[int],
+    mb_w: int,
+    *,
+    slice_type: int = 7,
+    frame_num: int = 0,
+    idr: bool = True,
+    ref_idc: int = 3,
+    poc_lsb: int = 0,
+    poc_type: int = 0,
+    delta_poc: int | None = None,
+    long_term_reference_flag: bool = False,
+    mmco_ops: list | None = None,
+    num_groups_cycle_bits: int = 0,
+    change_cycle: int = 0,
+    log2_max_frame_num: int = 4,
+) -> bytes:
+    """One slice whose MBs (given in decode order) are all I_PCM."""
+    y, cb, cr = planes
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=mb_addrs[0], slice_type=slice_type, frame_num=frame_num,
+        idr=idr, ref_idc=ref_idc, poc_type=poc_type, poc_lsb=poc_lsb,
+        delta_poc=delta_poc, long_term_reference_flag=long_term_reference_flag,
+        mmco_ops=mmco_ops, num_groups_cycle_bits=num_groups_cycle_bits,
+        change_cycle=change_cycle, log2_max_frame_num=log2_max_frame_num,
+    )
+    in_p = slice_type % 5 == 0
+    for addr in mb_addrs:
+        mby, mbx = divmod(addr, mb_w)
+        if in_p:
+            w.ue(0)  # mb_skip_run = 0 before each coded MB
+        pcm_mb(
+            w,
+            y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16],
+            cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8],
+            cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8],
+            in_p,
+        )
+    w.trailing_bits()
+    return nal(5 if idr else 1, ref_idc, w.rbsp())
+
+
+def pskip_frame(
+    n_mbs: int,
+    *,
+    frame_num: int,
+    poc_lsb: int = 0,
+    poc_type: int = 0,
+    delta_poc: int | None = None,
+    ref_idc: int = 0,
+    mmco_ops: list | None = None,
+    ref_list_mod: list | None = None,
+    num_ref_override: int | None = None,
+    log2_max_frame_num: int = 4,
+) -> bytes:
+    """A P slice that skips every MB: decodes to a copy of RefPicList0[0]."""
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=5, frame_num=frame_num, idr=False,
+        ref_idc=ref_idc, poc_type=poc_type, poc_lsb=poc_lsb,
+        delta_poc=delta_poc, mmco_ops=mmco_ops, ref_list_mod=ref_list_mod,
+        num_ref_override=num_ref_override, log2_max_frame_num=log2_max_frame_num,
+    )
+    w.ue(n_mbs)  # mb_skip_run covering the whole picture
+    w.trailing_bits()
+    return nal(1, ref_idc, w.rbsp())
