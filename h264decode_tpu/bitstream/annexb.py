@@ -48,6 +48,41 @@ def iter_nalus(data: bytes) -> Iterator[bytes]:
         i = j + 3
 
 
+def iter_nalus_chunks(chunks) -> Iterator[bytes]:
+    """Incremental Annex-B demux over an iterable of byte chunks (e.g. a TCP
+    stream): yields each complete NAL as soon as its terminating start code
+    arrives, holding only the in-flight NAL in memory. The reference buffers
+    the entire stream forever (h264/bit_reader.go:27-39); this is the
+    bounded-memory streaming equivalent."""
+    buf = b""
+    started = False
+    for chunk in chunks:
+        if not chunk:
+            continue
+        buf += bytes(chunk)
+        if not started:
+            i = buf.find(START3)
+            if i < 0:
+                buf = buf[-2:]  # keep a potential split start code
+                continue
+            buf = buf[i + 3 :]
+            started = True
+        while True:
+            j = buf.find(START3)
+            if j < 0:
+                break
+            end = j
+            while end > 0 and buf[end - 1] == 0:
+                end -= 1
+            if end > 0:
+                yield buf[:end]
+            buf = buf[j + 3 :]
+    if started:
+        nal = buf.rstrip(b"\x00")
+        if nal:
+            yield nal
+
+
 def strip_emulation_prevention(payload: bytes) -> bytes:
     """nal_unit() to RBSP: drop each emulation_prevention_three_byte (0x03
     following 00 00), spec section 7.3.1 / 7.4.1. bytes.replace scans

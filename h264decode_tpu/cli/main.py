@@ -109,19 +109,22 @@ def cmd_serve(args) -> int:
     n = [0]
 
     def handle(conn, idx):
-        chunks = []
-        while True:
-            b = conn.recv(1 << 16)
-            if not b:
-                break
-            chunks.append(b)
-        conn.close()
-        data = b"".join(chunks)
+        def chunks():
+            while True:
+                b = conn.recv(1 << 16)
+                if not b:
+                    return
+                yield b
+
+        # frames stream straight from the socket to the writer as the DPB
+        # bumps them (C.4.5.3): constant memory for arbitrarily long streams
         dec = _make_decoder(args.backend, True)
-        frames = dec.decode_stream(data)
         out = os.path.join(args.out_dir, f"stream_{idx}.y4m")
-        write_y4m(out, frames)
-        print(f"[conn {idx}] {len(data)} bytes -> {len(frames)} frames -> {out}")
+        try:
+            n = write_y4m(out, dec.decode_iter(chunks()))
+        finally:
+            conn.close()
+        print(f"[conn {idx}] {n} frames -> {out}")
 
     try:
         while True:

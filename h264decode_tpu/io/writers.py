@@ -9,20 +9,36 @@ from __future__ import annotations
 import numpy as np
 
 
-def write_y4m(path: str, frames, fps=(25, 1)) -> None:
-    """frames: iterable of objects with .y/.cb/.cr uint8 planes (4:2:0)."""
+def write_y4m(path: str, frames, fps=(25, 1)) -> int:
+    """frames: iterable of objects with .y/.cb/.cr uint8 planes (4:2:0).
+
+    Streams: each frame is written (and its planes released) as it arrives,
+    so piping `Decoder.decode_iter` through here holds O(1) frames in
+    memory. Returns the number of frames written."""
     it = iter(frames)
-    first = next(it)
+    try:
+        first = next(it)
+    except StopIteration:
+        return 0
     h, w = first.y.shape
+    n = 0
     with open(path, "wb") as f:
         f.write(
             f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420mpeg2\n".encode()
         )
-        for fr in [first, *it]:
+
+        def emit(fr):
             f.write(b"FRAME\n")
             f.write(np.ascontiguousarray(fr.y).tobytes())
             f.write(np.ascontiguousarray(fr.cb).tobytes())
             f.write(np.ascontiguousarray(fr.cr).tobytes())
+
+        emit(first)
+        n = 1
+        for fr in it:
+            emit(fr)
+            n += 1
+    return n
 
 
 def write_npz(path: str, frames) -> None:

@@ -15,13 +15,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bitstream.annexb import iter_nalus
+from ..bitstream.annexb import iter_nalus, iter_nalus_chunks
 from ..entropy.cavlc_slice import CavlcSliceDecoder
 from ..entropy.direct import DirectContext
 from ..entropy.mv_pred import MotionContext
 from ..syntax import nal as nal_mod
 from ..syntax.fmo import map_unit_to_slice_group_map, mb_to_slice_group_map
 from ..syntax.nal import parse_nal_unit
+from ..syntax.sei import parse_sei
 from ..syntax.pps import PPS, parse_pps
 from ..syntax.slice_header import SliceHeader, parse_slice_header
 from ..syntax.sps import SPS, parse_sps
@@ -46,6 +47,9 @@ class DecodedFrame:
         self.frame_num = frame_num
         self.is_idr = is_idr
         self.idr_group = idr_group
+        #: recovery-point SEI (Annex D.2.7) attached to this access unit;
+        #: decoding may resume here (see pipeline/seek.py)
+        self.recovery_point = None
 
     def _plane(self, i: int) -> np.ndarray:
         if self._mat[i] is None:
@@ -145,10 +149,44 @@ class Decoder:
         self.dpb: DPB | None = None
         self.uid_counter = 0
         self.idr_group = -1
+        self._pending_recovery = None  # recovery-point SEI awaiting its AU
+        self.max_pending = 0  # high-water mark of the output reorder buffer
 
     def decode_stream(self, data: bytes) -> list[DecodedFrame]:
-        frames: list[DecodedFrame] = []
-        for raw in iter_nalus(data):
+        return list(self.decode_iter(data))
+
+    def decode_iter(self, data):
+        """Incremental decode: yields frames in output order as the DPB bumps
+        them (spec C.4.5.3), holding at most max_num_reorder pending frames.
+
+        `data` is either a complete Annex-B byte string or an iterable of
+        byte chunks (e.g. a TCP socket reader); in the chunked form nothing
+        buffers the whole stream, so memory stays constant for arbitrarily
+        long inputs — unlike the reference, whose input buffer grows forever
+        (h264/bit_reader.go:27-39) and which never emits pixels at all."""
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            nalus = iter_nalus(bytes(data))
+        else:
+            nalus = iter_nalus_chunks(data)
+        pending: list[DecodedFrame] = []  # decoded, not yet output (C.4.5)
+        self.max_pending = 0
+
+        def bump(frame: DecodedFrame):
+            # an IDR starts a new POC sequence: all prior-group pictures are
+            # output first (C.4.5.3 with no_output_of_prior_pics handling
+            # simplified to "output", the conformant display behaviour)
+            if frame.is_idr:
+                pending.sort(key=lambda f: f.poc)
+                yield from pending
+                pending.clear()
+            pending.append(frame)
+            self.max_pending = max(self.max_pending, len(pending))
+            bound = frame._sps.max_num_reorder if frame._sps else 16
+            while len(pending) > bound:
+                i = min(range(len(pending)), key=lambda k: pending[k].poc)
+                yield pending.pop(i)
+
+        for raw in nalus:
             nal = parse_nal_unit(raw)
             if nal.type == nal_mod.NAL_SPS:
                 s = parse_sps(nal.rbsp)
@@ -156,6 +194,17 @@ class Decoder:
             elif nal.type == nal_mod.NAL_PPS:
                 p = parse_pps(nal.rbsp, self.sps_map)
                 self.pps_map[p.pic_parameter_set_id] = p
+            elif nal.type == nal_mod.NAL_SEI:
+                try:
+                    sei = parse_sei(nal.rbsp)
+                except Exception:
+                    if self.error_policy == "strict":
+                        raise
+                    self.error_count += 1
+                    continue
+                rp = sei.recovery_point()
+                if rp is not None:
+                    self._pending_recovery = rp
             elif nal.is_vcl:
                 try:
                     hdr, sps, pps, r = parse_slice_header(
@@ -168,23 +217,26 @@ class Decoder:
                     continue
                 if self._cur and _new_picture(self._cur[-1][0], hdr):
                     try:
-                        frames.append(self._finish_picture())
+                        f = self._finish_picture()
                     except Exception:
                         if self.error_policy == "strict":
                             raise
                         self.error_count += 1
                         self._cur = []
+                    else:
+                        yield from bump(f)
                 self._cur.append((hdr, sps, pps, r))
         if self._cur:
             try:
-                frames.append(self._finish_picture())
+                f = self._finish_picture()
             except Exception:
                 if self.error_policy == "strict":
                     raise
                 self.error_count += 1
-        # output order: POC within each IDR group (spec C.4 bumping, simplified)
-        frames.sort(key=lambda f: (f.idr_group, f.poc))
-        return frames
+            else:
+                yield from bump(f)
+        pending.sort(key=lambda f: f.poc)
+        yield from pending
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
         """Pixel reconstruction backend (numpy oracle here; TpuDecoder in
@@ -210,6 +262,13 @@ class Decoder:
         if hdr0.idr_pic_flag:
             self.idr_group += 1
         poc = self.poc_ctx.compute(hdr0)
+        if not self.dpb.pictures and any(
+            h.is_p or h.is_b or h.is_sp for h, *_ in slices
+        ):
+            # non-IDR entry (seek to a recovery point, broken link): seed a
+            # gray placeholder reference so prediction machinery proceeds
+            self.dpb.seed_missing_ref(hdr0, poc, self.uid_counter)
+            self.uid_counter += 1
 
         ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=sps.frame_height_in_mbs)
         intra_mode_grid = np.full((ft.mb_h * 4, ft.mb_w * 4), -1, np.int8)
@@ -349,7 +408,7 @@ class Decoder:
         self.uid_counter += 1
         if hdr0.nal_ref_idc:
             self.dpb.mark(pic, hdr0)
-        return DecodedFrame(
+        df = DecodedFrame(
             y=y,
             cb=cb,
             cr=cr,
@@ -359,6 +418,10 @@ class Decoder:
             idr_group=self.idr_group,
             sps=sps,
         )
+        if self._pending_recovery is not None:
+            df.recovery_point = self._pending_recovery
+            self._pending_recovery = None
+        return df
 
 
 def decode_annexb(data: bytes, apply_deblock: bool = True) -> list[DecodedFrame]:

@@ -115,6 +115,29 @@ class DPB:
         self.pictures.clear()
         self.max_long_term_idx = -1
 
+    def seed_missing_ref(self, hdr: SliceHeader, poc: int, uid: int) -> None:
+        """Entry at a non-IDR access point (recovery-point SEI / broken
+        link): synthesize one gray short-term reference so list construction
+        and prediction proceed — the frame-level analogue of the spec's
+        8.2.5.2 "non-existing" frame handling. Pixels are best-effort until
+        the announced recovery point; with exact_match_flag they converge
+        bit-exactly once the refresh wave completes."""
+        H = self.sps.frame_height_in_mbs * 16
+        W = self.sps.pic_width_in_mbs * 16
+        p = Picture(
+            y=np.full((H, W), 128, np.uint8),
+            cb=np.full((H // 2, W // 2), 128, np.uint8),
+            cr=np.full((H // 2, W // 2), 128, np.uint8),
+            frame_num=(hdr.frame_num - 1) % max(1, self.sps.max_frame_num),
+            poc=poc - 2,
+            uid=uid,
+        )
+        h4, w4 = self.sps.frame_height_in_mbs * 4, self.sps.pic_width_in_mbs * 4
+        p.col_mv = np.zeros((h4, w4, 2), np.int32)
+        p.col_ref_idx = np.full((h4, w4), -1, np.int8)
+        p.col_ref_uid = np.full((h4, w4), -1, np.int32)
+        self.pictures.append(p)
+
     # ------------------------------------------------------------- ref lists
 
     def _update_pic_nums(self, cur_frame_num: int):

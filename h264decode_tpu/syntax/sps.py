@@ -185,6 +185,15 @@ class VUIParams:
         return v
 
 
+#: Table A-1 MaxDpbMbs per level_idc (levels 1.0 .. 6.2)
+_MAX_DPB_MBS = {
+    10: 396, 11: 900, 12: 2376, 13: 2376, 20: 2376, 21: 4752, 22: 8100,
+    30: 8100, 31: 18000, 32: 20480, 40: 32768, 41: 32768, 42: 34816,
+    50: 110400, 51: 184320, 52: 184320, 60: 696320, 61: 1392640,
+    62: 2785280,
+}
+
+
 @dataclass
 class SPS:
     profile_idc: int = 0
@@ -227,6 +236,33 @@ class SPS:
     vui: VUIParams | None = None
 
     # ---- derived values (spec 7.4.2.1.1, Table 6-1) ----
+
+    @property
+    def max_dpb_frames(self) -> int:
+        """MaxDpbFrames, spec A.3.1 eq. (A-2) with Table A-1 MaxDpbMbs."""
+        mbs_per_frame = max(1, self.pic_width_in_mbs * self.frame_height_in_mbs)
+        lvl = self.level_idc
+        if lvl == 11 and self.constraint_set3_flag:
+            lvl = 10  # level 1b shares level 1.0's MaxDpbMbs
+        max_dpb_mbs = _MAX_DPB_MBS.get(lvl)
+        if max_dpb_mbs is None:  # round up to the next defined level
+            higher = [v for k, v in sorted(_MAX_DPB_MBS.items()) if k >= lvl]
+            max_dpb_mbs = higher[0] if higher else _MAX_DPB_MBS[62]
+        return max(1, min(max_dpb_mbs // mbs_per_frame, 16))
+
+    @property
+    def max_num_reorder(self) -> int:
+        """Output reordering depth: VUI max_num_reorder_frames when signalled
+        (E.2.1), else the conservative MaxDpbFrames default (spec E.2.1
+        inference rule), else 0 for profiles without B slices."""
+        if self.vui is not None and self.vui.bitstream_restriction_flag:
+            return self.vui.max_num_reorder_frames
+        if self.profile_idc in (66, 83, 86) or (
+            self.profile_idc == 100 and self.constraint_set4_flag
+            and self.constraint_set5_flag
+        ):
+            return 0
+        return self.max_dpb_frames
 
     @property
     def chroma_array_type(self) -> int:
