@@ -4,14 +4,32 @@ mesh).
 Parallel decomposition (SURVEY.md section 2.a):
 - "gop": independent GOPs/streams — embarrassingly parallel; each gop slot
   decodes its own frame batch (data parallelism, DCN-friendly across hosts).
-- "row": macroblock tile-row bands within a frame. Transforms and MC are
-  exactly row-parallel; reference pictures are exchanged with an
-  all_gather over the row axis (the DPB collective, riding ICI). The intra
-  wavefront and deblocking run band-locally, which is bit-exact whenever
-  encoder slices are aligned to bands with slice-boundary filtering
-  disabled (disable_deblocking_filter_idc == 2) — the standard production
-  configuration for parallel H.264 decode; tile-boundary halo exchange via
-  ppermute is the planned refinement for unaligned streams.
+- "row": macroblock tile-row bands within a frame. Residual transforms,
+  (weighted) motion compensation and PCM placement are exactly row-parallel
+  for ANY stream; reference pictures are exchanged with an all_gather over
+  the row axis (the DPB collective, riding ICI).
+
+Two intra/deblock modes, chosen per stream:
+
+aligned (halo=False)
+    Band-local intra wavefront + deblocking, fully parallel. Exact when
+    encoder slices align to the row bands (one slice per band) so no intra
+    prediction or filtering crosses a band boundary — the standard
+    production configuration for parallel H.264.
+
+halo (halo=True)
+    Exact for ANY stream, including single-slice encodes. The inherently
+    sequential cross-band dependencies (intra MB row 0 predicts from the
+    band above's unfiltered bottom row; deblocking's top MB-row edges read
+    and modify the band above's filtered bottom rows) run as an n_row-step
+    band pipeline with `jax.lax.ppermute` halo exchanges over ICI:
+    each step activates one band — masked `kind`/`bs` grids collapse the
+    inactive shards' wavefront loops to zero iterations — then sends the
+    band's pre-deblock bottom pixel row down (intra neighbors), its
+    filtered bottom 4 rows down (deblock halo), and receives the
+    boundary-modified rows back up. The MXU-heavy stages stay parallel;
+    only the spec-serial boundary chain serializes, which is the hardware
+    floor for H.264's raster dependencies.
 
 All shapes are static per stream geometry; the step jits once and reruns
 per frame batch.
@@ -23,85 +41,139 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..kernels import mc as mc_k
-from ..kernels import transform as tr_k
-from ..kernels.deblock import deblock_frame_tpu
-from ..kernels.deblock_prep_dev import expand_slot_mv
+from ..kernels.deblock import LPAD, deblock_frame_tpu
 from ..kernels.intra import intra_wavefront
+from ..pipeline.tpu_pipeline import _base_planes
 
 
-def _band_recon(inp, mb_hl: int, mb_w: int, apply_deblock: bool, qp_offsets=(0, 0)):
-    """Reconstruct one row band (local geometry mb_hl x mb_w MBs).
-    Mirrors pipeline/tpu_pipeline.frame_fn on band-local tensors; `inp`
-    holds band-local per-MB/cell arrays plus FULL reference plane stacks."""
-    H, W = mb_hl * 16, mb_w * 16
-    Hc, Wc = mb_hl * 8, mb_w * 8
-    ry = tr_k.luma_residual_plane(
-        inp["luma_ac"], inp["luma_dc"], inp["luma8_ac"], inp["qp"],
-        inp["is_i16"], inp["is_t8"], inp["is_intra"],
-        inp["ls4_y"], inp["ls8_y"], mb_hl, mb_w,
+def _band_pixels(loc, prep, mb_hl: int, mb_w: int, n_row: int,
+                 apply_deblock: bool, halo: bool, qp_offsets,
+                 has_l8: bool, has_pcm: bool):
+    """Band-local pixel path: shared _base_planes (residuals + weighted MC +
+    PCM, identical program to the single-chip pipeline/tpu_pipeline.py),
+    then intra + deblock either band-locally (aligned) or as the sequential
+    halo pipeline across the "row" axis."""
+    W, Wc = mb_w * 16, mb_w * 8
+    row_idx = jax.lax.axis_index("row")
+    row0 = row_idx.astype(jnp.int32) * (mb_hl * 16)
+    band = dict(loc)
+    band["qp_offsets"] = qp_offsets
+    # band-local MVs gather from the full (all-gathered) reference stack:
+    # shift the vertical component by the band origin (quarter-pel luma;
+    # chroma MC interprets the same value as 1/8-pel, so one shift is exact
+    # for both planes)
+    band["mv_parts"] = loc["mv_parts"].astype(jnp.int32).at[..., 1].add(4 * row0)
+    base_y, base_cb, base_cr, ry, rcb, rcr = _base_planes(
+        band, mb_hl, mb_w, has_l8, has_pcm
     )
-    rcb, rcr = tr_k.chroma_residual_planes(
-        inp["chroma_dc"], inp["chroma_ac"], inp["qp"], inp["is_intra"],
-        inp["ls4_c"], qp_offsets, mb_hl, mb_w,
+    kind = loc["kind"].astype(jnp.int32)
+    modes4 = loc["modes4"].astype(jnp.int32)
+    i16m = loc["i16mode"].astype(jnp.int32)
+    cmode = loc["cmode"].astype(jnp.int32)
+    avail = (loc["avl"], loc["avt"], loc["avtr"], loc["avtl"])
+
+    if not halo:
+        y, cb, cr = intra_wavefront(
+            base_y, base_cb, base_cr, ry, rcb, rcr,
+            kind, modes4, i16m, cmode, *avail, mb_hl, mb_w,
+        )
+        y, cb, cr = (a.astype(jnp.uint8) for a in (y, cb, cr))
+        if apply_deblock:
+            y, cb, cr = deblock_frame_tpu(y, cb, cr, prep, mb_hl, mb_w)
+        return y, cb, cr
+
+    down = [(j, j + 1) for j in range(n_row - 1)]
+    up = [(j, j - 1) for j in range(1, n_row)]
+    y, cb, cr = base_y, base_cb, base_cr  # int32 carries through the pipeline
+    ih = (
+        jnp.zeros((W,), jnp.int32),
+        jnp.zeros((Wc,), jnp.int32),
+        jnp.zeros((Wc,), jnp.int32),
     )
-    # MC: band-local MVs gather from the full (all-gathered) reference stack;
-    # row offset maps band coordinates into frame coordinates via the MV.
-    slot, mv = expand_slot_mv(
-        inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_hl, mb_w
+    dh = (
+        jnp.zeros((LPAD, W), jnp.uint8),
+        jnp.zeros((LPAD, Wc), jnp.uint8),
+        jnp.zeros((LPAD, Wc), jnp.uint8),
     )
-    row0 = inp["band_row0"]  # scalar int32: first luma row of this band
-    mv0 = mv[0].at[..., 1].add(4 * row0)  # quarter-pel vertical shift
-    mv1 = mv[1].at[..., 1].add(4 * row0)
-    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv0, H, W)
-    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv1, H, W)
-    use0 = jnp.repeat(jnp.repeat(slot[0] >= 0, 4, 0), 4, 1)
-    use1 = jnp.repeat(jnp.repeat(slot[1] >= 0, 4, 0), 4, 1)
-    pred_y = jnp.where(use0 & use1, (p0y + p1y + 1) >> 1, jnp.where(use0, p0y, p1y))
-    inter_y = jnp.clip(pred_y + ry, 0, 255)
-    mv0c = mv[0].at[..., 1].add(8 * (row0 // 2))
-    mv1c = mv[1].at[..., 1].add(8 * (row0 // 2))
-    use0c = jnp.repeat(jnp.repeat(slot[0] >= 0, 2, 0), 2, 1)
-    use1c = jnp.repeat(jnp.repeat(slot[1] >= 0, 2, 0), 2, 1)
-    planes_c = []
-    for refs, rc in ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr)):
-        p0 = mc_k.chroma_mc(refs, slot[0], mv0c, Hc, Wc)
-        p1 = mc_k.chroma_mc(refs, slot[1], mv1c, Hc, Wc)
-        pred = jnp.where(use0c & use1c, (p0 + p1 + 1) >> 1, jnp.where(use0c, p0, p1))
-        planes_c.append(jnp.clip(pred + rc, 0, 255))
-    inter_mb = (~inp["is_intra"]).reshape(mb_hl, mb_w)
-    base_y = jnp.where(
-        jnp.repeat(jnp.repeat(inter_mb, 16, 0), 16, 1), inter_y, 0
+    for i in range(n_row):
+        active = row_idx == i
+        # inactive shards: all-zero kind collapses the wavefront to 0 steps
+        kind_m = jnp.where(active, kind, 0)
+        y2, cb2, cr2 = intra_wavefront(
+            y, cb, cr, ry, rcb, rcr,
+            kind_m, modes4, i16m, cmode, *avail, mb_hl, mb_w, top=ih,
+        )
+        y = jnp.where(active, y2, y)
+        cb = jnp.where(active, cb2, cb)
+        cr = jnp.where(active, cr2, cr)
+        # intra predicts from UNFILTERED neighbors (spec 8.3.1): capture the
+        # pre-deblock bottom row now, before deblocking overwrites it
+        ih_send = (y[-1], cb[-1], cr[-1])
+        if apply_deblock:
+            prep_m = dict(prep)
+            prep_m["bs_v"] = jnp.where(active, prep["bs_v"], 0)
+            prep_m["bs_h"] = jnp.where(active, prep["bs_h"], 0)
+            (y3, cb3, cr3), (uy, ucb, ucr) = deblock_frame_tpu(
+                y, cb, cr, prep_m, mb_hl, mb_w, halo=dh
+            )
+            y = jnp.where(active, y3.astype(jnp.int32), y)
+            cb = jnp.where(active, cb3.astype(jnp.int32), cb)
+            cr = jnp.where(active, cr3.astype(jnp.int32), cr)
+            if i > 0:
+                # the boundary edge modified up to 3 luma / 1 chroma rows of
+                # the band above: send them back up and paste
+                uy = jax.lax.ppermute(uy, "row", up)
+                ucb = jax.lax.ppermute(ucb, "row", up)
+                ucr = jax.lax.ppermute(ucr, "row", up)
+                paste = row_idx == (i - 1)
+                y = jnp.where(paste, y.at[-3:].set(uy[1:].astype(jnp.int32)), y)
+                cb = jnp.where(
+                    paste, cb.at[-1:].set(ucb[-1:].astype(jnp.int32)), cb
+                )
+                cr = jnp.where(
+                    paste, cr.at[-1:].set(ucr[-1:].astype(jnp.int32)), cr
+                )
+        if i < n_row - 1:
+            ih = tuple(jax.lax.ppermute(t, "row", down) for t in ih_send)
+            if apply_deblock:
+                dh = tuple(
+                    jax.lax.ppermute(t[-LPAD:].astype(jnp.uint8), "row", down)
+                    for t in (y, cb, cr)
+                )
+    return (
+        jnp.clip(y, 0, 255).astype(jnp.uint8),
+        jnp.clip(cb, 0, 255).astype(jnp.uint8),
+        jnp.clip(cr, 0, 255).astype(jnp.uint8),
     )
-    base_cb = jnp.where(jnp.repeat(jnp.repeat(inter_mb, 8, 0), 8, 1), planes_c[0], 0)
-    base_cr = jnp.where(jnp.repeat(jnp.repeat(inter_mb, 8, 0), 8, 1), planes_c[1], 0)
-    y, cb, cr = intra_wavefront(
-        base_y, base_cb, base_cr, ry, rcb, rcr,
-        inp["kind"], inp["modes4"], inp["i16mode"], inp["cmode"],
-        inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
-        mb_hl, mb_w,
-    )
-    y = y.astype(jnp.uint8)
-    cb = cb.astype(jnp.uint8)
-    cr = cr.astype(jnp.uint8)
-    if apply_deblock:
-        prep = {k[3:]: v for k, v in inp.items() if k.startswith("db_")}
-        y, cb, cr = deblock_frame_tpu(y, cb, cr, prep, mb_hl, mb_w)
-    return y, cb, cr
+
+
+# per-(SPS,PPS) scaling tables: identical on every shard of every gop
+_REPLICATED = ("ls4_y", "ls8_y", "ls4_c")
+
+# per-slice weighted-prediction tables: per-gop (each gop slot decodes its
+# own frames), replicated over "row"
+_WEIGHT_KEYS = (
+    "w_tab", "o_tab", "wc_tab", "oc_tab", "lwd_tab",
+    "pw0", "pw1", "pwc0", "pwc1",
+)
 
 
 def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
-                      apply_deblock: bool = True, qp_offsets=(0, 0)):
+                      apply_deblock: bool = True, qp_offsets=(0, 0),
+                      halo: bool = False, has_l8: bool = True,
+                      has_pcm: bool = False):
     """Build the jitted multi-chip decode step.
 
     Global input shapes (G = gop-axis size, leading axis):
       per-MB arrays      [G, nMB, ...]        sharded P("gop", "row")
       per-cell grids     [G, (2,) H4, W4,...] row axis sharded
+      PCM pixel planes   [G, H, W] (x3)       row axis sharded (has_pcm)
       reference planes   [G, R, H, W] (x3)    sharded P("gop", None, "row")
-      scaling tables     replicated
+      scaling + weight tables                 replicated
     Output: (y, cb, cr) planes [G, H, W] / [G, Hc, Wc], row-sharded.
     """
     n_row = mesh.shape["row"]
@@ -115,13 +187,19 @@ def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
         "qp": mb_spec, "is_i16": mb_spec, "is_t8": mb_spec, "is_intra": mb_spec,
         "kind": mb_spec, "modes4": mb_spec, "i16mode": mb_spec, "cmode": mb_spec,
         "avl": mb_spec, "avt": mb_spec, "avtr": mb_spec, "avtl": mb_spec,
-        "ls4_y": P(), "ls8_y": P(), "ls4_c": P(),
+        "slice_mb": mb_spec, "ridx_parts": mb_spec,
         "slot_parts": mb_spec,
         "mv_parts": mb_spec,
         "ref_luma_raw": P("gop", None, "row"),
         "ref_cb_raw": P("gop", None, "row"),
         "ref_cr_raw": P("gop", None, "row"),
     }
+    for k in _REPLICATED:
+        specs[k] = P()
+    for k in _WEIGHT_KEYS:
+        specs[k] = P("gop")
+    if has_pcm:
+        specs.update({"pcm_y": mb_spec, "pcm_cb": mb_spec, "pcm_cr": mb_spec})
     if apply_deblock:
         specs.update({
             "db_bs_v": mb_spec, "db_bs_h": mb_spec,
@@ -140,25 +218,22 @@ def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
         check_rep=False,
     )
     def step(inp):
-        # local gop slice has leading dim 1; squeeze it (the replicated
-        # scaling tables carry no gop axis)
-        replicated = ("ls4_y", "ls8_y", "ls4_c")
-        loc = {k: (v if k in replicated else v[0]) for k, v in inp.items()}
+        # local gop slice has leading dim 1; squeeze it (replicated tables
+        # carry no gop axis)
+        loc = {k: (v if k in _REPLICATED else v[0]) for k, v in inp.items()}
         # ---- DPB exchange: reassemble full reference frames over "row" (ICI)
         ref_y = jax.lax.all_gather(loc["ref_luma_raw"], "row", axis=1, tiled=True)
         ref_cb = jax.lax.all_gather(loc["ref_cb_raw"], "row", axis=1, tiled=True)
         ref_cr = jax.lax.all_gather(loc["ref_cr_raw"], "row", axis=1, tiled=True)
         # half-pel planes for the gathered refs
-        hp = jax.vmap(mc_k.half_pel_planes)(ref_y)
-        cbs = jax.vmap(mc_k.chroma_pad)(ref_cb)
-        crs = jax.vmap(mc_k.chroma_pad)(ref_cr)
-        row_idx = jax.lax.axis_index("row")
-        band = dict(loc)
-        band["ref_luma"] = hp
-        band["ref_cb"] = cbs
-        band["ref_cr"] = crs
-        band["band_row0"] = row_idx.astype(jnp.int32) * (mb_hl * 16)
-        y, cb, cr = _band_recon(band, mb_hl, mb_w, apply_deblock, qp_offsets)
+        loc["ref_luma"] = jax.vmap(mc_k.half_pel_planes)(ref_y)
+        loc["ref_cb"] = jax.vmap(mc_k.chroma_pad)(ref_cb)
+        loc["ref_cr"] = jax.vmap(mc_k.chroma_pad)(ref_cr)
+        prep = {k[3:]: v for k, v in loc.items() if k.startswith("db_")}
+        y, cb, cr = _band_pixels(
+            loc, prep, mb_hl, mb_w, n_row, apply_deblock, halo,
+            qp_offsets, has_l8, has_pcm,
+        )
         return y[None], cb[None], cr[None]
 
     return jax.jit(step)

@@ -115,8 +115,14 @@ def deblock_frame_tpu(
     prep: dict,  # host-precomputed per-edge params (pipeline/deblock_prep.py)
     mb_h: int,
     mb_w: int,
+    halo=None,  # optional (hy [4, W], hcb [4, Wc], hcr [4, Wc]): the fully
+    #             filtered bottom rows of the band above. When given, they
+    #             seed the top padding so MB row 0's top edges filter across
+    #             the band boundary, and the function ALSO returns the
+    #             (possibly modified) halo rows for the caller to paste back
+    #             into the band above (row-band sharding, dist/sharded.py).
 ):
-    """Returns filtered (y, cb, cr)."""
+    """Returns filtered (y, cb, cr); with halo, ((y, cb, cr), halo')."""
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = mb_h * 8, mb_w * 8
     # bottom scratch strip: inactive wavefront slots gather/scatter there so
@@ -124,6 +130,11 @@ def deblock_frame_tpu(
     yp = jnp.pad(y.astype(jnp.int32), ((LPAD, 24), (LPAD, 0)))
     cbp = jnp.pad(cb.astype(jnp.int32), ((LPAD, 16), (LPAD, 0)))
     crp = jnp.pad(cr.astype(jnp.int32), ((LPAD, 16), (LPAD, 0)))
+    if halo is not None:
+        hy, hcb, hcr = halo
+        yp = yp.at[0:LPAD, LPAD:].set(hy.astype(jnp.int32))
+        cbp = cbp.at[0:LPAD, LPAD:].set(hcb.astype(jnp.int32))
+        crp = crp.at[0:LPAD, LPAD:].set(hcr.astype(jnp.int32))
 
     bs_v = jnp.asarray(prep["bs_v"])  # [H4, W4]
     bs_h = jnp.asarray(prep["bs_h"])
@@ -232,9 +243,27 @@ def deblock_frame_tpu(
         crp = crp.at[cry, crx].set(cpatch[:, 1])
         return yp, cbp, crp
 
-    yp, cbp, crp = jax.lax.fori_loop(0, n_diag, step, (yp, cbp, crp))
-    return (
+    # only walk diagonals whose MBs have any nonzero-strength edge (an MB
+    # with all bs == 0 is an identity patch write — skipping it is exact);
+    # the row-band sharded step relies on this to make the masked (inactive-
+    # shard) invocations free: zeroed bs grids collapse the loop to nothing
+    cell_any = (bs_v > 0) | (bs_h > 0)
+    mb_any = cell_any.reshape(mb_h, 4, mb_w, 4).any(axis=(1, 3))
+    d_grid = jnp.arange(mb_w)[None, :] + 2 * jnp.arange(mb_h)[:, None]
+    lo = jnp.min(jnp.where(mb_any, d_grid, n_diag))
+    hi = jnp.max(jnp.where(mb_any, d_grid, -1)) + 1
+    lo = jnp.minimum(lo, hi)
+    yp, cbp, crp = jax.lax.fori_loop(lo, hi, step, (yp, cbp, crp))
+    out = (
         yp[LPAD : LPAD + H, LPAD:].astype(jnp.uint8),
         cbp[LPAD : LPAD + Hc, LPAD:].astype(jnp.uint8),
         crp[LPAD : LPAD + Hc, LPAD:].astype(jnp.uint8),
     )
+    if halo is None:
+        return out
+    ret = (
+        yp[0:LPAD, LPAD:].astype(jnp.uint8),
+        cbp[0:LPAD, LPAD:].astype(jnp.uint8),
+        crp[0:LPAD, LPAD:].astype(jnp.uint8),
+    )
+    return out, ret

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..entropy.deblock_tables import ALPHA, BETA, TC0
+from .intra_pallas import _interpret
 
 _ALPHA = np.asarray(ALPHA, np.int32)
 _BETA = np.asarray(BETA, np.int32)
@@ -371,6 +372,7 @@ def deblock_frame_pallas(y, cb, cr, prep, mb_h: int, mb_w: int):
 
     yo = pl.pallas_call(
         _make_luma_kernel(mb_h * nbx, nbx),
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct(yc.shape, jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -381,6 +383,7 @@ def deblock_frame_pallas(y, cb, cr, prep, mb_h: int, mb_w: int):
     )(pl_pack, yc)
     cbo, cro = pl.pallas_call(
         _make_chroma_kernel(mb_h * nbx_c, nbx_c),
+        interpret=_interpret(),
         out_shape=(
             jax.ShapeDtypeStruct(cbc.shape, jnp.uint8),
             jax.ShapeDtypeStruct(crc.shape, jnp.uint8),

@@ -350,6 +350,9 @@ def intra_wavefront(
     avl, avt, avtr, avtl,  # [nMB] bool: MB-level intra availability
     mb_h: int,
     mb_w: int,
+    top=None,  # optional (y_row [W], cb_row [Wc], cr_row [Wc]) halo: the
+    #            pre-deblock bottom pixel row of the band above, seeded as
+    #            the "above" neighbors of MB row 0 (row-band sharding)
 ):
     """Runs the anti-diagonal intra wavefront; returns updated (y, cb, cr)."""
     H, W = mb_h * 16, mb_w * 16
@@ -358,6 +361,11 @@ def intra_wavefront(
     yp = jnp.pad(y, ((PAD, PAD + 16), (PAD, PAD)))
     cbp = jnp.pad(cb, ((PAD, PAD + 8), (PAD, PAD)))
     crp = jnp.pad(cr, ((PAD, PAD + 8), (PAD, PAD)))
+    if top is not None:
+        ty_, tcb_, tcr_ = top
+        yp = yp.at[PAD - 1, PAD : PAD + W].set(ty_.astype(yp.dtype))
+        cbp = cbp.at[PAD - 1, PAD : PAD + Wc].set(tcb_.astype(cbp.dtype))
+        crp = crp.at[PAD - 1, PAD : PAD + Wc].set(tcr_.astype(crp.dtype))
     kind_g = kind.reshape(mb_h, mb_w)
     modes4_g = modes4.reshape(mb_h, mb_w, 16)
     i16_g = i16mode.reshape(mb_h, mb_w)

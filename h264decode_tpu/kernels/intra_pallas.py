@@ -54,10 +54,21 @@ def _f(v):
     return jnp.full((1, 1), v, jnp.int32)
 
 
+def _interpret() -> bool:
+    """Pallas interpreter mode (H264_PALLAS_INTERPRET=1): runs the exact
+    kernel logic on the CPU backend so the golden suite can exercise it
+    without TPU hardware (SURVEY.md section 5, sanitizer row)."""
+    import os
+
+    return os.environ.get("H264_PALLAS_INTERPRET") == "1"
+
+
 def _norm(x):
     """Zero-shift roll: forces a canonical (offset-0) vector layout so the
     result can participate in lane-dimension concatenates (Mosaic requires
     matching sublane offsets on non-concat dims)."""
+    if _interpret():
+        return x  # layout hint only; meaningless off-TPU
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.roll(pltpu.roll(x, 0, axis=1), 0, axis=0)
@@ -660,6 +671,7 @@ def intra_frame_pallas(
 
     yo = pl.pallas_call(
         _make_luma_kernel(mb_h * nbx, nbx),
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct(yc.shape, jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -671,6 +683,7 @@ def intra_frame_pallas(
     )(pl_pack, ry, yc)
     cbo, cro = pl.pallas_call(
         _make_chroma_kernel(mb_h * nbx_c, nbx_c),
+        interpret=_interpret(),
         out_shape=(
             jax.ShapeDtypeStruct(cbc.shape, jnp.uint8),
             jax.ShapeDtypeStruct(crc.shape, jnp.uint8),

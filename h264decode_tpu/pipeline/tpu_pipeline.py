@@ -201,14 +201,14 @@ def _weight_cells(inp: dict, mb_h: int, mb_w: int):
     return luma, chroma
 
 
-def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-                has_l8: bool, has_pcm: bool):
-    """The full parallel pixel path for one frame, one compile variant.
-
-    has_l8/has_pcm are the only static gates left: has_l8 is a per-PPS
-    stream constant (transform_8x8_mode_flag) and I_PCM frames are rare
-    enough that the occasional extra variant beats always shipping three
-    full-size PCM planes over the link."""
+def _base_planes(inp: dict, mb_h: int, mb_w: int,
+                 has_l8: bool, has_pcm: bool):
+    """Residual transforms + motion compensation (weighted, both lists
+    masked) + PCM placement: every fully data-parallel pixel stage. Returns
+    (base_y, base_cb, base_cr, ry, rcb, rcr) where base planes hold
+    inter+PCM content (zeros at intra MBs) and r* are the residual planes.
+    Shared verbatim between the single-chip frame program and the row-band
+    sharded step (dist/sharded.py), which runs it on band-local tensors."""
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = mb_h * 8, mb_w * 8
     n = mb_h * mb_w
@@ -280,7 +280,20 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     base_y = jnp.where(im_y, inter_y, pcm_y)
     base_cb = jnp.where(im_c, inter_cb, pcm_cb)
     base_cr = jnp.where(im_c, inter_cr, pcm_cr)
+    return base_y, base_cb, base_cr, ry, rcb, rcr
 
+
+def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
+                has_l8: bool, has_pcm: bool):
+    """The full parallel pixel path for one frame, one compile variant.
+
+    has_l8/has_pcm are the only static gates left: has_l8 is a per-PPS
+    stream constant (transform_8x8_mode_flag) and I_PCM frames are rare
+    enough that the occasional extra variant beats always shipping three
+    full-size PCM planes over the link."""
+    base_y, base_cb, base_cr, ry, rcb, rcr = _base_planes(
+        inp, mb_h, mb_w, has_l8, has_pcm
+    )
     # ---- intra reconstruction: Pallas raster kernel on TPU, XLA wavefront
     # elsewhere (CPU tests / virtual device meshes)
     intra_impl = intra_frame_pallas if _on_tpu() else intra_wavefront

@@ -58,24 +58,191 @@ from h264decode_tpu.golden import lavc
 from h264decode_tpu.dist.mesh import make_mesh
 from h264decode_tpu.dist.decoder import ShardedDecoder
 
+def check(tag, bs, n_row, deblock):
+    golden = lavc.decode_annexb(bs)
+    dec = ShardedDecoder(make_mesh(1, n_row), apply_deblock=deblock)
+    ours = dec.decode_stream(bs)
+    assert len(golden) == len(ours), tag
+    for fi, (g, o) in enumerate(zip(golden, ours)):
+        for name, gp, op in zip("y cb cr".split(), g.planes(), o.planes()):
+            assert np.array_equal(gp, np.asarray(op)), (tag, n_row, fi, name)
+    print(tag, "ok", flush=True)
+
 frames = make_test_frames(4, 128, 128)
+# aligned fast path: slice-per-band CABAC IP
 for n_row, slices in ((2, 2), (4, 4)):
     bs = lavc.encode_x264(
         frames, qp=26, profile="main", cabac=True, bframes=0,
         extra_x264=f"no-deblock=1:slices={slices}:weightp=0",
     )
-    golden = lavc.decode_annexb(bs)
-    ours = ShardedDecoder(make_mesh(1, n_row), apply_deblock=False).decode_stream(bs)
-    assert len(golden) == len(ours)
-    for fi, (g, o) in enumerate(zip(golden, ours)):
-        for name, gp, op in zip("y cb cr".split(), g.planes(), o.planes()):
-            assert np.array_equal(gp, np.asarray(op)), (n_row, fi, name)
+    check(f"aligned_{n_row}", bs, n_row, deblock=False)
+# aligned fast path with explicit weighted P + implicit weighted B
+bs = lavc.encode_x264(
+    frames, qp=26, profile="main", cabac=True, bframes=2,
+    extra_x264="slices=2:weightp=2:weightb=1:no-deblock=1",
+)
+check("aligned_weighted", bs, 2, deblock=False)
+# halo pipeline: UNALIGNED single-slice CABAC IPB with deblocking on
+bs = lavc.encode_x264(frames, qp=26, profile="main", cabac=True, bframes=2)
+check("halo_2band", bs, 2, deblock=True)
 print("SHARDED_OK")
 """
 
 
 def test_sharded_decoder_bit_exact():
-    """Real slice-aligned CABAC IP stream decoded on a 1x2 and 1x4
-    ("gop","row") mesh must match libavcodec bit-exactly."""
-    r = _run_sub(_SHARDED_SCRIPT)
+    """Real streams on a ("gop","row") mesh must match libavcodec
+    bit-exactly: slice-aligned fast path (1x2 / 1x4, plus weighted
+    prediction) and the ppermute halo pipeline on an unaligned
+    single-slice stream with deblocking."""
+    r = _run_sub(_SHARDED_SCRIPT, timeout=560)
     assert "SHARDED_OK" in r.stdout, r.stdout + r.stderr
+
+
+_HALO_SCRIPT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tests.conftest import make_test_frames
+from h264decode_tpu.golden import lavc
+from h264decode_tpu.dist.mesh import make_mesh
+from h264decode_tpu.dist.decoder import ShardedDecoder
+
+frames = make_test_frames(4, 128, 128)
+# 4-band halo with weighted prediction and deblocking, single slice
+bs = lavc.encode_x264(frames, qp=26, profile="main", cabac=True, bframes=2,
+                      extra_x264="weightp=2:weightb=1")
+golden = lavc.decode_annexb(bs)
+ours = ShardedDecoder(make_mesh(1, 4), apply_deblock=True).decode_stream(bs)
+assert len(golden) == len(ours)
+for fi, (g, o) in enumerate(zip(golden, ours)):
+    for name, gp, op in zip("y cb cr".split(), g.planes(), o.planes()):
+        assert np.array_equal(gp, np.asarray(op)), (fi, name)
+# I_PCM macroblocks through the sharded path (synthetic CAVLC stream)
+from tests.synth import nal, pcm_frame_planes, pcm_slice, write_pps, write_sps
+MB_W, MB_H = 4, 4
+planes = pcm_frame_planes(MB_W, MB_H, seed=9)
+data = write_sps(MB_W, MB_H) + write_pps() + pcm_slice(
+    planes, list(range(MB_W * MB_H)), MB_W)
+out = ShardedDecoder(make_mesh(1, 2), apply_deblock=True).decode_stream(data)
+assert np.array_equal(np.asarray(out[0].y), planes[0])
+assert np.array_equal(np.asarray(out[0].cb), planes[1])
+assert np.array_equal(np.asarray(out[0].cr), planes[2])
+print("HALO_OK")
+"""
+
+
+def test_sharded_halo_weighted_and_pcm():
+    """4-band halo pipeline with weighted prediction + deblocking, and
+    I_PCM macroblocks through the sharded path."""
+    r = _run_sub(_HALO_SCRIPT, timeout=560)
+    assert "HALO_OK" in r.stdout, r.stdout + r.stderr
+
+
+_GOP_SCRIPT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tests.conftest import make_test_frames
+from h264decode_tpu.golden import lavc
+from h264decode_tpu.dist.mesh import make_mesh
+from h264decode_tpu.dist.gop import GopParallelDecoder, split_gops
+
+frames = make_test_frames(20, 96, 96, seed=2)
+bs = lavc.encode_x264(frames, qp=26, profile="main", cabac=True, bframes=2,
+    gop=4, extra_x264="keyint=4:min-keyint=4:scenecut=0:weightp=2:weightb=1")
+segs = split_gops(bs)
+assert len(segs) == 5 and all(n == 4 for _, n in segs), segs
+golden = lavc.decode_annexb(bs)
+# 5 real GOPs on a gop=2 mesh: concurrent per-slot entropy threads, lockstep
+# device steps, unbalanced slots exercise the dummy-frame path
+ours = GopParallelDecoder(make_mesh(2, 2), apply_deblock=True).decode_stream(bs)
+assert len(ours) == len(golden)
+for fi, (g, o) in enumerate(zip(golden, ours)):
+    for name, gp, op in zip("y cb cr".split(), g.planes(), o.planes()):
+        assert np.array_equal(gp, np.asarray(op)), (fi, name)
+print("GOP_OK")
+"""
+
+
+def test_gop_parallel_decoder_bit_exact():
+    """Real multi-GOP decode on the gop axis (G=2, row=2): 5 GOPs
+    round-robined over 2 slots, bit-exact vs libavcodec."""
+    r = _run_sub(_GOP_SCRIPT, timeout=560)
+    assert "GOP_OK" in r.stdout, r.stdout + r.stderr
+
+
+_MH_WORKER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from h264decode_tpu.dist import multihost
+pid = int(sys.argv[1])
+multihost.initialize("127.0.0.1:29531", 2, pid)
+assert jax.process_count() == 2
+from h264decode_tpu.dist.gop import GopParallelDecoder, split_gops
+from h264decode_tpu.golden import lavc
+
+data = open(sys.argv[2], "rb").read()
+mesh = multihost.make_global_mesh(n_row=2)  # 2 procs x 4 devs -> gop=4, row=2
+dec = GopParallelDecoder(mesh, apply_deblock=True, multihost=True)
+frames = dec.decode_stream(data)
+golden = lavc.decode_annexb(data)
+segs = split_gops(data)
+starts = np.cumsum([0] + [n for _, n in segs])
+G = mesh.shape["gop"]
+idx = 0
+checked = 0
+for j, (_, n) in enumerate(segs):
+    if dec.g0 <= (j % G) < dec.g0 + dec.g_local:
+        for g, o in zip(golden[starts[j] : starts[j] + n], frames[idx : idx + n]):
+            for gp, op in zip(g.planes(), o.planes()):
+                assert np.array_equal(gp, np.asarray(op)), (pid, j)
+            checked += 1
+        idx += n
+assert idx == len(frames) and checked > 0
+print("MH_OK", pid, checked, flush=True)
+"""
+
+
+def test_multihost_2proc_gop_sharding():
+    """2-process jax.distributed CPU dryrun: a global ("gop"=4, "row"=2)
+    mesh spanning both processes, each decoding its own GOPs of a real
+    8-GOP stream; SPMD steps in deterministic lockstep; every frame
+    bit-exact vs libavcodec."""
+    import numpy as np
+    import tempfile
+
+    from h264decode_tpu.golden import lavc
+    from tests.conftest import make_test_frames
+
+    frames = make_test_frames(16, 96, 96, seed=4)
+    bs = lavc.encode_x264(
+        frames, qp=26, profile="main", cabac=True, bframes=0,
+        gop=2, extra_x264="keyint=2:min-keyint=2:scenecut=0",
+    )
+    with tempfile.NamedTemporaryFile(suffix=".264", delete=False) as f:
+        f.write(bs)
+        path = f.name
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""
+        )
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MH_WORKER, str(i), path],
+            cwd=root, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0 and "MH_OK" in out, outs
