@@ -23,11 +23,29 @@ import threading
 import time
 
 
-def _make_decoder(backend: str, apply_deblock: bool):
+def _parse_mesh(spec: str):
+    """"GxR" mesh spec -> ("gop","row") Mesh (e.g. --mesh 2x4)."""
+    from ..dist.mesh import make_mesh
+
+    if not spec:
+        return make_mesh()
+    g, r = (int(v) for v in spec.lower().split("x"))
+    return make_mesh(g, r)
+
+
+def _make_decoder(backend: str, apply_deblock: bool, mesh_spec: str = ""):
     if backend == "tpu":
         from ..pipeline.tpu_pipeline import TpuDecoder
 
         return TpuDecoder(apply_deblock=apply_deblock)
+    if backend == "sharded":
+        from ..dist.decoder import ShardedDecoder
+
+        return ShardedDecoder(_parse_mesh(mesh_spec), apply_deblock=apply_deblock)
+    if backend == "gop":
+        from ..dist.gop import GopParallelDecoder
+
+        return GopParallelDecoder(_parse_mesh(mesh_spec), apply_deblock=apply_deblock)
     from ..pipeline.decoder import Decoder
 
     return Decoder(apply_deblock=apply_deblock)
@@ -38,11 +56,26 @@ def cmd_decode(args) -> int:
     from ..utils.metrics import GLOBAL as metrics
 
     data = open(args.input, "rb").read()
-    dec = _make_decoder(args.backend, not args.no_deblock)
-    t0 = time.time()
-    with metrics.timer("decode"):
-        frames = dec.decode_stream(data)
-    dt = time.time() - t0
+    if args.seek:
+        from ..pipeline.seek import decode_from, scan_access_points
+
+        pts = scan_access_points(data)
+        if not pts:
+            print("no access points found", file=sys.stderr)
+            return 1
+        pt = next(
+            (p for p in pts if p.picture_index >= args.seek), pts[-1]
+        )
+        dec = _make_decoder(args.backend, not args.no_deblock, args.mesh)
+        t0 = time.time()
+        frames = list(decode_from(data, pt, decoder=dec))
+        dt = time.time() - t0
+    else:
+        dec = _make_decoder(args.backend, not args.no_deblock, args.mesh)
+        t0 = time.time()
+        with metrics.timer("decode"):
+            frames = dec.decode_stream(data)
+        dt = time.time() - t0
     metrics.count("frames", len(frames))
     if args.output.endswith(".npz"):
         write_npz(args.output, frames)
@@ -66,6 +99,19 @@ def cmd_probe(args) -> int:
     from ..syntax.sps import parse_sps
 
     data = open(args.input, "rb").read()
+    if getattr(args, "access_points", False):
+        from ..pipeline.seek import scan_access_points
+
+        for pt in scan_access_points(data):
+            extra = (
+                f" recovery_frame_cnt {pt.recovery_frame_cnt}"
+                f" exact {pt.exact_match}" if pt.kind == "recovery" else ""
+            )
+            print(
+                f"{pt.kind:8s} byte {pt.offset:<10d} picture "
+                f"{pt.picture_index}{extra}"
+            )
+        return 0
     sps_map, pps_map = {}, {}
     for raw in iter_nalus(data):
         nal = parse_nal_unit(raw)
@@ -146,12 +192,30 @@ def main(argv=None) -> int:
     d = sub.add_parser("decode", help="decode an Annex-B file to y4m/npz")
     d.add_argument("input")
     d.add_argument("output")
-    d.add_argument("--backend", choices=["tpu", "numpy"], default="tpu")
+    d.add_argument(
+        "--backend",
+        choices=["tpu", "numpy", "sharded", "gop"],
+        default="tpu",
+        help="tpu: single-chip jitted pipeline; sharded: row-band mesh; "
+        "gop: GOP+row data-parallel mesh; numpy: oracle",
+    )
+    d.add_argument(
+        "--mesh", default="",
+        help='("gop","row") mesh shape as GxR, e.g. 2x4 (sharded/gop backends)',
+    )
+    d.add_argument(
+        "--seek", type=int, default=0, metavar="N",
+        help="resume decoding at the first access point at/after picture N",
+    )
     d.add_argument("--no-deblock", action="store_true")
     d.add_argument("--metrics", action="store_true")
     d.set_defaults(fn=cmd_decode)
     p = sub.add_parser("probe", help="print stream structure")
     p.add_argument("input")
+    p.add_argument(
+        "--access-points", action="store_true",
+        help="list random-access points (IDR / recovery-point SEI)",
+    )
     p.set_defaults(fn=cmd_probe)
     s = sub.add_parser("serve", help="TCP Annex-B ingest server")
     s.add_argument("--host", default="127.0.0.1")

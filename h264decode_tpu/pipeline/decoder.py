@@ -150,6 +150,7 @@ class Decoder:
         self.uid_counter = 0
         self.idr_group = -1
         self._pending_recovery = None  # recovery-point SEI awaiting its AU
+        self._first_field = None  # PAFF: decoded field awaiting its pair
         self.max_pending = 0  # high-water mark of the output reorder buffer
 
     def decode_stream(self, data: bytes) -> list[DecodedFrame]:
@@ -224,7 +225,8 @@ class Decoder:
                         self.error_count += 1
                         self._cur = []
                     else:
-                        yield from bump(f)
+                        if f is not None:  # None = first field of a pair
+                            yield from bump(f)
                 self._cur.append((hdr, sps, pps, r))
         if self._cur:
             try:
@@ -234,32 +236,41 @@ class Decoder:
                     raise
                 self.error_count += 1
             else:
-                yield from bump(f)
+                if f is not None:
+                    yield from bump(f)
         pending.sort(key=lambda f: f.poc)
         yield from pending
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
         """Pixel reconstruction backend (numpy oracle here; TpuDecoder in
         pipeline/tpu_pipeline.py overrides with the jitted XLA pipeline)."""
+        hdr0 = slices[0][0]
+        parity = int(hdr0.bottom_field_flag) if hdr0.field_pic_flag else -1
         recon = IntraFrameReconstructor(
-            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx, cur_poc=poc
+            ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx,
+            cur_poc=poc, cur_parity=parity,
         )
         y, cb, cr = recon.run()
         if self.apply_deblock:
             y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
         return y, cb, cr
 
-    def _finish_picture(self) -> DecodedFrame:
+    def _finish_picture(self) -> DecodedFrame | None:
         slices = self._cur
         self._cur = []
         hdr0, sps, pps, _ = slices[0]
-        if not sps.frame_mbs_only_flag:
-            raise NotImplementedError("interlaced (field/MBAFF) coding")
+        if hdr0.mbaff_frame_flag:
+            raise NotImplementedError(
+                "MBAFF (macroblock-adaptive frame/field) coding"
+            )
+        field = bool(hdr0.field_pic_flag)  # PAFF field picture
         if self.poc_ctx is None or self.poc_ctx.sps is not sps:
             self.poc_ctx = POCContext(sps)
         if self.dpb is None or self.dpb.sps is not sps:
             self.dpb = DPB(sps)
-        if hdr0.idr_pic_flag:
+        if hdr0.idr_pic_flag and not (
+            field and self._first_field is not None
+        ):
             self.idr_group += 1
         poc = self.poc_ctx.compute(hdr0)
         if not self.dpb.pictures and any(
@@ -270,7 +281,10 @@ class Decoder:
             self.dpb.seed_missing_ref(hdr0, poc, self.uid_counter)
             self.uid_counter += 1
 
-        ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=sps.frame_height_in_mbs)
+        mb_h_pic = (
+            sps.pic_height_in_map_units if field else sps.frame_height_in_mbs
+        )
+        ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=mb_h_pic)
         intra_mode_grid = np.full((ft.mb_h * 4, ft.mb_w * 4), -1, np.int8)
         motion = MotionContext(ft.mb_w, ft.mb_h, ft.slice_id)
         ref_lists: list[tuple[list[Picture], list[Picture]]] = []
@@ -382,6 +396,7 @@ class Decoder:
             frame_num=hdr0.frame_num,
             poc=poc,
             uid=self.uid_counter,
+            parity=int(hdr0.bottom_field_flag) if field else -1,
         )
         # colocated motion for future B direct derivation (8.4.1.2.1):
         # prefer L0; fall back to L1; intra/none -> -1
@@ -408,16 +423,47 @@ class Decoder:
         self.uid_counter += 1
         if hdr0.nal_ref_idc:
             self.dpb.mark(pic, hdr0)
-        df = DecodedFrame(
-            y=y,
-            cb=cb,
-            cr=cr,
-            poc=poc,
-            frame_num=hdr0.frame_num,
-            is_idr=hdr0.idr_pic_flag,
-            idr_group=self.idr_group,
-            sps=sps,
-        )
+        if field:
+            # PAFF: hold the first field; weave the complementary pair into
+            # one output frame (row-interleaved) when the second arrives
+            par = int(hdr0.bottom_field_flag)
+            cur = (
+                np.asarray(y), np.asarray(cb), np.asarray(cr),
+                par, poc, hdr0.idr_pic_flag,
+            )
+            if self._first_field is None or self._first_field[3] == par:
+                self._first_field = cur  # first (or orphaned) field
+                return None
+            fy, fcb, fcr, fpar, fpoc, fidr = self._first_field
+            self._first_field = None
+
+            def weave(a, b, pa, pb):
+                out = np.empty((a.shape[0] * 2, a.shape[1]), a.dtype)
+                out[pa::2] = a
+                out[pb::2] = b
+                return out
+
+            df = DecodedFrame(
+                y=weave(fy, cur[0], fpar, par),
+                cb=weave(fcb, cur[1], fpar, par),
+                cr=weave(fcr, cur[2], fpar, par),
+                poc=min(fpoc, poc),
+                frame_num=hdr0.frame_num,
+                is_idr=fidr or hdr0.idr_pic_flag,
+                idr_group=self.idr_group,
+                sps=sps,
+            )
+        else:
+            df = DecodedFrame(
+                y=y,
+                cb=cb,
+                cr=cr,
+                poc=poc,
+                frame_num=hdr0.frame_num,
+                is_idr=hdr0.idr_pic_flag,
+                idr_group=self.idr_group,
+                sps=sps,
+            )
         if self._pending_recovery is not None:
             df.recovery_point = self._pending_recovery
             self._pending_recovery = None

@@ -31,6 +31,9 @@ class Picture:
     long_term_idx: int = -1
     frame_num_wrap: int = 0
     pic_num: int = 0
+    # field coding (PAFF): -1 = frame picture, 0 = top field, 1 = bottom
+    parity: int = -1
+    pair: "Picture | None" = None  # complementary field of the same frame
     # colocated motion (spec 8.4.1.2.1), 4x4 granularity, filled by the
     # decoder when the picture completes: L0-preferred mv/ref selection
     col_mv: np.ndarray | None = None  # [4h, 4w, 2] int32
@@ -39,6 +42,25 @@ class Picture:
 
     def planes(self):
         return self.y, self.cb, self.cr
+
+    def field(self, parity: int) -> "Picture":
+        """A field view of a frame picture (every other row), for field
+        pictures referencing earlier frame-coded pictures (spec 8.4.2.1)."""
+        if self.parity == parity:
+            return self
+        assert self.parity == -1, "field() on a frame picture only"
+        f = Picture(
+            y=np.ascontiguousarray(np.asarray(self.y)[parity::2]),
+            cb=np.ascontiguousarray(np.asarray(self.cb)[parity::2]),
+            cr=np.ascontiguousarray(np.asarray(self.cr)[parity::2]),
+            frame_num=self.frame_num,
+            poc=self.poc,
+            uid=self.uid,
+            long_term=self.long_term,
+            long_term_idx=self.long_term_idx,
+            parity=parity,
+        )
+        return f
 
 
 class POCContext:
@@ -96,6 +118,8 @@ class POCContext:
             if hdr.nal_ref_idc == 0:
                 expected += sps.offset_for_non_ref_pic
             d0, _ = hdr.delta_pic_order_cnt
+            if hdr.field_pic_flag and hdr.bottom_field_flag:
+                expected += sps.offset_for_top_to_bottom_field
             return expected + d0
         # type 2
         if hdr.nal_ref_idc == 0:
@@ -140,19 +164,86 @@ class DPB:
 
     # ------------------------------------------------------------- ref lists
 
-    def _update_pic_nums(self, cur_frame_num: int):
-        """spec 8.2.4.1: FrameNumWrap / PicNum for short-term refs."""
+    def _update_pic_nums(self, cur_frame_num: int, cur_parity: int | None = None):
+        """spec 8.2.4.1: FrameNumWrap / PicNum for short-term refs. When
+        decoding a field (cur_parity 0/1), field PicNum = 2*FrameNumWrap + 1
+        for same-parity fields, 2*FrameNumWrap otherwise."""
         mfn = self.sps.max_frame_num
         for p in self.pictures:
             if not p.long_term:
                 p.frame_num_wrap = (
                     p.frame_num - mfn if p.frame_num > cur_frame_num else p.frame_num
                 )
-                p.pic_num = p.frame_num_wrap
+                if cur_parity is None:
+                    p.pic_num = p.frame_num_wrap
+                else:
+                    p.pic_num = 2 * p.frame_num_wrap + (
+                        1 if p.parity == cur_parity else 0
+                    )
+
+    # ---- field helpers (PAFF, spec 8.2.4.2.5) ----
+
+    def _units(self, pics: list[Picture]) -> list[list[Picture]]:
+        """Group into frame units: complementary field pairs, non-paired
+        fields, and frame pictures."""
+        units, done = [], set()
+        for p in pics:
+            if id(p) in done:
+                continue
+            done.add(id(p))
+            if (
+                p.parity >= 0
+                and p.pair is not None
+                and any(q is p.pair for q in pics)
+            ):
+                done.add(id(p.pair))
+                units.append([p, p.pair])
+            else:
+                units.append([p])
+        return units
+
+    @staticmethod
+    def _alternate_parity(units: list[list[Picture]], parity: int) -> list[Picture]:
+        """8.2.4.2.5: from an ordered frame list, the field list alternates
+        parity starting with the current field's parity; when one parity
+        runs out, the rest of the other parity follows in order."""
+        same, opp = [], []
+        for u in units:
+            if u[0].parity == -1:  # frame picture referenced by a field:
+                same.append(u[0].field(parity))  # use its field views
+                opp.append(u[0].field(1 - parity))
+                continue
+            for f in u:
+                (same if f.parity == parity else opp).append(f)
+        out, i, j, want_same = [], 0, 0, True
+        while i < len(same) or j < len(opp):
+            if (want_same and i < len(same)) or j >= len(opp):
+                out.append(same[i])
+                i += 1
+            else:
+                out.append(opp[j])
+                j += 1
+            want_same = not want_same
+        return out
 
     def ref_list_p(self, hdr: SliceHeader) -> list[Picture]:
-        """8.2.4.2.1: P list0 = short-term by PicNum desc, long-term by idx asc;
-        then 8.2.4.3 modifications."""
+        """8.2.4.2.1/8.2.4.2.2: P list0 = short-term by PicNum/FrameNumWrap
+        desc, long-term by idx asc; field decoding orders frame units then
+        alternates parity (8.2.4.2.5); then 8.2.4.3 modifications."""
+        n = hdr.num_ref_idx_l0_active_minus1 + 1
+        if hdr.field_pic_flag:
+            parity = int(hdr.bottom_field_flag)
+            self._update_pic_nums(hdr.frame_num, parity)
+            st_units = self._units(
+                [p for p in self.pictures if not p.long_term]
+            )
+            st_units.sort(key=lambda u: -max(f.frame_num_wrap for f in u))
+            lt_units = self._units([p for p in self.pictures if p.long_term])
+            lt_units.sort(key=lambda u: min(f.long_term_idx for f in u))
+            lst = self._alternate_parity(st_units, parity) + self._alternate_parity(
+                lt_units, parity
+            )
+            return self._apply_modifications(lst, hdr.ref_pic_list_mod_l0, hdr, n)
         self._update_pic_nums(hdr.frame_num)
         st = sorted(
             (p for p in self.pictures if not p.long_term), key=lambda p: -p.pic_num
@@ -161,20 +252,44 @@ class DPB:
             (p for p in self.pictures if p.long_term), key=lambda p: p.long_term_idx
         )
         lst = st + lt
-        n = hdr.num_ref_idx_l0_active_minus1 + 1
         return self._apply_modifications(lst, hdr.ref_pic_list_mod_l0, hdr, n)
 
     def ref_lists_b(self, hdr: SliceHeader, cur_poc: int) -> tuple[list[Picture], list[Picture]]:
-        """8.2.4.2.3: B list0/list1 from POC ordering; then modifications."""
-        self._update_pic_nums(hdr.frame_num)
-        st = [p for p in self.pictures if not p.long_term]
-        lt = sorted(
-            (p for p in self.pictures if p.long_term), key=lambda p: p.long_term_idx
-        )
-        before = sorted((p for p in st if p.poc <= cur_poc), key=lambda p: -p.poc)
-        after = sorted((p for p in st if p.poc > cur_poc), key=lambda p: p.poc)
-        l0 = before + after + lt
-        l1 = after + before + lt
+        """8.2.4.2.3/8.2.4.2.4: B list0/list1 from POC ordering; field
+        decoding orders frame units by POC then alternates parity; then
+        modifications."""
+        if hdr.field_pic_flag:
+            parity = int(hdr.bottom_field_flag)
+            self._update_pic_nums(hdr.frame_num, parity)
+            st_units = self._units(
+                [p for p in self.pictures if not p.long_term]
+            )
+            lt_units = self._units([p for p in self.pictures if p.long_term])
+            lt_units.sort(key=lambda u: min(f.long_term_idx for f in u))
+
+            def upoc(u):
+                return max(f.poc for f in u)
+
+            before = sorted(
+                (u for u in st_units if upoc(u) <= cur_poc), key=lambda u: -upoc(u)
+            )
+            after = sorted(
+                (u for u in st_units if upoc(u) > cur_poc), key=upoc
+            )
+            lt = self._alternate_parity(lt_units, parity)
+            l0 = self._alternate_parity(before + after, parity) + lt
+            l1 = self._alternate_parity(after + before, parity) + lt
+        else:
+            self._update_pic_nums(hdr.frame_num)
+            st = [p for p in self.pictures if not p.long_term]
+            lt = sorted(
+                (p for p in self.pictures if p.long_term),
+                key=lambda p: p.long_term_idx,
+            )
+            before = sorted((p for p in st if p.poc <= cur_poc), key=lambda p: -p.poc)
+            after = sorted((p for p in st if p.poc > cur_poc), key=lambda p: p.poc)
+            l0 = before + after + lt
+            l1 = after + before + lt
         # 8.2.4.2.3: if l1 has >1 entries and equals l0, swap its first two
         if len(l1) > 1 and [p.uid for p in l1] == [p.uid for p in l0]:
             l1 = [l1[1], l1[0]] + l1[2:]
@@ -201,8 +316,12 @@ class DPB:
         lst = self._sized(list(lst), n_active)
         if not ops:
             return lst
-        max_pic_num = self.sps.max_frame_num
-        pic_num_pred = hdr.frame_num  # CurrPicNum
+        field = hdr.field_pic_flag
+        parity = int(hdr.bottom_field_flag)
+        # field decoding: MaxPicNum = 2*MaxFrameNum, CurrPicNum = 2*fn + 1
+        max_pic_num = (2 if field else 1) * self.sps.max_frame_num
+        curr_pic_num = 2 * hdr.frame_num + 1 if field else hdr.frame_num
+        pic_num_pred = curr_pic_num
         ref_idx = 0
         for op in ops:
             if op.idc in (0, 1):
@@ -217,18 +336,23 @@ class DPB:
                         no_wrap -= max_pic_num
                 pic_num_pred = no_wrap
                 pic_num = no_wrap
-                if pic_num > hdr.frame_num:
+                if pic_num > curr_pic_num:
                     pic_num -= max_pic_num
                 match = next(
                     (p for p in self.pictures if not p.long_term and p.pic_num == pic_num),
                     None,
                 )
-            else:  # idc == 2: long-term
+            else:  # idc == 2: long-term (field LongTermPicNum = 2*idx + same)
+                def ltpn(p):
+                    if not field:
+                        return p.long_term_idx
+                    return 2 * p.long_term_idx + (1 if p.parity == parity else 0)
+
                 match = next(
                     (
                         p
                         for p in self.pictures
-                        if p.long_term and p.long_term_idx == op.value
+                        if p.long_term and ltpn(p) == op.value
                     ),
                     None,
                 )
@@ -244,9 +368,35 @@ class DPB:
 
     # -------------------------------------------------------------- marking
 
+    def _second_field_of(self, pic: Picture) -> Picture | None:
+        """The complementary first field already in the DPB, if `pic` is the
+        second field of a reference field pair (same frame_num, opposite
+        parity, most recently marked and still unpaired) — spec 8.2.5.1."""
+        if pic.parity < 0 or not self.pictures:
+            return None
+        q = self.pictures[-1]
+        if (
+            q.parity >= 0
+            and q.pair is None
+            and q.parity != pic.parity
+            and q.frame_num == pic.frame_num
+        ):
+            return q
+        return None
+
     def mark(self, pic: Picture, hdr: SliceHeader):
-        """8.2.5: decoded reference picture marking."""
+        """8.2.5: decoded reference picture marking (frames and fields)."""
         m = hdr.dec_ref_pic_marking
+        first = self._second_field_of(pic)
+        if first is not None:
+            # second field of a reference pair: completes the frame unit —
+            # no window eviction, no clear (even for the IDR second field)
+            pic.pair = first
+            first.pair = pic
+            pic.long_term = first.long_term
+            pic.long_term_idx = first.long_term_idx
+            self.pictures.append(pic)
+            return
         if hdr.idr_pic_flag:
             self.clear()
             if m is not None and m.long_term_reference_flag:
@@ -262,18 +412,15 @@ class DPB:
             if pic not in self.pictures:
                 self.pictures.append(pic)
             return
-        # sliding window (8.2.5.3)
-        num_short = sum(1 for p in self.pictures if not p.long_term)
-        num_long = sum(1 for p in self.pictures if p.long_term)
-        if num_short + num_long >= max(1, self.sps.max_num_ref_frames):
+        # sliding window (8.2.5.3): counts FRAME units (pairs count once)
+        units = self._units(self.pictures)
+        if len(units) >= max(1, self.sps.max_num_ref_frames):
             self._update_pic_nums(hdr.frame_num)
-            oldest = min(
-                (p for p in self.pictures if not p.long_term),
-                key=lambda p: p.frame_num_wrap,
-                default=None,
-            )
-            if oldest is not None:
-                self.pictures.remove(oldest)
+            st_units = [u for u in units if not u[0].long_term]
+            if st_units:
+                oldest = min(st_units, key=lambda u: max(f.frame_num_wrap for f in u))
+                for f in oldest:
+                    self.pictures.remove(f)
         self.pictures.append(pic)
 
     def _apply_mmco(self, pic: Picture, hdr: SliceHeader, ops):

@@ -36,6 +36,7 @@ class IntraFrameReconstructor:
         ref_lists: list | None = None,
         weight_ctx: list | None = None,
         cur_poc: int = 0,
+        cur_parity: int = -1,  # -1 frame picture; 0/1 = field parity (PAFF)
     ):
         self.ft = ft
         self.sps = sps
@@ -43,6 +44,7 @@ class IntraFrameReconstructor:
         self.ref_lists = ref_lists or []
         self.weight_ctx = weight_ctx or []
         self.cur_poc = cur_poc
+        self.cur_parity = cur_parity
         self.bypass_enabled = bool(sps.qpprime_y_zero_transform_bypass_flag)
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
@@ -326,11 +328,19 @@ class IntraFrameReconstructor:
                     )
                     pcb = pcr = None
                     if chroma:
+                        # spec 8.4.1.4.1: field MC from an opposite-parity
+                        # reference field shifts the chroma vertical MV by
+                        # +-2 (1/8-pel chroma units)
+                        cvy = mvy
+                        if self.cur_parity >= 0 and ref.parity >= 0 and (
+                            ref.parity != self.cur_parity
+                        ):
+                            cvy += 2 if self.cur_parity == 1 else -2
                         pcb = chroma_mc_block(
-                            ref.cb, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
+                            ref.cb, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, cvy
                         )
                         pcr = chroma_mc_block(
-                            ref.cr, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, mvy
+                            ref.cr, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, cvy
                         )
                     preds.append((lst, ref_idx, ref, py, pcb, pcr))
                 if len(preds) == 1:

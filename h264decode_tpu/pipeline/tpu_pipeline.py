@@ -323,12 +323,14 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
             for lst in range(2)
         ]
     )
+    # picture identity for bS: ring-slot ids (equal slot == same reference
+    # picture), so the uid grid never ships over the link
     prep = deblock_prep_device(
         inp["mb_cls"].astype(jnp.int32), inp["qp"].astype(jnp.int32),
         inp["is_t8"], inp["slice_arr"].astype(jnp.int32),
         inp["disable"].astype(jnp.int32), inp["aoff"].astype(jnp.int32),
         inp["boff"].astype(jnp.int32), inp["nnz_grid"].astype(jnp.int32),
-        inp["ref_pic_parts"].astype(jnp.int32), mv, inp["qp_offsets"],
+        inp["slot_parts"].astype(jnp.int32), mv, inp["qp_offsets"],
         mb_h, mb_w,
     )
     if _on_tpu():
@@ -338,19 +340,48 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
     return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w)
 
 
+def _densify_residuals(inp: dict, n: int, has_l8: bool):
+    """Inverse of the host's sparse residual packing: scatter the coded
+    blocks' levels into dense coefficient tensors (padded entries carry
+    index 0 with all-zero levels, so the .add is exact)."""
+    la = jnp.zeros((n * 16, 16), jnp.int32)
+    inp["luma_ac"] = (
+        la.at[inp["l_idx"]].add(inp["l_lev"].astype(jnp.int32)).reshape(n, 16, 16)
+    )
+    ca = jnp.zeros((n * 8, 16), jnp.int32)
+    inp["chroma_ac"] = (
+        ca.at[inp["c_idx"]].add(inp["c_lev"].astype(jnp.int32)).reshape(n, 2, 4, 16)
+    )
+    ld = jnp.zeros((n, 16), jnp.int32)
+    inp["luma_dc"] = ld.at[inp["ld_idx"]].add(inp["ld_lev"].astype(jnp.int32))
+    cd = jnp.zeros((n, 8), jnp.int32)
+    inp["chroma_dc"] = (
+        cd.at[inp["cd_idx"]].add(inp["cd_lev"].astype(jnp.int32)).reshape(n, 2, 4)
+    )
+    if has_l8:
+        l8 = jnp.zeros((n * 4, 64), jnp.int32)
+        inp["luma8_ac"] = (
+            l8.at[inp["l8_idx"]].add(inp["l8_lev"].astype(jnp.int32)).reshape(n, 4, 64)
+        )
+
+
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), donate_argnums=(1, 2, 3))
 def frame_step(buf, ring_y, ring_cb, ring_cr, dyn: dict,
                mb_h: int, mb_w: int, n_refs: int, flags: tuple, meta: tuple):
     """The whole per-frame device program: unpack -> reconstruct ->
     deblock -> half-pel planes -> in-place DPB ring update -> packed output.
 
-    flags = (has_l8, has_pcm, apply_deblock). The ring buffers are donated:
-    the DPB's reference planes live on device for the whole stream, and the
-    only per-frame transfers are the packed input buffer (host->device) and
-    the packed output plane (device->host, fetched asynchronously)."""
-    has_l8, has_pcm, apply_db = flags
+    flags = (has_l8, has_pcm, apply_deblock, sparse). The ring buffers are
+    donated: the DPB's reference planes live on device for the whole stream,
+    and the only per-frame transfers are the packed input buffer
+    (host->device; residual coefficients ship SPARSE for typical inter
+    frames — only coded blocks' levels plus indices) and the packed output
+    plane (device->host, fetched asynchronously)."""
+    has_l8, has_pcm, apply_db, sparse = flags
     inp = dict(dyn)
     inp.update(_unpack(buf, meta))
+    if sparse:
+        _densify_residuals(inp, mb_h * mb_w, has_l8)
     inp["ref_luma"] = ring_y
     inp["ref_cb"] = ring_cb
     inp["ref_cr"] = ring_cr
@@ -565,6 +596,18 @@ class TpuDecoder(Decoder):
             self._ring_slots[p.uid] = slot
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+        if slices[0][0].field_pic_flag:
+            # PAFF field pictures: numpy oracle path (field geometry would
+            # thrash the device DPB ring, which is sized for frames)
+            for l0, l1 in ref_lists:
+                for p in l0 + l1:
+                    if not isinstance(p.y, np.ndarray):
+                        p.y = np.asarray(p.y)
+                        p.cb = np.asarray(p.cb)
+                        p.cr = np.asarray(p.cr)
+            return super()._reconstruct(
+                ft, sps, pps, slices, ref_lists, weight_ctx, poc
+            )
         if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
             # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path.
             # Reference pictures may hold still-device planes from earlier
@@ -645,11 +688,39 @@ class TpuDecoder(Decoder):
         # per-frame host tensor ships in a single uint8 buffer (narrow
         # dtypes preserved; widened on device inside frame_step)
         has_l8 = pps.transform_8x8_mode_flag and ft.luma8_ac is not None
+        # ---- sparse residual wire format: the device link is the decode
+        # bottleneck and typical inter frames code only ~1-5% of blocks, so
+        # ship (index, levels) of coded blocks only. Capacities are fixed
+        # fractions of the geometry (static shapes -> exactly two compile
+        # variants per stream: sparse for inter frames, dense for I frames).
+        sp = {
+            "l": (ft.luma_ac.reshape(-1, 16), n * 4),
+            "c": (ft.chroma_ac.reshape(-1, 16), n * 2),
+            "ld": (ft.luma_dc, n // 2),
+            "cd": (ft.chroma_dc.reshape(-1, 8), n // 2),
+        }
+        if has_l8:
+            sp["l8"] = (ft.luma8_ac.reshape(-1, 64), n)
+        sp_idx = {}
+        sparse = True
+        for key, (flat, cap) in sp.items():
+            idx = np.flatnonzero(flat.any(axis=1)).astype(np.int32)
+            if len(idx) > cap:
+                sparse = False
+                break
+            sp_idx[key] = idx
         pk = _HostPack()
-        pk.add("luma_ac", ft.luma_ac)
-        pk.add("luma_dc", ft.luma_dc)
-        pk.add("chroma_dc", ft.chroma_dc)
-        pk.add("chroma_ac", ft.chroma_ac)
+        if sparse:
+            for key, (flat, cap) in sp.items():
+                idx = sp_idx[key]
+                pad = cap - len(idx)
+                pk.add(key + "_idx", np.pad(idx, (0, pad)))
+                pk.add(key + "_lev", np.pad(flat[idx], ((0, pad), (0, 0))))
+        else:
+            pk.add("luma_ac", ft.luma_ac)
+            pk.add("luma_dc", ft.luma_dc)
+            pk.add("chroma_dc", ft.chroma_dc)
+            pk.add("chroma_ac", ft.chroma_ac)
         pk.add("qp", ft.qp)
         pk.add("is_i16", ft.mb_class == MB_I_16X16)
         pk.add("is_t8", ft.transform_8x8)
@@ -669,7 +740,7 @@ class TpuDecoder(Decoder):
         for k, v in wt.items():
             pk.add(k, v)
         pk.add("slot_idx", np.asarray([cur_slot], np.int32))
-        if has_l8:
+        if has_l8 and not sparse:
             pk.add("luma8_ac", ft.luma8_ac)
         if has_pcm:
             pk.add("pcm_y", pcm_y)
@@ -682,7 +753,7 @@ class TpuDecoder(Decoder):
             pk.add("aoff", ft.alpha_off)
             pk.add("boff", ft.beta_off)
             pk.add("nnz_grid", ft.luma_nnz)
-            pk.add("ref_pic_parts", ft.ref_pic)
+            # bS picture identity rides the already-shipped slot_parts
         buf_np, meta = pk.finish()
         if m is not None:
             m.count("bytes_up", buf_np.nbytes)
@@ -719,7 +790,7 @@ class TpuDecoder(Decoder):
             "qp_offsets": (pps.chroma_qp_index_offset,
                            pps.second_chroma_qp_index_offset),
         }
-        flags = (has_l8, has_pcm, self.apply_deblock)
+        flags = (has_l8, has_pcm, self.apply_deblock, sparse)
         if m is not None:
             with m.timer("dispatch"):
                 ry, rcb, rcr, packed = frame_step(

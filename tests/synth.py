@@ -99,9 +99,12 @@ def write_sps(
     offset_for_non_ref_pic: int = 0,
     poc_cycle_offsets: tuple = (2,),
     delta_pic_order_always_zero: bool = False,
+    frame_mbs_only: bool = True,  # False = interlaced (PAFF; mb_h is in
+    #                               map units, i.e. FIELD height in MBs)
 ) -> bytes:
     w = BitWriter()
-    w.u(8, 66)  # profile_idc: Baseline
+    # Baseline forbids interlaced coding tools; PAFF streams declare Main
+    w.u(8, 66 if frame_mbs_only else 77)
     w.u(8, 0)  # constraint flags + reserved
     w.u(8, 30)  # level_idc
     w.ue(0)  # seq_parameter_set_id
@@ -120,7 +123,9 @@ def write_sps(
     w.flag(False)  # gaps_in_frame_num_value_allowed_flag
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
-    w.flag(True)  # frame_mbs_only_flag
+    w.flag(frame_mbs_only)
+    if not frame_mbs_only:
+        w.flag(False)  # mb_adaptive_frame_field_flag (PAFF, not MBAFF)
     w.flag(True)  # direct_8x8_inference_flag
     w.flag(False)  # frame_cropping_flag
     w.flag(False)  # vui_parameters_present_flag
@@ -197,12 +202,18 @@ def _slice_header(
     num_ref_override: int | None = None,
     num_groups_cycle_bits: int = 0,
     change_cycle: int = 0,
+    field: int | None = None,  # None = frame; 0 = top field, 1 = bottom
+    interlaced_sps: bool = False,  # SPS has frame_mbs_only=0
 ):
     is_p = slice_type % 5 == 0
     w.ue(first_mb)
     w.ue(slice_type)
     w.ue(0)  # pic_parameter_set_id
     w.u(log2_max_frame_num, frame_num)
+    if interlaced_sps or field is not None:
+        w.flag(field is not None)  # field_pic_flag
+        if field is not None:
+            w.flag(bool(field))  # bottom_field_flag
     if idr:
         w.ue(idr_pic_id)
     if poc_type == 0:
@@ -281,6 +292,8 @@ def pcm_slice(
     num_groups_cycle_bits: int = 0,
     change_cycle: int = 0,
     log2_max_frame_num: int = 4,
+    field: int | None = None,
+    interlaced_sps: bool = False,
 ) -> bytes:
     """One slice whose MBs (given in decode order) are all I_PCM."""
     y, cb, cr = planes
@@ -291,6 +304,7 @@ def pcm_slice(
         delta_poc=delta_poc, long_term_reference_flag=long_term_reference_flag,
         mmco_ops=mmco_ops, num_groups_cycle_bits=num_groups_cycle_bits,
         change_cycle=change_cycle, log2_max_frame_num=log2_max_frame_num,
+        field=field, interlaced_sps=interlaced_sps,
     )
     in_p = slice_type % 5 == 0
     for addr in mb_addrs:
@@ -320,6 +334,8 @@ def pskip_frame(
     ref_list_mod: list | None = None,
     num_ref_override: int | None = None,
     log2_max_frame_num: int = 4,
+    field: int | None = None,
+    interlaced_sps: bool = False,
 ) -> bytes:
     """A P slice that skips every MB: decodes to a copy of RefPicList0[0]."""
     w = BitWriter()
@@ -328,6 +344,7 @@ def pskip_frame(
         ref_idc=ref_idc, poc_type=poc_type, poc_lsb=poc_lsb,
         delta_poc=delta_poc, mmco_ops=mmco_ops, ref_list_mod=ref_list_mod,
         num_ref_override=num_ref_override, log2_max_frame_num=log2_max_frame_num,
+        field=field, interlaced_sps=interlaced_sps,
     )
     w.ue(n_mbs)  # mb_skip_run covering the whole picture
     w.trailing_bits()
