@@ -354,10 +354,6 @@ def _densify_residuals(inp: dict, n: int, has_l8: bool):
     )
     ld = jnp.zeros((n, 16), jnp.int32)
     inp["luma_dc"] = ld.at[inp["ld_idx"]].add(inp["ld_lev"].astype(jnp.int32))
-    cd = jnp.zeros((n, 8), jnp.int32)
-    inp["chroma_dc"] = (
-        cd.at[inp["cd_idx"]].add(inp["cd_lev"].astype(jnp.int32)).reshape(n, 2, 4)
-    )
     if has_l8:
         l8 = jnp.zeros((n * 4, 64), jnp.int32)
         inp["luma8_ac"] = (
@@ -382,6 +378,12 @@ def frame_step(buf, ring_y, ring_cb, ring_cr, dyn: dict,
     inp.update(_unpack(buf, meta))
     if sparse:
         _densify_residuals(inp, mb_h * mb_w, has_l8)
+    if "mv8_parts" in inp:  # 8x8-granular MVs -> per-4x4-cell layout
+        n = mb_h * mb_w
+        m8 = inp["mv8_parts"].reshape(n, 2, 2, 1, 2, 1, 2)
+        inp["mv_parts"] = jnp.broadcast_to(
+            m8, (n, 2, 2, 2, 2, 2, 2)
+        ).reshape(n, 2, 16, 2)
     inp["ref_luma"] = ring_y
     inp["ref_cb"] = ring_cb
     inp["ref_cr"] = ring_cr
@@ -693,14 +695,16 @@ class TpuDecoder(Decoder):
         # ship (index, levels) of coded blocks only. Capacities are fixed
         # fractions of the geometry (static shapes -> exactly two compile
         # variants per stream: sparse for inter frames, dense for I frames).
+        # chroma DC ships dense always (tiny and usually fully coded); AC +
+        # luma-DC capacities are tight — an over-budget frame (I frames,
+        # typically) takes the dense variant
         sp = {
-            "l": (ft.luma_ac.reshape(-1, 16), n * 4),
-            "c": (ft.chroma_ac.reshape(-1, 16), n * 2),
-            "ld": (ft.luma_dc, n // 2),
-            "cd": (ft.chroma_dc.reshape(-1, 8), n // 2),
+            "l": (ft.luma_ac.reshape(-1, 16), n),
+            "c": (ft.chroma_ac.reshape(-1, 16), n // 2),
+            "ld": (ft.luma_dc, n // 4),
         }
         if has_l8:
-            sp["l8"] = (ft.luma8_ac.reshape(-1, 64), n)
+            sp["l8"] = (ft.luma8_ac.reshape(-1, 64), n // 4)
         sp_idx = {}
         sparse = True
         for key, (flat, cap) in sp.items():
@@ -710,6 +714,7 @@ class TpuDecoder(Decoder):
                 break
             sp_idx[key] = idx
         pk = _HostPack()
+        pk.add("chroma_dc", ft.chroma_dc)
         if sparse:
             for key, (flat, cap) in sp.items():
                 idx = sp_idx[key]
@@ -718,15 +723,22 @@ class TpuDecoder(Decoder):
                 pk.add(key + "_lev", np.pad(flat[idx], ((0, pad), (0, 0))))
         else:
             pk.add("luma_ac", ft.luma_ac)
-            pk.add("luma_dc", ft.luma_dc)
-            pk.add("chroma_dc", ft.chroma_dc)
             pk.add("chroma_ac", ft.chroma_ac)
+            pk.add("luma_dc", ft.luma_dc)
+        # MVs ship at 8x8 granularity when no MB uses sub-8x8 partitions
+        # (the overwhelmingly common case); expanded back on device
+        mv16 = ft.mv.reshape(n, 2, 2, 2, 2, 2, 2)
+        mv8c = mv16[:, :, :, :1, :, :1, :]
+        mv8 = bool((mv16 == mv8c).all())
+        if mv8:
+            pk.add("mv8_parts", np.ascontiguousarray(mv8c).reshape(n, 2, 4, 2))
+        else:
+            pk.add("mv_parts", ft.mv)
         pk.add("qp", ft.qp)
         pk.add("is_i16", ft.mb_class == MB_I_16X16)
         pk.add("is_t8", ft.transform_8x8)
         pk.add("is_intra", ft.mb_class < 3)
         pk.add("slot_parts", slot_parts)
-        pk.add("mv_parts", ft.mv)
         pk.add("kind", kind.astype(np.int8))
         pk.add("modes4", ft.intra4x4_modes)
         pk.add("i16mode", ft.intra16_mode)
