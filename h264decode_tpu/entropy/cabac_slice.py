@@ -72,6 +72,8 @@ class CabacSliceDecoder(SliceDecoderBase):
         )
         self.last_qp_delta = 0
         is_inter = not (hdr.is_i or hdr.is_si)
+        if hdr.mbaff_frame_flag:
+            return self._decode_mbaff(is_inter)
         addr = hdr.first_mb_in_slice
         while True:
             if addr >= n:
@@ -89,16 +91,97 @@ class CabacSliceDecoder(SliceDecoderBase):
                 break
             addr = next_mb_address(self.mb_map, addr)
 
+    def _decode_mbaff(self, is_inter: bool) -> None:
+        """slice_data() for an MBAFF frame, CABAC branch (7.3.4).
+
+        Per-MB mb_skip_flag precedes mb_field_decoding_flag; the flag is
+        read before a non-skipped top MB, or before the bottom MB when the
+        top was skipped; fully-skipped pairs infer it (7.4.4). The
+        end_of_slice_flag is read only after bottom MBs. A skipped top MB
+        defers reconstruction until the pair's flag is known."""
+        hdr, ft = self.hdr, self.ft
+        n = ft.n_mbs
+        addr_m = hdr.first_mb_in_slice * 2
+        pending_top_skip = None
+        prev_skipped = False
+        while True:
+            if addr_m >= n:
+                raise ValueError("slice overruns picture")
+            sp = self._mbaff_spatial(addr_m)
+            bottom = addr_m % 2
+            top = sp - ft.mb_w if bottom else sp
+            skipped = is_inter and self._decode_skip_flag(sp)
+            if skipped:
+                if not bottom:
+                    pending_top_skip = sp
+                else:
+                    if pending_top_skip is not None:  # whole pair skipped
+                        self._set_pair_field(
+                            top, self._infer_pair_field_flag(top)
+                        )
+                        self._decode_skip_mb(pending_top_skip)
+                        pending_top_skip = None
+                    self._decode_skip_mb(sp)
+                self.last_qp_delta = 0
+            else:
+                if not bottom or prev_skipped:
+                    self._set_pair_field(top, self._decode_field_flag(top))
+                if pending_top_skip is not None:
+                    self._decode_skip_mb(pending_top_skip)
+                    pending_top_skip = None
+                self.parse_macroblock(sp)
+            prev_skipped = skipped
+            if bottom and self.e.terminate():  # end_of_slice_flag
+                self.e.flush()
+                break
+            addr_m = next_mb_address(self.mb_map, addr_m)
+
+    def _decode_field_flag(self, top_spatial: int) -> bool:
+        """mb_field_decoding_flag, ctxIdxOffset 70 (9.3.3.1.1.2): one
+        condTermFlag per neighboring pair (left, above) that is available
+        in the slice and field-coded."""
+        ft = self.ft
+        mby, mbx = divmod(top_spatial, ft.mb_w)
+        inc = 0
+        if mbx > 0 and self._mb_available(top_spatial - 1):
+            inc += int(ft.mb_field[top_spatial - 1])
+        if mby >= 2 and self._mb_available(top_spatial - 2 * ft.mb_w):
+            inc += int(ft.mb_field[top_spatial - 2 * ft.mb_w])
+        return bool(self.e.decision(70 + inc))
+
     # ------------------------------------------------------- neighbor utils
 
     def _nbr_mb(self, addr: int, dx: int, dy: int) -> int:
-        """Neighbor MB address with availability; -1 if unavailable."""
+        """Neighbor MB address with availability; -1 if unavailable.
+
+        Under MBAFF the above-neighbor follows 6.4.10.5: a bottom FRAME MB
+        neighbors its own pair's top MB; a bottom FIELD MB neighbors the
+        above PAIR (its bottom MB); a top FIELD MB above a field pair takes
+        the same-parity (top) MB of that pair. Left neighbors sit in the
+        same pair row, where the spatial grid already agrees."""
         ft = self.ft
         mbx, mby = ft.mb_xy(addr)
         nx, ny = mbx + dx, mby + dy
         if nx < 0 or ny < 0 or nx >= ft.mb_w:
             return -1
         naddr = ny * ft.mb_w + nx
+        if self.hdr.mbaff_frame_flag and dx == 0 and dy == -1:
+            cur_field = bool(ft.mb_field[addr])
+            if mby % 2:  # bottom MB
+                if cur_field:
+                    naddr = addr - 2 * ft.mb_w  # above pair's bottom MB
+                    if naddr < 0:
+                        return -1
+                # else: same-pair top MB == spatial above (naddr already)
+            else:  # top MB: above pair's bottom MB == spatial above
+                above_top = addr - 2 * ft.mb_w
+                if (
+                    cur_field
+                    and above_top >= 0
+                    and ft.mb_field[above_top]
+                    and self._mb_available(above_top)
+                ):
+                    naddr = above_top  # same-parity field neighbor
         return naddr if self._mb_available(naddr) else -1
 
     def _cond_pair(self, addr, cond_fn) -> int:
@@ -507,6 +590,7 @@ class CabacSliceDecoder(SliceDecoderBase):
         if mb_type == 25:
             self._parse_pcm(addr)
             return
+        self._require_frame_mb(addr, "intra prediction")
         if mb_type == 0:  # I_NxN
             ft.mb_class[addr] = MB_I_NXN
             t8 = False
@@ -547,12 +631,17 @@ class CabacSliceDecoder(SliceDecoderBase):
             self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
 
     def _parse_pcm(self, addr: int) -> None:
-        """I_PCM in CABAC: flush the engine, read raw bytes, re-init
-        (spec 7.3.4 note / 9.3.1.2)."""
+        """I_PCM in CABAC: align, read raw bytes, re-init (9.3.1.2).
+
+        No bits are consumed for the encoder's flush tail: the engine's
+        9-bit initialisation look-ahead exactly covers it (the encoder's
+        EncodeFlush emits 10 bits with the first PutBit suppressed, 9.3.4.6),
+        so the raw reader already sits R+9 bits in — aligning from here
+        lands on the PCM bytes (libavcodec's bytestream back-off does the
+        same arithmetic)."""
         ft = self.ft
         e, r = self.e, self.r
         ft.mb_class[addr] = MB_I_PCM
-        e.flush()
         r.align()
         y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
         if self.sps.chroma_array_type == 1:
@@ -597,6 +686,7 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     def _parse_p_mb(self, addr: int, mb_type: int) -> None:
         ft = self.ft
+        self._require_frame_mb(addr, "inter prediction")
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         ft.mb_class[addr] = MB_P
@@ -657,6 +747,7 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     def _parse_b_mb(self, addr: int, mb_type: int) -> None:
         ft = self.ft
+        self._require_frame_mb(addr, "inter prediction")
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         motion = self.motion

@@ -76,6 +76,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
 
     def decode(self) -> None:
         """slice_data(), spec 7.3.4 (CAVLC branch)."""
+        if self.hdr.mbaff_frame_flag:
+            return self._decode_mbaff()
         hdr, r = self.hdr, self.r
         n = self.ft.n_mbs
         addr = hdr.first_mb_in_slice
@@ -99,6 +101,63 @@ class CavlcSliceDecoder(SliceDecoderBase):
             if not r.more_rbsp_data():
                 break
             addr = next_mb_address(self.mb_map, addr)
+
+    def _decode_mbaff(self) -> None:
+        """slice_data() for an MBAFF frame (7.3.4 with MbaffFrameFlag=1).
+
+        mb_field_decoding_flag is read before the top MB of each pair, or
+        before the bottom MB when the top was skipped (prevMbSkipped); a
+        fully-skipped pair infers it per 7.4.4. A skipped TOP MB defers its
+        reconstruction until the pair's flag is known (the flag selects
+        frame- vs field-MV prediction) — still ahead of the bottom MB, so
+        neighbor-dependent derivations see pairs complete in order."""
+        hdr, r, ft = self.hdr, self.r, self.ft
+        n = ft.n_mbs
+        addr_m = hdr.first_mb_in_slice * 2  # 7.4.3: CurrMbAddr scaling
+        is_inter_slice = not (hdr.is_i or hdr.is_si)
+        pending_top_skip = None  # spatial addr awaiting its pair's flag
+        prev_skipped = False
+
+        def flush_pending(infer: bool):
+            nonlocal pending_top_skip
+            if pending_top_skip is None:
+                return
+            if infer:
+                self._set_pair_field(
+                    pending_top_skip, self._infer_pair_field_flag(pending_top_skip)
+                )
+            self._decode_skip_mb(pending_top_skip)
+            pending_top_skip = None
+
+        while True:
+            if is_inter_slice:
+                skip_run = r.ue()
+                for _ in range(skip_run):
+                    if addr_m >= n:
+                        raise ValueError("skip run overruns picture")
+                    sp = self._mbaff_spatial(addr_m)
+                    if addr_m % 2 == 0:
+                        pending_top_skip = sp
+                    else:
+                        flush_pending(infer=True)  # whole pair skipped
+                        self._decode_skip_mb(sp)
+                    addr_m = next_mb_address(self.mb_map, addr_m)
+                prev_skipped = skip_run > 0
+                if not r.more_rbsp_data():
+                    flush_pending(infer=True)
+                    break
+            if addr_m >= n:
+                raise ValueError("slice overruns picture")
+            sp = self._mbaff_spatial(addr_m)
+            top = sp - ft.mb_w if addr_m % 2 else sp
+            if addr_m % 2 == 0 or prev_skipped:
+                self._set_pair_field(top, r.flag())  # mb_field_decoding_flag
+            flush_pending(infer=False)
+            self.parse_macroblock(sp)
+            prev_skipped = False
+            if not r.more_rbsp_data():
+                break
+            addr_m = next_mb_address(self.mb_map, addr_m)
 
     # ------------------------------------------------------ macroblock layer
 
@@ -135,6 +194,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
         if mb_type == 25:  # I_PCM
             self._parse_pcm(addr)
             return
+        self._require_frame_mb(addr, "intra prediction")
         if mb_type == 0:  # I_NxN
             ft.mb_class[addr] = MB_I_NXN
             t8 = False
@@ -222,6 +282,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
     def _parse_p_mb(self, addr: int, mb_type: int) -> None:
         """P macroblock, spec 7.3.5.1/7.3.5.2 + 8.4.1.3 MV reconstruction."""
         ft, r = self.ft, self.r
+        self._require_frame_mb(addr, "inter prediction")
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         ft.mb_class[addr] = MB_P
@@ -287,6 +348,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
     def _parse_b_mb(self, addr: int, mb_type: int) -> None:
         """B macroblock, Table 7-14 + spec 7.3.5.1/7.3.5.2 + 8.4.1."""
         ft, r = self.ft, self.r
+        self._require_frame_mb(addr, "inter prediction")
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         motion = self.motion

@@ -128,6 +128,53 @@ class SliceDecoderBase:
         self.qp_prev = (self.qp_prev + delta + 52) % 52
         return self.qp_prev
 
+    # ------------------------------------------------------------------ MBAFF
+    # MBAFF macroblock addresses scan pair-by-pair (spec 6.4.1 figure 6-6:
+    # addr 2k = top MB, 2k+1 = bottom MB of pair k, pairs in raster order).
+    # We map them to SPATIAL raster addresses so every per-MB tensor and
+    # every spatial grid (nnz, motion, intra modes) keeps one indexing
+    # scheme; for frame-coded pairs the spec's MBAFF neighbor derivation
+    # (6.4.10) then coincides with the plain spatial neighbors these grids
+    # already implement. The reference walks mb_field syntax but decodes
+    # nothing (/root/reference/h264/slice.go:599-630).
+
+    def _mbaff_spatial(self, mbaff_addr: int) -> int:
+        """MBAFF decode address -> spatial raster MB address."""
+        pair, bottom = divmod(mbaff_addr, 2)
+        pr, pc = divmod(pair, self.ft.mb_w)
+        return (2 * pr + bottom) * self.ft.mb_w + pc
+
+    def _set_pair_field(self, top_spatial: int, flag: bool) -> None:
+        """Record mb_field_decoding_flag for both MBs of a pair (7.4.4)."""
+        self.ft.mb_field[top_spatial] = flag
+        self.ft.mb_field[top_spatial + self.ft.mb_w] = flag
+
+    def _infer_pair_field_flag(self, top_spatial: int) -> bool:
+        """7.4.4: flag of a fully-skipped pair = left pair's, else above
+        pair's, else 0 (availability per 6.4.9: same slice, in picture)."""
+        ft = self.ft
+        mby, mbx = divmod(top_spatial, ft.mb_w)
+        if mbx > 0 and self._mb_available(top_spatial - 1):
+            return bool(ft.mb_field[top_spatial - 1])
+        if mby >= 2 and self._mb_available(top_spatial - 2 * ft.mb_w):
+            return bool(ft.mb_field[top_spatial - 2 * ft.mb_w])
+        return False
+
+    def _decode_skip_mb(self, spatial_addr: int) -> None:
+        """Skip decode shared by the MBAFF walkers (pair flag already set)."""
+        self._require_frame_mb(spatial_addr, "inter prediction")
+        if self.hdr.is_b:
+            self._decode_b_skip(spatial_addr)
+        else:
+            self._decode_p_skip(spatial_addr)
+
+    def _require_frame_mb(self, spatial_addr: int, what: str) -> None:
+        """Field MBs inside an MBAFF frame need field-aware prediction
+        (6.4.10 neighbor tables, 8.4.1.3.2 frame/field MV mixing); only
+        I_PCM field MBs decode today. Gate hard instead of mis-decoding."""
+        if self.hdr.mbaff_frame_flag and self.ft.mb_field[spatial_addr]:
+            raise NotImplementedError(f"MBAFF field-pair {what}")
+
     # --------------------------------------------------------- motion store
 
     def _store_part(self, addr, dx, dy, w, h, mv, ref, lst=0):

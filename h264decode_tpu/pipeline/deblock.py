@@ -102,7 +102,15 @@ def _boundary_strengths(
         intra_p = _is_intra(ft.mb_class[addr_p])
         intra_q = _is_intra(ft.mb_class[addr_q])
         if intra_p or intra_q:
-            bs[line] = 4 if edge == 0 else 3
+            # 8.7.2.1: intra MB edges get bS 4 when the edge is vertical or
+            # when p0 and q0 are both in FRAME macroblocks; horizontal MB
+            # edges involving field MBs (all MBs of a PAFF field picture,
+            # or field-coded MBAFF pairs) get bS 3 instead
+            frame_mbs = not ft.field_pic and not (
+                ft.mb_field[addr_p] or ft.mb_field[addr_q]
+            )
+            strong = edge == 0 and (vertical or frame_mbs)
+            bs[line] = 4 if strong else 3
         elif _cell_coded(ft, addr_p, px, py) or _cell_coded(ft, addr_q, qx, qy):
             bs[line] = 2
         else:
@@ -192,106 +200,125 @@ def deblock_frame(
     ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
 ):
     """Apply spec 8.7 in place over copies; returns filtered planes."""
+    if ft.mb_field.any():
+        # MBAFF field MBs need the 8.7 field-edge cases (mixed-pair bS,
+        # field-row filtering). Frame-coded pairs reduce to the frame
+        # filter below; field pairs are only decodable with the filter off.
+        if (ft.disable_deblock == 1).all():
+            return y, cb, cr
+        raise NotImplementedError("MBAFF field-pair deblocking")
     y = y.astype(np.int32)
     cb = cb.astype(np.int32)
     cr = cr.astype(np.int32)
     w_mb, h_mb = ft.mb_w, ft.mb_h
-    for mby in range(h_mb):
-        for mbx in range(w_mb):
-            addr = mby * w_mb + mbx
-            if ft.disable_deblock[addr] == 1:
+    if ft.mbaff:
+        # MBAFF: MBs filter in PAIR scan order (8.7 processes macroblocks
+        # in decoding order). The order is observable: a bottom MB's
+        # horizontal edge and the next pair's vertical edge overlap in the
+        # 3x3 corner samples both filters may touch.
+        scan = [
+            ((2 * pr + tb) * w_mb + pc)
+            for pr in range(h_mb // 2)
+            for pc in range(w_mb)
+            for tb in (0, 1)
+        ]
+    else:
+        scan = range(h_mb * w_mb)
+    for addr in scan:
+        mby, mbx = divmod(addr, w_mb)
+        if ft.disable_deblock[addr] == 1:
+            continue
+        same_slice_l = mbx > 0 and (
+            ft.disable_deblock[addr] != 2
+            or ft.slice_id[addr - 1] == ft.slice_id[addr]
+        )
+        same_slice_t = mby > 0 and (
+            ft.disable_deblock[addr] != 2
+            or ft.slice_id[addr - w_mb] == ft.slice_id[addr]
+        )
+        qp_q = int(ft.qp[addr])
+        a_off = int(ft.alpha_off[addr])
+        b_off = int(ft.beta_off[addr])
+        t8 = bool(ft.transform_8x8[addr])
+        # ---- vertical edges (filter across columns)
+        edges = [0, 1, 2, 3] if not t8 else [0, 2]
+        for edge in edges:
+            if edge == 0 and not same_slice_l:
                 continue
-            same_slice_l = mbx > 0 and (
-                ft.disable_deblock[addr] != 2
-                or ft.slice_id[addr - 1] == ft.slice_id[addr]
-            )
-            same_slice_t = mby > 0 and (
-                ft.disable_deblock[addr] != 2
-                or ft.slice_id[addr - w_mb] == ft.slice_id[addr]
-            )
-            qp_q = int(ft.qp[addr])
-            a_off = int(ft.alpha_off[addr])
-            b_off = int(ft.beta_off[addr])
-            t8 = bool(ft.transform_8x8[addr])
-            # ---- vertical edges (filter across columns)
-            edges = [0, 1, 2, 3] if not t8 else [0, 2]
-            for edge in edges:
-                if edge == 0 and not same_slice_l:
-                    continue
-                x = mbx * 16 + edge * 4
-                bs = _boundary_strengths(ft, mbx, mby, True, edge)
-                if not bs.any():
-                    continue
-                addr_p = addr - 1 if edge == 0 else addr
-                qp_p = int(ft.qp[addr_p])
-                qp_av = (qp_p + qp_q + 1) >> 1
-                index_a = np.clip(qp_av + a_off, 0, 51)
-                index_b = np.clip(qp_av + b_off, 0, 51)
-                rows = slice(mby * 16, mby * 16 + 16)
-                p = np.stack([y[rows, x - 1 - k] for k in range(4)])
-                q = np.stack([y[rows, x + k] for k in range(4)])
-                p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
-                for k in range(4):
-                    y[rows, x - 1 - k] = p[k]
-                    y[rows, x + k] = q[k]
-                if edge in (0, 2):  # chroma vertical edges (4:2:0)
-                    cx = mbx * 8 + edge * 2
-                    qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
-                    qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
-                    qpc_av = (qpc_p + qpc_q + 1) >> 1
-                    ia = np.clip(qpc_av + a_off, 0, 51)
-                    ib = np.clip(qpc_av + b_off, 0, 51)
-                    qpc_p2 = chroma_qp(qp_p, pps.second_chroma_qp_index_offset)
-                    qpc_q2 = chroma_qp(qp_q, pps.second_chroma_qp_index_offset)
-                    qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
-                    ia2 = np.clip(qpc_av2 + a_off, 0, 51)
-                    ib2 = np.clip(qpc_av2 + b_off, 0, 51)
-                    crows = slice(mby * 8, mby * 8 + 8)
-                    cbs = bs[::2]
-                    for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
-                        p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
-                        q = np.stack([plane[crows, cx + k] for k in range(2)])
-                        p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
-                        plane[crows, cx - 1] = p[0]
-                        plane[crows, cx] = q[0]
-            # ---- horizontal edges (filter across rows)
-            for edge in edges:
-                if edge == 0 and not same_slice_t:
-                    continue
-                yy = mby * 16 + edge * 4
-                bs = _boundary_strengths(ft, mbx, mby, False, edge)
-                if not bs.any():
-                    continue
-                addr_p = addr - w_mb if edge == 0 else addr
-                qp_p = int(ft.qp[addr_p])
-                qp_av = (qp_p + qp_q + 1) >> 1
-                index_a = np.clip(qp_av + a_off, 0, 51)
-                index_b = np.clip(qp_av + b_off, 0, 51)
-                cols = slice(mbx * 16, mbx * 16 + 16)
-                p = np.stack([y[yy - 1 - k, cols] for k in range(4)])
-                q = np.stack([y[yy + k, cols] for k in range(4)])
-                p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
-                for k in range(4):
-                    y[yy - 1 - k, cols] = p[k]
-                    y[yy + k, cols] = q[k]
-                if edge in (0, 2):
-                    cy = mby * 8 + edge * 2
-                    qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
-                    qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
-                    qpc_av = (qpc_p + qpc_q + 1) >> 1
-                    ia = np.clip(qpc_av + a_off, 0, 51)
-                    ib = np.clip(qpc_av + b_off, 0, 51)
-                    qpc_p2 = chroma_qp(qp_p, pps.second_chroma_qp_index_offset)
-                    qpc_q2 = chroma_qp(qp_q, pps.second_chroma_qp_index_offset)
-                    qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
-                    ia2 = np.clip(qpc_av2 + a_off, 0, 51)
-                    ib2 = np.clip(qpc_av2 + b_off, 0, 51)
-                    ccols = slice(mbx * 8, mbx * 8 + 8)
-                    cbs = bs[::2]
-                    for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
-                        p = np.stack([plane[cy - 1 - k, ccols] for k in range(2)])
-                        q = np.stack([plane[cy + k, ccols] for k in range(2)])
-                        p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
-                        plane[cy - 1, ccols] = p[0]
-                        plane[cy, ccols] = q[0]
+            x = mbx * 16 + edge * 4
+            bs = _boundary_strengths(ft, mbx, mby, True, edge)
+            if not bs.any():
+                continue
+            addr_p = addr - 1 if edge == 0 else addr
+            qp_p = int(ft.qp[addr_p])
+            qp_av = (qp_p + qp_q + 1) >> 1
+            index_a = np.clip(qp_av + a_off, 0, 51)
+            index_b = np.clip(qp_av + b_off, 0, 51)
+            rows = slice(mby * 16, mby * 16 + 16)
+            p = np.stack([y[rows, x - 1 - k] for k in range(4)])
+            q = np.stack([y[rows, x + k] for k in range(4)])
+            p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
+            for k in range(4):
+                y[rows, x - 1 - k] = p[k]
+                y[rows, x + k] = q[k]
+            if edge in (0, 2):  # chroma vertical edges (4:2:0)
+                cx = mbx * 8 + edge * 2
+                qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
+                qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
+                qpc_av = (qpc_p + qpc_q + 1) >> 1
+                ia = np.clip(qpc_av + a_off, 0, 51)
+                ib = np.clip(qpc_av + b_off, 0, 51)
+                qpc_p2 = chroma_qp(qp_p, pps.second_chroma_qp_index_offset)
+                qpc_q2 = chroma_qp(qp_q, pps.second_chroma_qp_index_offset)
+                qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
+                ia2 = np.clip(qpc_av2 + a_off, 0, 51)
+                ib2 = np.clip(qpc_av2 + b_off, 0, 51)
+                crows = slice(mby * 8, mby * 8 + 8)
+                cbs = bs[::2]
+                for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
+                    p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
+                    q = np.stack([plane[crows, cx + k] for k in range(2)])
+                    p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
+                    plane[crows, cx - 1] = p[0]
+                    plane[crows, cx] = q[0]
+        # ---- horizontal edges (filter across rows)
+        for edge in edges:
+            if edge == 0 and not same_slice_t:
+                continue
+            yy = mby * 16 + edge * 4
+            bs = _boundary_strengths(ft, mbx, mby, False, edge)
+            if not bs.any():
+                continue
+            addr_p = addr - w_mb if edge == 0 else addr
+            qp_p = int(ft.qp[addr_p])
+            qp_av = (qp_p + qp_q + 1) >> 1
+            index_a = np.clip(qp_av + a_off, 0, 51)
+            index_b = np.clip(qp_av + b_off, 0, 51)
+            cols = slice(mbx * 16, mbx * 16 + 16)
+            p = np.stack([y[yy - 1 - k, cols] for k in range(4)])
+            q = np.stack([y[yy + k, cols] for k in range(4)])
+            p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
+            for k in range(4):
+                y[yy - 1 - k, cols] = p[k]
+                y[yy + k, cols] = q[k]
+            if edge in (0, 2):
+                cy = mby * 8 + edge * 2
+                qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
+                qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
+                qpc_av = (qpc_p + qpc_q + 1) >> 1
+                ia = np.clip(qpc_av + a_off, 0, 51)
+                ib = np.clip(qpc_av + b_off, 0, 51)
+                qpc_p2 = chroma_qp(qp_p, pps.second_chroma_qp_index_offset)
+                qpc_q2 = chroma_qp(qp_q, pps.second_chroma_qp_index_offset)
+                qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
+                ia2 = np.clip(qpc_av2 + a_off, 0, 51)
+                ib2 = np.clip(qpc_av2 + b_off, 0, 51)
+                ccols = slice(mbx * 8, mbx * 8 + 8)
+                cbs = bs[::2]
+                for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
+                    p = np.stack([plane[cy - 1 - k, ccols] for k in range(2)])
+                    q = np.stack([plane[cy + k, ccols] for k in range(2)])
+                    p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
+                    plane[cy - 1, ccols] = p[0]
+                    plane[cy, ccols] = q[0]
     return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)

@@ -190,10 +190,22 @@ class Decoder:
         for raw in nalus:
             nal = parse_nal_unit(raw)
             if nal.type == nal_mod.NAL_SPS:
-                s = parse_sps(nal.rbsp)
+                try:
+                    s = parse_sps(nal.rbsp)
+                except Exception:
+                    if self.error_policy == "strict":
+                        raise
+                    self.error_count += 1
+                    continue
                 self.sps_map[s.seq_parameter_set_id] = s
             elif nal.type == nal_mod.NAL_PPS:
-                p = parse_pps(nal.rbsp, self.sps_map)
+                try:
+                    p = parse_pps(nal.rbsp, self.sps_map)
+                except Exception:
+                    if self.error_policy == "strict":
+                        raise
+                    self.error_count += 1
+                    continue
                 self.pps_map[p.pic_parameter_set_id] = p
             elif nal.type == nal_mod.NAL_SEI:
                 try:
@@ -259,10 +271,6 @@ class Decoder:
         slices = self._cur
         self._cur = []
         hdr0, sps, pps, _ = slices[0]
-        if hdr0.mbaff_frame_flag:
-            raise NotImplementedError(
-                "MBAFF (macroblock-adaptive frame/field) coding"
-            )
         field = bool(hdr0.field_pic_flag)  # PAFF field picture
         if self.poc_ctx is None or self.poc_ctx.sps is not sps:
             self.poc_ctx = POCContext(sps)
@@ -285,6 +293,8 @@ class Decoder:
             sps.pic_height_in_map_units if field else sps.frame_height_in_mbs
         )
         ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=mb_h_pic)
+        ft.mbaff = bool(hdr0.mbaff_frame_flag)
+        ft.field_pic = field
         intra_mode_grid = np.full((ft.mb_h * 4, ft.mb_w * 4), -1, np.int8)
         motion = MotionContext(ft.mb_w, ft.mb_h, ft.slice_id)
         ref_lists: list[tuple[list[Picture], list[Picture]]] = []

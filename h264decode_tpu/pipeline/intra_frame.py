@@ -100,9 +100,19 @@ class IntraFrameReconstructor:
         mbx, mby = ft.mb_xy(addr)
         if cls == MB_I_PCM:
             y, cb, cr = ft.pcm_samples[addr]
-            self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
-            self.cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cb
-            self.cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cr
+            if ft.mb_field[addr]:
+                # MBAFF field MB: samples interleave into the pair's 32-row
+                # strip at this MB's parity (spec 6.4.1 figure 6-8; parity =
+                # spatial row slot assigned by the MBAFF address mapping)
+                par = mby & 1
+                t16, t8 = (mby & ~1) * 16, (mby & ~1) * 8
+                self.y[t16 + par : t16 + 32 : 2, mbx * 16 : mbx * 16 + 16] = y
+                self.cb[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cb
+                self.cr[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cr
+            else:
+                self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
+                self.cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cb
+                self.cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cr
         elif cls == MB_I_NXN:
             if ft.transform_8x8[addr]:
                 self._recon_i8x8_luma(addr, mbx, mby)

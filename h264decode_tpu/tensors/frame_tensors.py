@@ -91,7 +91,9 @@ class FrameTensors:
     ref_pic: np.ndarray = None  # [nMB,2,4] int32: global picture uid per part (-1)
 
     # deblocking inputs
-    mb_field: np.ndarray = None  # [nMB] bool (MBAFF; 0 for now)
+    mbaff: bool = False  # picture uses MBAFF coding (pair-ordered scan)
+    field_pic: bool = False  # picture is a PAFF field picture
+    mb_field: np.ndarray = None  # [nMB] bool (MBAFF per-MB field flag)
     slice_id: np.ndarray = None  # [nMB] int32
     # per-MB deblock parameters from the owning slice header
     disable_deblock: np.ndarray = None  # [nMB] int8 (0,1,2)

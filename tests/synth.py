@@ -51,6 +51,11 @@ class BitWriter:
         while len(self._bits) % 8:
             self._bits.append(0)
 
+    def align_one(self):
+        """cabac_alignment_one_bit (spec 7.3.4)."""
+        while len(self._bits) % 8:
+            self._bits.append(1)
+
     def bytes_raw(self, data: bytes):
         assert len(self._bits) % 8 == 0
         for b in data:
@@ -101,7 +106,13 @@ def write_sps(
     delta_pic_order_always_zero: bool = False,
     frame_mbs_only: bool = True,  # False = interlaced (PAFF; mb_h is in
     #                               map units, i.e. FIELD height in MBs)
+    mbaff: bool = False,  # MBAFF: mb_h is the FRAME height in MBs (even);
+    #                       map units are MB pairs (7.4.2.1.1)
 ) -> bytes:
+    if mbaff:
+        assert mb_h % 2 == 0, "MBAFF frame height must be an even MB count"
+        frame_mbs_only = False
+        mb_h //= 2  # pic_height_in_map_units counts pairs
     w = BitWriter()
     # Baseline forbids interlaced coding tools; PAFF streams declare Main
     w.u(8, 66 if frame_mbs_only else 77)
@@ -125,7 +136,7 @@ def write_sps(
     w.ue(mb_h - 1)
     w.flag(frame_mbs_only)
     if not frame_mbs_only:
-        w.flag(False)  # mb_adaptive_frame_field_flag (PAFF, not MBAFF)
+        w.flag(mbaff)  # mb_adaptive_frame_field_flag (PAFF vs MBAFF)
     w.flag(True)  # direct_8x8_inference_flag
     w.flag(False)  # frame_cropping_flag
     w.flag(False)  # vui_parameters_present_flag
@@ -144,11 +155,12 @@ def write_pps(
     change_rate: int = 1,
     slice_group_id: list | None = None,
     num_ref_l0: int = 1,
+    cabac: bool = False,
 ) -> bytes:
     w = BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
-    w.flag(False)  # entropy_coding_mode_flag (CAVLC)
+    w.flag(cabac)  # entropy_coding_mode_flag
     w.flag(False)  # bottom_field_pic_order_in_frame_present_flag
     w.ue(num_slice_groups - 1)
     if num_slice_groups > 1:
@@ -204,6 +216,7 @@ def _slice_header(
     change_cycle: int = 0,
     field: int | None = None,  # None = frame; 0 = top field, 1 = bottom
     interlaced_sps: bool = False,  # SPS has frame_mbs_only=0
+    cabac: bool = False,  # PPS entropy_coding_mode_flag (for cabac_init_idc)
 ):
     is_p = slice_type % 5 == 0
     w.ue(first_mb)
@@ -249,6 +262,8 @@ def _slice_header(
                 w.ue(0)
             else:
                 w.flag(False)
+    if cabac and slice_type % 5 not in (2, 4):
+        w.ue(0)  # cabac_init_idc
     w.se(0)  # slice_qp_delta
     w.ue(1)  # disable_deblocking_filter_idc = 1 (off: keeps PCM/skip exact)
     if num_groups_cycle_bits:
@@ -349,3 +364,180 @@ def pskip_frame(
     w.ue(n_mbs)  # mb_skip_run covering the whole picture
     w.trailing_bits()
     return nal(1, ref_idc, w.rbsp())
+
+
+# ---------------------------------------------------------------------------
+# MBAFF (macroblock-adaptive frame/field, spec 6.4.1 figure 6-6/6-8)
+# ---------------------------------------------------------------------------
+
+
+def mbaff_mb_samples(planes, mbaff_addr: int, mb_w: int, field: bool):
+    """Samples covered by one MB of an MBAFF pair: a frame MB takes 16
+    consecutive rows of the pair's 32-row strip; a field MB takes every
+    second row at its parity."""
+    y, cb, cr = planes
+    pair, bottom = divmod(mbaff_addr, 2)
+    pr, pc = divmod(pair, mb_w)
+    if field:
+        ys = y[pr * 32 + bottom : pr * 32 + 32 : 2, pc * 16 : pc * 16 + 16]
+        cbs = cb[pr * 16 + bottom : pr * 16 + 16 : 2, pc * 8 : pc * 8 + 8]
+        crs = cr[pr * 16 + bottom : pr * 16 + 16 : 2, pc * 8 : pc * 8 + 8]
+    else:
+        r0, c0 = pr * 32 + 16 * bottom, pr * 16 + 8 * bottom
+        ys = y[r0 : r0 + 16, pc * 16 : pc * 16 + 16]
+        cbs = cb[c0 : c0 + 8, pc * 8 : pc * 8 + 8]
+        crs = cr[c0 : c0 + 8, pc * 8 : pc * 8 + 8]
+    return np.ascontiguousarray(ys), np.ascontiguousarray(cbs), np.ascontiguousarray(crs)
+
+
+def mbaff_pcm_slice(
+    planes,
+    mb_w: int,
+    pair_flags,  # per-pair mb_field_decoding_flag, raster pair order
+    *,
+    slice_type: int = 7,
+    frame_num: int = 0,
+    idr: bool = True,
+    ref_idc: int = 3,
+    poc_lsb: int = 0,
+    first_pair: int = 0,
+    n_pairs: int | None = None,
+) -> bytes:
+    """CAVLC MBAFF slice whose MBs are all I_PCM (frame or field pairs)."""
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=first_pair, slice_type=slice_type, frame_num=frame_num,
+        idr=idr, ref_idc=ref_idc, poc_lsb=poc_lsb, interlaced_sps=True,
+    )
+    in_p = slice_type % 5 == 0
+    end = len(pair_flags) if n_pairs is None else first_pair + n_pairs
+    for pair in range(first_pair, end):
+        for tb in (0, 1):
+            if in_p:
+                w.ue(0)  # mb_skip_run
+            if tb == 0:
+                w.flag(pair_flags[pair])  # mb_field_decoding_flag
+            ys, cbs, crs = mbaff_mb_samples(
+                planes, 2 * pair + tb, mb_w, pair_flags[pair]
+            )
+            pcm_mb(w, ys, cbs, crs, in_p)
+    w.trailing_bits()
+    return nal(5 if idr else 1, ref_idc, w.rbsp())
+
+
+def mbaff_p_slice(
+    planes,
+    mb_w: int,
+    actions,  # per MBAFF address: ("skip",) | ("p16", mvd_x, mvd_y) | ("pcm",)
+    pair_flags,
+    *,
+    frame_num: int,
+    poc_lsb: int = 0,
+    ref_idc: int = 0,
+) -> bytes:
+    """CAVLC MBAFF P slice: P_L0_16x16 MBs (no residual), skip runs (incl.
+    mid-pair and whole-pair, exercising the 7.4.4 flag inference and the
+    deferred-top-skip path), and I_PCM MBs. Inter pairs must be frame-coded
+    (pair_flags False); PCM pairs may be field."""
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=5, frame_num=frame_num, idr=False,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, interlaced_sps=True,
+    )
+    run = 0
+    for addr_m, act in enumerate(actions):
+        if act[0] == "skip":
+            run += 1
+            continue
+        w.ue(run)  # mb_skip_run
+        if addr_m % 2 == 0 or run > 0:  # 7.3.4 flag presence
+            w.flag(pair_flags[addr_m // 2])
+        run = 0
+        if act[0] == "pcm":
+            ys, cbs, crs = mbaff_mb_samples(
+                planes, addr_m, mb_w, pair_flags[addr_m // 2]
+            )
+            pcm_mb(w, ys, cbs, crs, True)
+        else:
+            _, mvd_x, mvd_y = act
+            w.ue(0)  # mb_type P_L0_16x16
+            w.se(mvd_x)
+            w.se(mvd_y)
+            w.ue(0)  # coded_block_pattern = 0 (inter me(0))
+    if run:
+        w.ue(run)  # trailing skip run
+    w.trailing_bits()
+    return nal(1, ref_idc, w.rbsp())
+
+
+def cabac_mbaff_pcm_slice(
+    planes,
+    mb_w: int,
+    pair_flags,
+    *,
+    frame_num: int = 0,
+    idr: bool = True,
+    ref_idc: int = 3,
+    poc_lsb: int = 0,
+    qp: int = 26,
+) -> bytes:
+    """CABAC MBAFF I slice of I_PCM MBs: exercises mb_field_decoding_flag
+    (ctx 70-72), the I_PCM terminate bin, per-PCM engine re-init (9.3.1.2),
+    and end-of-slice flags read only after bottom MBs."""
+    from tests.test_cabac import SpecCabacEncoder
+
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=7, frame_num=frame_num, idr=idr,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, interlaced_sps=True, cabac=True,
+    )
+    w.align_one()  # cabac_alignment_one_bit
+    out = bytearray(w.rbsp())
+
+    enc = SpecCabacEncoder(qp, True, 0)
+
+    def fresh_engine():
+        nonlocal enc
+        e2 = SpecCabacEncoder.__new__(SpecCabacEncoder)
+        e2.low, e2.range, e2.bits = 0, 510, []
+        e2.first, e2.outstanding = True, 0
+        e2.states, e2.mps = enc.states, enc.mps  # contexts persist (9.3.1.2)
+        enc = e2
+
+    n_pairs = len(pair_flags)
+    mb_h = 2 * (n_pairs // mb_w)
+    decoded = np.zeros(mb_h * mb_w, bool)  # spatial availability
+    field_grid = np.zeros(mb_h * mb_w, bool)  # per-MB pair field flag
+    for pair in range(n_pairs):
+        pr, pc = divmod(pair, mb_w)
+        top_sp = 2 * pr * mb_w + pc
+        # mb_field_decoding_flag, ctx 70 + (left pair field) + (above pair field)
+        finc = 0
+        if pc > 0 and decoded[top_sp - 1]:
+            finc += int(field_grid[top_sp - 1])
+        if pr > 0 and decoded[top_sp - 2 * mb_w]:
+            finc += int(field_grid[top_sp - 2 * mb_w])
+        enc.decision(70 + finc, int(pair_flags[pair]))
+        for tb in (0, 1):
+            sp = top_sp + tb * mb_w
+            # mb_type I_PCM: bin0 ctx 3+inc (neighbors all I_PCM: not I_NxN).
+            # Above-neighbor per 6.4.10.5: the bottom MB of a FIELD pair
+            # neighbors the above PAIR, not its own pair's top MB.
+            if tb == 1 and pair_flags[pair]:
+                above_ok = pr > 0 and decoded[sp - 2 * mb_w]
+            else:
+                above_ok = sp >= mb_w and decoded[sp - mb_w]
+            inc = int(pc > 0 and decoded[sp - 1]) + int(above_ok)
+            enc.decision(3 + inc, 1)
+            enc.terminate(1)  # I_PCM suffix bin (ctx 276) + engine flush
+            ys, cbs, crs = mbaff_mb_samples(planes, 2 * pair + tb, mb_w, pair_flags[pair])
+            out += enc.tobytes()  # zero-pads = pcm_alignment_zero_bit
+            out += ys.tobytes() + cbs.tobytes() + crs.tobytes()
+            fresh_engine()
+            decoded[sp] = True
+            field_grid[sp] = pair_flags[pair]
+            if tb == 1:  # end_of_slice_flag after bottom MBs only
+                last = pair == n_pairs - 1
+                enc.terminate(1 if last else 0)
+    out += enc.tobytes()
+    return nal(5 if idr else 1, ref_idc, bytes(out))
