@@ -88,9 +88,18 @@ def main():
             }
         )
     )
+    s = metrics.summary()
+    t_down = s.get("t_download_s", 0.0)
+    decode_fps = len(frames) / max(1e-9, dt - t_down)
     print(
         f"# {len(frames)} frames in {dt:.2f}s (warm-up incl. compile: "
-        f"{warm_s:.1f}s); per-stage: {metrics.summary()}",
+        f"{warm_s:.1f}s); per-stage: {s}",
+        file=sys.stderr,
+    )
+    print(
+        f"# decode-only (excl. device->host pixel download, which rides the "
+        f"axon tunnel at ~{s.get('bytes_down_per_s', 0)/1e6:.1f} MB/s on this "
+        f"machine): {decode_fps:.2f} fps",
         file=sys.stderr,
     )
 

@@ -59,6 +59,24 @@ class ShardedDecoder(Decoder):
         return True
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+        if (
+            slices[0][0].field_pic_flag
+            or slices[0][0].mbaff_frame_flag
+            or any(h.is_sp or h.is_si for h, *_ in slices)
+            or (sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any())
+        ):
+            # PAFF/MBAFF geometry, SP/SI transform-domain requant and
+            # lossless bypass run on the numpy oracle: never mis-decode
+            # silently on the sharded fast path
+            for l0, l1 in ref_lists:
+                for p in l0 + l1:
+                    if not isinstance(p.y, np.ndarray):
+                        p.y, p.cb, p.cr = (
+                            np.asarray(p.y), np.asarray(p.cb), np.asarray(p.cr)
+                        )
+            return super()._reconstruct(
+                ft, sps, pps, slices, ref_lists, weight_ctx, poc
+            )
         mb_h, mb_w = ft.mb_h, ft.mb_w
         assert mb_h % self.n_row == 0, "frame rows must divide by row shards"
         halo = not self._aligned(ft, slices)

@@ -71,6 +71,10 @@ class CabacSliceDecoder(SliceDecoderBase):
             hdr.cabac_init_idc,
         )
         self.last_qp_delta = 0
+        if hdr.is_si:
+            # SI is CAVLC-coded in practice (Extended profile tools); the
+            # CABAC SI prefix binarization (Table 9-27 note) is ungated here
+            raise NotImplementedError("CABAC-coded SI slices")
         is_inter = not (hdr.is_i or hdr.is_si)
         if hdr.mbaff_frame_flag:
             return self._decode_mbaff(is_inter)

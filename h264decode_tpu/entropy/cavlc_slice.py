@@ -23,6 +23,7 @@ from ..tensors.frame_tensors import (
     MB_I_NXN,
     MB_I_PCM,
     MB_P,
+    MB_SI,
 )
 from .cavlc import nc_from_neighbors, residual_block_cavlc
 from .cavlc_tables import (
@@ -165,8 +166,17 @@ class CavlcSliceDecoder(SliceDecoderBase):
         ft, r = self.ft, self.r
         self._mb_prelude(addr)
         mb_type = r.ue()
-        if self.hdr.is_i or self.hdr.is_si:
-            # Table 7-11 (I-slice mb_type; SI handled via its own offset later)
+        if self.hdr.is_si:
+            # Table 7-12: mb_type 0 = SI; >= 1 follows Table 7-11 offset 1
+            if mb_type == 0:
+                self._parse_si_mb(addr)
+            else:
+                self._parse_i_mb(addr, mb_type - 1)
+            if self.motion is not None:
+                mbx, mby = ft.mb_xy(addr)
+                self.motion.set_intra(mbx * 4, mby * 4)
+        elif self.hdr.is_i:
+            # Table 7-11 (I-slice mb_type)
             self._parse_i_mb(addr, mb_type)
             if self.motion is not None:
                 mbx, mby = ft.mb_xy(addr)
@@ -231,6 +241,26 @@ class CavlcSliceDecoder(SliceDecoderBase):
             self._parse_luma_residual(addr, mbx, mby, cbp_luma, i16=True, t8=False)
             self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
         # non-NxN MBs leave the intra-mode grid at -1 ("predict DC from me")
+
+    def _parse_si_mb(self, addr: int) -> None:
+        """SI macroblock (Table 7-12 mb_type 0): Intra_4x4 prediction syntax;
+        reconstruction runs the 8.6.2 chain (pipeline/intra_frame.py)."""
+        ft, r = self.ft, self.r
+        mbx, mby = ft.mb_xy(addr)
+        ft.mb_class[addr] = MB_SI
+        self._parse_intra_nxn_modes(addr, mbx, mby, False)
+        if self.sps.chroma_array_type in (1, 2):
+            ft.chroma_mode[addr] = r.ue()
+        cbp_code = r.ue()
+        tab = CBP_ME_CHROMA12_INTRA if self.chroma12 else CBP_ME_CHROMA03_INTRA
+        cbp = tab[cbp_code]
+        ft.cbp[addr] = cbp
+        if cbp:
+            ft.qp[addr] = self._update_qp(r.se())
+        else:
+            ft.qp[addr] = self.qp_prev
+        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=False)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
 
     def _parse_pcm(self, addr: int) -> None:
         ft, r = self.ft, self.r

@@ -14,6 +14,7 @@ from ..syntax.sps import SPS
 from ..tensors.frame_tensors import (
     MB_B_SKIP,
     MB_P_SKIP,
+    MB_SI,
     FrameTensors,
 )
 from .direct import DirectContext, derive_direct
@@ -112,9 +113,11 @@ class SliceDecoderBase:
             naddr = (ny >> 2) * self.ft.mb_w + (nx >> 2)
             if not self._mb_available(naddr):
                 return -1
+            cls = self.ft.mb_class[naddr]
             if (
                 self.pps.constrained_intra_pred_flag
-                and self.ft.mb_class[naddr] >= 3
+                and cls >= 3
+                and cls != MB_SI
             ):
                 return -1  # inter neighbor barred by constrained_intra_pred
             m = self.modes[ny, nx]

@@ -13,7 +13,7 @@ import numpy as np
 from ..entropy.deblock_tables import ALPHA, BETA, TC0
 from ..syntax.pps import PPS
 from ..syntax.sps import SPS
-from ..tensors.frame_tensors import MB_P, FrameTensors
+from ..tensors.frame_tensors import MB_P, MB_SI, FrameTensors
 from .reference_recon import chroma_qp
 
 _ALPHA = np.asarray(ALPHA, np.int32)
@@ -22,7 +22,7 @@ _TC0 = np.asarray(TC0, np.int32)  # [52][3]
 
 
 def _is_intra(cls: int) -> bool:
-    return cls < MB_P
+    return cls < MB_P or cls == MB_SI
 
 
 def _bs_internal_intra() -> int:

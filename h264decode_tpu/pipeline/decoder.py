@@ -258,9 +258,15 @@ class Decoder:
         pipeline/tpu_pipeline.py overrides with the jitted XLA pipeline)."""
         hdr0 = slices[0][0]
         parity = int(hdr0.bottom_field_flag) if hdr0.field_pic_flag else -1
+        sp_ctx = [
+            ("sp", h.sp_for_switch_flag, h.slice_qs(p)) if h.is_sp
+            else ("si", True, h.slice_qs(p)) if h.is_si
+            else None
+            for h, s, p, _ in slices
+        ]
         recon = IntraFrameReconstructor(
             ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx,
-            cur_poc=poc, cur_parity=parity,
+            cur_poc=poc, cur_parity=parity, sp_ctx=sp_ctx,
         )
         y, cb, cr = recon.run()
         if self.apply_deblock:

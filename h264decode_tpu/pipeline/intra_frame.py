@@ -17,6 +17,7 @@ from ..tensors.frame_tensors import (
     MB_I_16X16,
     MB_I_NXN,
     MB_I_PCM,
+    MB_SI,
     FrameTensors,
 )
 from . import reference_recon as rr
@@ -37,12 +38,15 @@ class IntraFrameReconstructor:
         weight_ctx: list | None = None,
         cur_poc: int = 0,
         cur_parity: int = -1,  # -1 frame picture; 0/1 = field parity (PAFF)
+        sp_ctx: list | None = None,  # per slice_id: None or
+        #   ("sp", sp_for_switch_flag, QSy) / ("si", True, QSy) — spec 8.6
     ):
         self.ft = ft
         self.sps = sps
         self.pps = pps
         self.ref_lists = ref_lists or []
         self.weight_ctx = weight_ctx or []
+        self.sp_ctx = sp_ctx or []
         self.cur_poc = cur_poc
         self.cur_parity = cur_parity
         self.bypass_enabled = bool(sps.qpprime_y_zero_transform_bypass_flag)
@@ -74,7 +78,8 @@ class IntraFrameReconstructor:
             return False
         if ft.slice_id[naddr] != ft.slice_id[cur_addr]:
             return False
-        if self.pps.constrained_intra_pred_flag and ft.mb_class[naddr] >= 3:
+        ncls = ft.mb_class[naddr]
+        if self.pps.constrained_intra_pred_flag and ncls >= 3 and ncls != MB_SI:
             return False  # inter neighbor barred by CIP
         return True
 
@@ -122,6 +127,8 @@ class IntraFrameReconstructor:
         elif cls == MB_I_16X16:
             self._recon_i16_luma(addr, mbx, mby)
             self._recon_chroma(addr, mbx, mby)
+        elif cls == MB_SI:  # SI macroblock: Intra_4x4 + 8.6.2
+            self._recon_si_mb(addr, mbx, mby)
         elif cls >= 3:  # inter (P/P_Skip; B with the B milestone)
             self._recon_inter_mb(addr, mbx, mby)
         else:
@@ -393,7 +400,74 @@ class IntraFrameReconstructor:
                 if chroma:
                     pred_cb[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcb
                     pred_cr[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcr
-        self._add_inter_residual(addr, mbx, mby, pred_y, pred_cb, pred_cr)
+        sp = self.sp_ctx[sid] if sid < len(self.sp_ctx) else None
+        if sp is not None:
+            # SP slice: inter MBs (incl. P_Skip) reconstruct in the
+            # transform domain (spec 8.6.1)
+            self._sp_recon(addr, mbx, mby, pred_y, pred_cb, pred_cr,
+                           switching=sp[1], qs=sp[2])
+        else:
+            self._add_inter_residual(addr, mbx, mby, pred_y, pred_cb, pred_cr)
+
+    def _sp_recon(self, addr, mbx, mby, pred_y, pred_cb, pred_cr, *,
+                  switching: bool, qs: int):
+        """SP/SI macroblock reconstruction through the 8.6 transform-domain
+        requantization chain (no 8x8 transform exists in SP/SI slices)."""
+        ft = self.ft
+        qp = int(ft.qp[addr])
+        x0, y0 = mbx * 16, mby * 16
+        out = np.empty((16, 16), np.int64)
+        for blk in range(16):
+            bx, by = LUMA_BLK_XY[blk]
+            pred = pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+            lev = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.sp_luma_block(
+                pred, lev, qp, qs, switching
+            )
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(out).astype(np.uint8)
+        if self.sps.chroma_array_type == 1:
+            self._sp_chroma(addr, mbx, mby, pred_cb, pred_cr, qp, qs, switching)
+
+    def _sp_chroma(self, addr, mbx, mby, pred_cb, pred_cr, qp, qs, switching):
+        ft, pps = self.ft, self.pps
+        for comp, plane, pred, off in (
+            (0, self.cb, pred_cb, pps.chroma_qp_index_offset),
+            (1, self.cr, pred_cr, pps.second_chroma_qp_index_offset),
+        ):
+            qpc = rr.chroma_qp(qp, off)
+            qsc = rr.chroma_qp(qs, off)
+            dc = ft.chroma_dc[addr, comp].astype(np.int64)
+            ac = np.stack([
+                rr.dezigzag_4x4(ft.chroma_ac[addr, comp, k].astype(np.int32))
+                for k in range(4)
+            ]).astype(np.int64)
+            rec = rr.sp_chroma_comp(pred, dc, ac, qpc, qsc, switching)
+            plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                rr.clip1(rec).astype(np.uint8)
+            )
+
+    def _recon_si_mb(self, addr, mbx, mby):
+        """SI macroblock (spec 8.6.2): Intra_4x4 prediction, reconstruction
+        through the QS quantization chain (same math as switching SP)."""
+        ft = self.ft
+        sp = self.sp_ctx[int(ft.slice_id[addr])]
+        qs = sp[2]
+        qp = int(ft.qp[addr])
+        for blk in range(16):
+            bx, by = LUMA_BLK_XY[blk]
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            x0, y0 = gx * 4, gy * 4
+            mode = int(ft.intra4x4_modes[addr, blk])
+            left, top, tr, corner = self._refs_4x4(addr, gx, gy)
+            pred = rr.intra4x4_predict(mode, left, top, tr, corner)
+            lev = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            out = rr.sp_luma_block(pred, lev, qp, qs, switching=True)
+            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out).astype(np.uint8)
+            self.cell_done[gy, gx] = True
+        if self.sps.chroma_array_type == 1:
+            # chroma prediction as for intra MBs, then the 8.6 chain
+            pred_cb, pred_cr = self._chroma_pred(addr, mbx, mby)
+            self._sp_chroma(addr, mbx, mby, pred_cb, pred_cr, qp, qs, True)
 
     def _add_inter_residual(self, addr, mbx, mby, pred_y, pred_cb, pred_cr):
         ft = self.ft
@@ -479,6 +553,21 @@ class IntraFrameReconstructor:
             plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = rr.clip1(pred + mb).astype(np.uint8)
 
     # --------------------------------------------------------------- Chroma
+
+    def _chroma_pred(self, addr, mbx, mby):
+        """Intra chroma prediction (8.3.4) for both components (SI path)."""
+        ft = self.ft
+        x0, y0 = mbx * 8, mby * 8
+        have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
+        have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
+        mode = int(ft.chroma_mode[addr])
+        preds = []
+        for plane in (self.cb, self.cr):
+            left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
+            top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
+            corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+            preds.append(rr.intra_chroma_predict(mode, left, top, corner, None))
+        return preds[0], preds[1]
 
     def _recon_chroma(self, addr, mbx, mby):
         ft, pps = self.ft, self.pps

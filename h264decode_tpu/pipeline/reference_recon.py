@@ -403,3 +403,136 @@ def intra_chroma_predict(mode: int, left, top, corner, avail_l4) -> np.ndarray:
         yy, xx = np.mgrid[0:8, 0:8]
         p = clip1((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5)
     return p
+
+
+# ---------------------------------------------------------------------------
+# SP/SI switching pictures (spec 8.6)
+#
+# SP/SI reconstruction happens in the TRANSFORM domain: the prediction is
+# forward-transformed, quantized to the level domain, the received levels
+# are added there, and the sum is (re)quantized at QS before the normal
+# scaling + inverse transform. This is what makes bitstream switching
+# drift-free (Karczewicz & Kurceren, "The SP- and SI-Frames Design for
+# H.264/AVC", IEEE TCSVT 2003). The reference parses sp_for_switch_flag /
+# slice_qs_delta and stops (/root/reference/h264/slice.go:1021-1028).
+#
+# Fixed-point realization notes: quantization uses the canonical MF matrix
+# with round-half-up (the 8.6 rounding, JM's rshift_rnd_sf); the w-domain
+# re-quantization uses round(2^15 / normAdjust) so that requant(dequant(L))
+# is the identity for in-range levels. libavcodec does not implement 8.6
+# and no JM binary is available in this environment, so exact-rounding
+# parity is validated by an independent transcription of this chain in
+# tests/test_spsi.py rather than by a conformance oracle.
+# ---------------------------------------------------------------------------
+
+# encoder-side quant matrix MF (rows m = qP % 6; cols: position class as
+# _POS_CLASS_4x4): MF[m][c] ~= 2^15 * PF(c)^2 / Qstep(m)
+QUANT_MF_4x4 = np.array(
+    [
+        [13107, 5243, 8066],
+        [11916, 4660, 7490],
+        [10082, 4194, 6554],
+        [9362, 3647, 5825],
+        [8192, 3355, 5243],
+        [7282, 2893, 4559],
+    ],
+    np.int64,
+)
+# w-domain re-quantizer: inverse of the 8.5 dequant scale (flat lists)
+REQUANT_W_4x4 = np.round(2.0**15 / NORM_ADJUST_4x4).astype(np.int64)
+
+_FWD_4x4 = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]], np.int64
+)
+
+
+def forward_4x4(x: np.ndarray) -> np.ndarray:
+    """Raw integer core transform (the encoder-side pair of idct_4x4)."""
+    return _FWD_4x4 @ x.astype(np.int64) @ _FWD_4x4.T
+
+
+def sp_quant_4x4(t: np.ndarray, qp: int) -> np.ndarray:
+    """Quantize raw transform coefficients to levels at qp (8.6 rounding:
+    round-half-up, no deadzone)."""
+    mf = QUANT_MF_4x4[qp % 6][_POS_CLASS_4x4]
+    qbits = 15 + qp // 6
+    return np.sign(t) * ((np.abs(t) * mf + (1 << (qbits - 1))) >> qbits)
+
+
+def sp_dequant_4x4(L: np.ndarray, qp: int) -> np.ndarray:
+    """8.5-style scaling with flat lists: w = L * normAdjust << (qp/6)."""
+    v = NORM_ADJUST_4x4[qp % 6][_POS_CLASS_4x4].astype(np.int64)
+    return (L * v) << (qp // 6)
+
+
+def sp_requant_4x4(w: np.ndarray, qs: int) -> np.ndarray:
+    """Re-quantize 8.5-scaled (w-domain) coefficients at qs."""
+    rw = REQUANT_W_4x4[qs % 6][_POS_CLASS_4x4]
+    qbits = 15 + qs // 6
+    return np.sign(w) * ((np.abs(w) * rw + (1 << (qbits - 1))) >> qbits)
+
+
+def sp_luma_block(pred: np.ndarray, levels_raster: np.ndarray,
+                  qp: int, qs: int, switching: bool) -> np.ndarray:
+    """One 4x4 luma block of an SP (inter) or SI/switching-SP MB: returns
+    the reconstructed residual+prediction samples BEFORE clipping."""
+    t = forward_4x4(pred)
+    if switching:
+        # 8.6.1.2 (sp_for_switch_flag=1) / 8.6.2 (SI): levels are in the
+        # QS-quantized domain already
+        ls = sp_quant_4x4(t, qs) + levels_raster
+    else:
+        lt = sp_quant_4x4(t, qp) + levels_raster  # QP level domain
+        w_qp = sp_dequant_4x4(lt, qp)
+        ls = sp_requant_4x4(w_qp, qs)
+    w = sp_dequant_4x4(ls, qs)
+    return idct_4x4(w.astype(np.int64))
+
+
+def sp_chroma_comp(pred: np.ndarray, dc_levels: np.ndarray,
+                   ac_levels_raster: np.ndarray, qpc: int, qsc: int,
+                   switching: bool) -> np.ndarray:
+    """One 8x8 chroma component of an SP/SI MB. dc_levels: [4] in raster
+    2x2 order; ac_levels_raster: [4][4x4] per block (position 0 ignored)."""
+    h2 = np.array([[1, 1], [1, -1]], np.int64)
+    t = np.stack([
+        forward_4x4(pred[(k // 2) * 4 : (k // 2) * 4 + 4,
+                         (k % 2) * 4 : (k % 2) * 4 + 4])
+        for k in range(4)
+    ])
+    dc_t = h2 @ t[:, 0, 0].reshape(2, 2) @ h2
+
+    def quant_dc(d, q):
+        mf = int(QUANT_MF_4x4[q % 6][0])
+        qbits = 15 + q // 6
+        return np.sign(d) * ((np.abs(d) * mf + (1 << qbits)) >> (qbits + 1))
+
+    def dequant_dc(L, q):
+        v = int(NORM_ADJUST_4x4[q % 6][0])
+        return (L * v) << (q // 6 + 1)
+
+    def requant_dc(d, q):
+        rw = int(REQUANT_W_4x4[q % 6][0])
+        qbits = 15 + q // 6
+        return np.sign(d) * ((np.abs(d) * rw + (1 << (qbits + 1))) >> (qbits + 1))
+
+    if switching:
+        ldc = quant_dc(dc_t, qsc) + dc_levels.reshape(2, 2)
+    else:
+        lt = quant_dc(dc_t, qpc) + dc_levels.reshape(2, 2)
+        ldc = requant_dc(dequant_dc(lt, qpc), qsc)
+    # final DC scaling per 8.5.11 (flat): H2 . L . H2, * 16V << qsc/6 >> 5
+    dcs = chroma_dc_dequant(ldc, 16 * int(NORM_ADJUST_4x4[qsc % 6][0]), qsc)
+    out = np.empty((8, 8), np.int64)
+    for k in range(4):
+        if switching:
+            ls = sp_quant_4x4(t[k], qsc) + ac_levels_raster[k]
+        else:
+            lt = sp_quant_4x4(t[k], qpc) + ac_levels_raster[k]
+            ls = sp_requant_4x4(sp_dequant_4x4(lt, qpc), qsc)
+        w = sp_dequant_4x4(ls, qsc)
+        w[0, 0] = dcs[k // 2, k % 2]
+        out[(k // 2) * 4 : (k // 2) * 4 + 4, (k % 2) * 4 : (k % 2) * 4 + 4] = (
+            idct_4x4(w)
+        )
+    return out

@@ -598,9 +598,15 @@ class TpuDecoder(Decoder):
             self._ring_slots[p.uid] = slot
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
-        if slices[0][0].field_pic_flag:
-            # PAFF field pictures: numpy oracle path (field geometry would
-            # thrash the device DPB ring, which is sized for frames)
+        if (
+            slices[0][0].field_pic_flag
+            or slices[0][0].mbaff_frame_flag
+            or any(h.is_sp or h.is_si for h, *_ in slices)
+        ):
+            # PAFF field pictures (field geometry would thrash the device
+            # DPB ring, which is sized for frames), MBAFF pictures (pair
+            # scan order + per-MB field placement) and SP/SI slices (8.6
+            # transform-domain requant) run on the numpy oracle path
             for l0, l1 in ref_lists:
                 for p in l0 + l1:
                     if not isinstance(p.y, np.ndarray):

@@ -148,6 +148,10 @@ class SliceHeader:
 
     _mbaff: bool = False
 
+    def slice_qs(self, pps: PPS) -> int:
+        """QSy for SP/SI slices (spec 7-31)."""
+        return 26 + pps.pic_init_qs_minus26 + self.slice_qs_delta
+
     def slice_qp(self, pps: PPS) -> int:
         """SliceQPy, spec 7-30."""
         return 26 + pps.pic_init_qp_minus26 + self.slice_qp_delta

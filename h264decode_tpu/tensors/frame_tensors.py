@@ -49,6 +49,7 @@ MB_P_SKIP = 4
 MB_B = 5
 MB_B_SKIP = 6
 MB_B_DIRECT = 7
+MB_SI = 8  # SI macroblock (Intra_4x4 prediction + 8.6.2 reconstruction)
 
 # intra 16x16 pred modes (spec 8.3.3)
 I16_VERT, I16_HOR, I16_DC, I16_PLANE = 0, 1, 2, 3

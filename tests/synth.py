@@ -217,8 +217,10 @@ def _slice_header(
     field: int | None = None,  # None = frame; 0 = top field, 1 = bottom
     interlaced_sps: bool = False,  # SPS has frame_mbs_only=0
     cabac: bool = False,  # PPS entropy_coding_mode_flag (for cabac_init_idc)
+    sp_switch: bool = False,  # SP slices: sp_for_switch_flag
+    qs_delta: int = 0,  # SP/SI slices: slice_qs_delta
 ):
-    is_p = slice_type % 5 == 0
+    is_p = slice_type % 5 in (0, 3)  # P and SP share the ref-list fields
     w.ue(first_mb)
     w.ue(slice_type)
     w.ue(0)  # pic_parameter_set_id
@@ -265,6 +267,11 @@ def _slice_header(
     if cabac and slice_type % 5 not in (2, 4):
         w.ue(0)  # cabac_init_idc
     w.se(0)  # slice_qp_delta
+    if slice_type % 5 == 3:  # SP (7.3.3)
+        w.flag(sp_switch)
+        w.se(qs_delta)
+    elif slice_type % 5 == 4:  # SI
+        w.se(qs_delta)
     w.ue(1)  # disable_deblocking_filter_idc = 1 (off: keeps PCM/skip exact)
     if num_groups_cycle_bits:
         w.u(num_groups_cycle_bits, change_cycle)
@@ -541,3 +548,72 @@ def cabac_mbaff_pcm_slice(
                 enc.terminate(1 if last else 0)
     out += enc.tobytes()
     return nal(5 if idr else 1, ref_idc, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# SP / SI switching slices (spec 7.3.3 SP fields, 7.3.5 Table 7-12)
+# ---------------------------------------------------------------------------
+
+
+def sp_slice(
+    n_mbs: int,
+    actions,  # per MB: ("skip",) | ("p16", mvd_x, mvd_y)
+    *,
+    frame_num: int,
+    poc_lsb: int = 0,
+    ref_idc: int = 0,
+    sp_switch: bool = False,
+    qs_delta: int = 0,
+) -> bytes:
+    """CAVLC SP slice (slice_type 8): P_L0_16x16 MBs without residual plus
+    skip runs. Reconstruction runs the 8.6.1 transform-domain chain even
+    with zero levels, so the output differs observably from a P slice."""
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=8, frame_num=frame_num, idr=False,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, sp_switch=sp_switch,
+        qs_delta=qs_delta,
+    )
+    run = 0
+    for act in actions:
+        if act[0] == "skip":
+            run += 1
+            continue
+        w.ue(run)
+        run = 0
+        _, mvd_x, mvd_y = act
+        w.ue(0)  # mb_type P_L0_16x16
+        w.se(mvd_x)
+        w.se(mvd_y)
+        w.ue(0)  # coded_block_pattern = 0 (inter me(0))
+    if run:
+        w.ue(run)
+    w.trailing_bits()
+    return nal(1, ref_idc, w.rbsp())
+
+
+def si_slice(
+    n_mbs: int,
+    *,
+    frame_num: int = 0,
+    idr: bool = False,
+    poc_lsb: int = 0,
+    ref_idc: int = 3,
+    qs_delta: int = 0,
+) -> bytes:
+    """CAVLC SI slice (slice_type 9): every MB is an SI macroblock
+    (Table 7-12 mb_type 0) with predicted Intra_4x4 modes, DC chroma mode
+    and no residual — decoding runs the 8.6.2 chain on the predictions."""
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=9, frame_num=frame_num, idr=idr,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, qs_delta=qs_delta,
+    )
+    for _ in range(n_mbs):
+        w.ue(0)  # mb_type SI
+        for _blk in range(16):
+            w.flag(True)  # prev_intra4x4_pred_mode_flag (use predicted)
+        w.ue(0)  # intra_chroma_pred_mode: DC
+        w.ue(3)  # coded_block_pattern: intra me code 3 -> cbp 0
+    w.trailing_bits()
+    return nal(5 if idr else 1, ref_idc, w.rbsp())

@@ -1,0 +1,255 @@
+"""SP/SI switching-picture reconstruction (spec 8.6).
+
+No conformance oracle exists in this environment: libavcodec decodes SP
+slices as plain P (it does not implement the 8.6 transform-domain
+requantization) and JM is unavailable, so — like the FMO tests — these
+tests validate the decoder against an INDEPENDENT transcription of the
+8.6.1/8.6.2 chains kept in this file (own tables, own transform code).
+What the decoder exercises end-to-end: SP/SI slice-header fields
+(sp_for_switch_flag, slice_qs_delta, 7.3.3), the Table 7-12 SI mb_type
+mapping, P-machinery inside SP slices (MVP, skip, ref lists), and the
+transform-domain reconstruction path.
+
+The reference parses the SP/SI header fields and stops
+(/root/reference/h264/slice.go:1021-1028).
+"""
+
+import numpy as np
+import pytest
+
+from h264decode_tpu.pipeline.decoder import Decoder
+from tests.synth import (
+    pcm_frame_planes,
+    pcm_slice,
+    si_slice,
+    sp_slice,
+    write_pps,
+    write_sps,
+)
+
+MB_W, MB_H = 4, 3
+N_MBS = MB_W * MB_H
+
+# --------------------------------------------------------------------------
+# independent 8.6 transcription (test-local)
+# --------------------------------------------------------------------------
+
+MF = [[13107, 5243, 8066], [11916, 4660, 7490], [10082, 4194, 6554],
+      [9362, 3647, 5825], [8192, 3355, 5243], [7282, 2893, 4559]]
+V = [[10, 16, 13], [11, 18, 14], [13, 20, 16], [14, 23, 18], [16, 25, 20],
+     [18, 29, 23]]
+CLS = [[0, 2, 0, 2], [2, 1, 2, 1], [0, 2, 0, 2], [2, 1, 2, 1]]
+QPC_TAB = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38,
+           38, 38, 39, 39, 39, 39]
+
+
+def _chroma_qp(q):
+    return q if q < 30 else QPC_TAB[min(q, 51) - 30]
+
+
+def _fwd(x):
+    C = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+                 np.int64)
+    return C @ x.astype(np.int64) @ C.T
+
+
+def _inv(d):
+    d = d.astype(np.int64)
+    e0, e1 = d[:, 0] + d[:, 2], d[:, 0] - d[:, 2]
+    e2, e3 = (d[:, 1] >> 1) - d[:, 3], d[:, 1] + (d[:, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    g0, g1 = f[0] + f[2], f[0] - f[2]
+    g2, g3 = (f[1] >> 1) - f[3], f[1] + (f[3] >> 1)
+    h = np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
+    return (h + 32) >> 6
+
+
+def _q(t, qp):
+    mf = np.array(MF[qp % 6], np.int64)[np.array(CLS)]
+    b = 15 + qp // 6
+    return np.sign(t) * ((np.abs(t) * mf + (1 << (b - 1))) >> b)
+
+
+def _dq(L, qp):
+    v = np.array(V[qp % 6], np.int64)[np.array(CLS)]
+    return (L.astype(np.int64) * v) << (qp // 6)
+
+
+def _rq(w, qs):
+    rw = np.round(2.0**15 / np.array(V[qs % 6]))[np.array(CLS)].astype(np.int64)
+    b = 15 + qs // 6
+    return np.sign(w) * ((np.abs(w) * rw + (1 << (b - 1))) >> b)
+
+
+def _sp_block(pred, qp, qs, switching):
+    t = _fwd(pred)
+    ls = _q(t, qs) if switching else _rq(_dq(_q(t, qp), qp), qs)
+    return np.clip(_inv(_dq(ls, qs)), 0, 255)
+
+
+def _sp_chroma8(pred, qpc, qsc, switching):
+    h2 = np.array([[1, 1], [1, -1]], np.int64)
+    t = [_fwd(pred[(k // 2) * 4:(k // 2) * 4 + 4, (k % 2) * 4:(k % 2) * 4 + 4])
+         for k in range(4)]
+    dc = h2 @ np.array([[t[0][0, 0], t[1][0, 0]], [t[2][0, 0], t[3][0, 0]]]) @ h2
+
+    def qdc(d, q):
+        b = 15 + q // 6
+        return np.sign(d) * ((np.abs(d) * MF[q % 6][0] + (1 << b)) >> (b + 1))
+
+    def dqdc(L, q):
+        return (L * V[q % 6][0]) << (q // 6 + 1)
+
+    def rqdc(d, q):
+        rw = int(round(2.0**15 / V[q % 6][0]))
+        b = 15 + q // 6
+        return np.sign(d) * ((np.abs(d) * rw + (1 << (b + 1))) >> (b + 1))
+
+    if switching:
+        ldc = qdc(dc, qsc)
+    else:
+        ldc = rqdc(dqdc(qdc(dc, qpc), qpc), qsc)
+    fin = h2 @ ldc @ h2
+    dcs = ((fin * 16 * V[qsc % 6][0]) << (qsc // 6)) >> 5
+    out = np.empty((8, 8), np.int64)
+    for k in range(4):
+        ls = _q(t[k], qsc) if switching else _rq(_dq(_q(t[k], qpc), qpc), qsc)
+        w = _dq(ls, qsc)
+        w[0, 0] = dcs[k // 2, k % 2]
+        out[(k // 2) * 4:(k // 2) * 4 + 4, (k % 2) * 4:(k % 2) * 4 + 4] = _inv(w)
+    return np.clip(out, 0, 255)
+
+
+def _shift_pred(plane, px):
+    """Prediction for a uniform full-pel MV of +px right/down (edge clamp)."""
+    pad = np.pad(plane, ((0, px), (0, px)), mode="edge")
+    return pad[px:px + plane.shape[0], px:px + plane.shape[1]]
+
+
+def _expected_sp(ref_planes, qp, qs, switching):
+    y, cb, cr = ref_planes
+    py, pcb, pcr = _shift_pred(y, 2), _shift_pred(cb, 1), _shift_pred(cr, 1)
+    qpc, qsc = _chroma_qp(qp), _chroma_qp(qs)
+    ey = np.empty_like(y)
+    for by in range(y.shape[0] // 4):
+        for bx in range(y.shape[1] // 4):
+            ey[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _sp_block(
+                py[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].astype(np.int64),
+                qp, qs, switching)
+    ecb = np.empty_like(cb)
+    ecr = np.empty_like(cr)
+    for my in range(cb.shape[0] // 8):
+        for mx in range(cb.shape[1] // 8):
+            s = (slice(my * 8, my * 8 + 8), slice(mx * 8, mx * 8 + 8))
+            ecb[s] = _sp_chroma8(pcb[s].astype(np.int64), qpc, qsc, switching)
+            ecr[s] = _sp_chroma8(pcr[s].astype(np.int64), qpc, qsc, switching)
+    return ey, ecb, ecr
+
+
+# --------------------------------------------------------------------------
+# streams
+# --------------------------------------------------------------------------
+
+
+def _sp_stream(switching, qs_delta):
+    """IDR PCM reference + SP frame: every MB P_L0_16x16 with mv (8,8)
+    (2 full px), the last two MBs skipped (skip MVP = (8,8) from coded
+    neighbors); mvd (8,8) on the first MB, 0 elsewhere (8.4.1.3 MVP)."""
+    planes = pcm_frame_planes(MB_W, MB_H, seed=11)
+    actions = [("p16", 8, 8)] + [("p16", 0, 0)] * (N_MBS - 3) + [
+        ("skip",), ("skip",),
+    ]
+    data = (
+        write_sps(MB_W, MB_H)
+        + write_pps()
+        + pcm_slice(planes, list(range(N_MBS)), MB_W, frame_num=0, idr=True)
+        + sp_slice(N_MBS, actions, frame_num=1, poc_lsb=2,
+                   sp_switch=switching, qs_delta=qs_delta)
+    )
+    return data, planes
+
+
+@pytest.mark.parametrize(
+    "switching,qs_delta",
+    [(False, 0), (False, 4), (False, -6), (True, 0), (True, 4)],
+    ids=["nonswitch-qs26", "nonswitch-qs30", "nonswitch-qs20",
+         "switch-qs26", "switch-qs30"],
+)
+def test_sp_slice(switching, qs_delta):
+    data, ref = _sp_stream(switching, qs_delta)
+    frames = Decoder().decode_stream(data)
+    assert len(frames) == 2
+    exp = _expected_sp(ref, qp=26, qs=26 + qs_delta, switching=switching)
+    for name, got, want in zip("y cb cr".split(), frames[1].planes(), exp):
+        assert np.array_equal(np.asarray(got), want), f"plane {name}"
+    # the SP chain must differ from plain-P copy (quantization is lossy)
+    assert not np.array_equal(np.asarray(frames[1].y), _shift_pred(ref[0], 2))
+
+
+def test_si_slice():
+    """SI picture: every MB SI (Intra_4x4 DC prediction through 8.6.2)."""
+    qs_delta = 2
+    data = (
+        write_sps(MB_W, MB_H)
+        + write_pps()
+        + si_slice(N_MBS, idr=True, qs_delta=qs_delta)
+    )
+    frames = Decoder().decode_stream(data)
+    assert len(frames) == 1
+    qp, qs = 26, 26 + qs_delta
+    qsc = _chroma_qp(qs)
+    qpc = _chroma_qp(qp)
+    # transcription: DC intra pred per 4x4 in decode order over the
+    # progressively reconstructed picture, then the 8.6.2 (switching) chain
+    BLK_XY = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+              (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+    y = np.zeros((MB_H * 16, MB_W * 16), np.int64)
+    done = np.zeros((MB_H * 4, MB_W * 4), bool)
+    for my in range(MB_H):
+        for mx in range(MB_W):
+            for bx, by in BLK_XY:
+                gx, gy = mx * 4 + bx, my * 4 + by
+                x0, y0 = gx * 4, gy * 4
+                have_l = gx > 0 and done[gy, gx - 1]
+                have_t = gy > 0 and done[gy - 1, gx]
+                refs = []
+                if have_l:
+                    refs.extend(y[y0:y0 + 4, x0 - 1])
+                if have_t:
+                    refs.extend(y[y0 - 1, x0:x0 + 4])
+                dc = ((int(np.sum(refs)) + len(refs) // 2) // len(refs)
+                      if refs else 128)
+                pred = np.full((4, 4), dc, np.int64)
+                y[y0:y0 + 4, x0:x0 + 4] = _sp_block(pred, qp, qs, True)
+                done[gy, gx] = True
+    assert np.array_equal(np.asarray(frames[0].y), y)
+    # chroma: DC mode over reconstructed neighbors
+    cb = np.zeros((MB_H * 8, MB_W * 8), np.int64)
+    cr = np.zeros((MB_H * 8, MB_W * 8), np.int64)
+    for my in range(MB_H):
+        for mx in range(MB_W):
+            for plane in (cb, cr):
+                x0, y0 = mx * 8, my * 8
+                have_l, have_t = mx > 0, my > 0
+                pred = np.empty((8, 8), np.int64)
+                for qy in range(2):
+                    for qx in range(2):
+                        left = plane[y0 + qy * 4:y0 + qy * 4 + 4, x0 - 1] if have_l else None
+                        top = plane[y0 - 1, x0 + qx * 4:x0 + qx * 4 + 4] if have_t else None
+                        # 8.3.4 DC: corner quadrants prefer the parallel edge
+                        if qx == qy == 0 or (qx == 1 and qy == 1):
+                            vals = ([*left, *top] if (have_l and have_t)
+                                    else list(left) if have_l
+                                    else list(top) if have_t else None)
+                        elif qx == 1:  # top-right: top edge first
+                            vals = (list(top) if have_t
+                                    else list(left) if have_l else None)
+                        else:  # bottom-left: left edge first
+                            vals = (list(left) if have_l
+                                    else list(top) if have_t else None)
+                        dc = ((int(np.sum(vals)) + len(vals) // 2) // len(vals)
+                              if vals else 128)
+                        pred[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = dc
+                plane[y0:y0 + 8, x0:x0 + 8] = _sp_chroma8(pred, qpc, qsc, True)
+    assert np.array_equal(np.asarray(frames[0].cb), cb)
+    assert np.array_equal(np.asarray(frames[0].cr), cr)
