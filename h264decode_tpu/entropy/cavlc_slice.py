@@ -198,8 +198,20 @@ class CavlcSliceDecoder(SliceDecoderBase):
             else:
                 self._parse_p_mb(addr, mb_type)
 
+    def _res_reader(self, intra: bool):
+        """Residual reader by syntax category (3 = intra, 4 = inter). May be
+        None (absent partition): raising is deferred to first actual read —
+        a partition is legitimately absent when no MB needs it."""
+        return self.r_intra if intra else self.r_inter
+
+    def _need_res_r(self):
+        if self.res_r is None:
+            raise ValueError("data partition B/C missing but residual coded")
+        return self.res_r
+
     def _parse_i_mb(self, addr: int, mb_type: int) -> None:
         ft, r = self.ft, self.r
+        self.res_r = self._res_reader(intra=True)
         mbx, mby = ft.mb_xy(addr)
         if mb_type == 25:  # I_PCM
             self._parse_pcm(addr)
@@ -236,7 +248,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
             ft.qp[addr] = self._update_qp(r.se())
             # Intra16x16DCLevel: nC as for luma4x4BlkIdx 0 (spec 9.2.1)
             nc = self.luma_nc(mbx * 4, mby * 4)
-            coeffs, _ = residual_block_cavlc(r, 0, 15, 16, nc)
+            coeffs, _ = residual_block_cavlc(self.res_r, 0, 15, 16, nc)
             ft.luma_dc[addr] = coeffs
             self._parse_luma_residual(addr, mbx, mby, cbp_luma, i16=True, t8=False)
             self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
@@ -246,6 +258,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
         """SI macroblock (Table 7-12 mb_type 0): Intra_4x4 prediction syntax;
         reconstruction runs the 8.6.2 chain (pipeline/intra_frame.py)."""
         ft, r = self.ft, self.r
+        self.res_r = self._res_reader(intra=True)
         mbx, mby = ft.mb_xy(addr)
         ft.mb_class[addr] = MB_SI
         self._parse_intra_nxn_modes(addr, mbx, mby, False)
@@ -263,7 +276,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
         self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
 
     def _parse_pcm(self, addr: int) -> None:
-        ft, r = self.ft, self.r
+        ft = self.ft
+        r = self.res_r  # pcm_sample_* are category 3 (partition B)
         ft.mb_class[addr] = MB_I_PCM
         r.align()  # pcm_alignment_zero_bit
         y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
@@ -313,6 +327,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
         """P macroblock, spec 7.3.5.1/7.3.5.2 + 8.4.1.3 MV reconstruction."""
         ft, r = self.ft, self.r
         self._require_frame_mb(addr, "inter prediction")
+        self.res_r = self._res_reader(intra=False)
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         ft.mb_class[addr] = MB_P
@@ -379,6 +394,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
         """B macroblock, Table 7-14 + spec 7.3.5.1/7.3.5.2 + 8.4.1."""
         ft, r = self.ft, self.r
         self._require_frame_mb(addr, "inter prediction")
+        self.res_r = self._res_reader(intra=False)
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         motion = self.motion

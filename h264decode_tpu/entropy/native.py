@@ -183,6 +183,7 @@ def supported(sps, pps, hdr) -> bool:
         and sps.chroma_array_type in (0, 1)
         and not hdr.is_sp
         and not hdr.is_si
+        and not getattr(hdr, "dp_readers", None)  # data partitioning
     )
 
 

@@ -94,6 +94,20 @@ class SliceDecoderBase:
         self.modes = intra_mode_grid
         self.qp_prev = hdr.slice_qp(pps)
         self.chroma12 = sps.chroma_array_type in (1, 2)
+        # data partitioning (7.4.1: syntax categories 2/3/4): category-2
+        # elements read from `r` (partition A or the whole slice); residual
+        # elements from the intra (B) / inter (C) partition readers. For
+        # ordinary slices all three are the same reader. A missing B/C
+        # partition leaves None: referencing it raises rather than
+        # mis-decoding (partitions may legitimately be absent when no MB
+        # needs them).
+        dp = getattr(hdr, "dp_readers", None)
+        if dp is None:
+            self.r_intra = self.r_inter = r
+        else:
+            self.r_intra = dp.get(3)
+            self.r_inter = dp.get(4)
+        self.res_r = self.r_intra if (hdr.is_i or hdr.is_si) else r
 
     # ------------------------------------------------------------ neighbors
 

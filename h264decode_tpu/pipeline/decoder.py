@@ -218,11 +218,50 @@ class Decoder:
                 rp = sei.recovery_point()
                 if rp is not None:
                     self._pending_recovery = rp
+            elif nal.type in (
+                nal_mod.NAL_SLICE_PART_B, nal_mod.NAL_SLICE_PART_C
+            ):
+                # slice_data_partition_b/c_layer (7.3.2.9/.10): slice_id +
+                # [redundant_pic_cnt] + category-3/4 slice data. Attach the
+                # reader to the pending partition-A slice with this slice_id.
+                try:
+                    from ..bitstream.bitreader import BitReader
+
+                    r = BitReader(nal.rbsp)
+                    sid = r.ue()
+                    cat = 3 if nal.type == nal_mod.NAL_SLICE_PART_B else 4
+                    owner = None
+                    for h, s_, p_, _ in reversed(self._cur):
+                        if getattr(h, "dp_slice_id", None) == sid:
+                            owner = (h, p_)
+                            break
+                    if owner is None:
+                        raise ValueError(
+                            f"partition {'B' if cat == 3 else 'C'} without "
+                            f"a matching partition A (slice_id {sid})"
+                        )
+                    h, p_ = owner
+                    if p_.redundant_pic_cnt_present_flag:
+                        r.ue()  # redundant_pic_cnt
+                    h.dp_readers[cat] = r
+                except Exception:
+                    if self.error_policy == "strict":
+                        raise
+                    self.error_count += 1
+                    continue
             elif nal.is_vcl:
                 try:
                     hdr, sps, pps, r = parse_slice_header(
                         nal.rbsp, nal, self.sps_map, self.pps_map
                     )
+                    if nal.type == nal_mod.NAL_SLICE_PART_A:
+                        # slice_data_partition_a_layer (7.3.2.8)
+                        if pps.entropy_coding_mode_flag:
+                            raise NotImplementedError(
+                                "CABAC with data partitioning"
+                            )
+                        hdr.dp_slice_id = r.ue()
+                        hdr.dp_readers = {2: r}
                 except Exception:
                     if self.error_policy == "strict":
                         raise

@@ -617,3 +617,95 @@ def si_slice(
         w.ue(3)  # coded_block_pattern: intra me code 3 -> cbp 0
     w.trailing_bits()
     return nal(5 if idr else 1, ref_idc, w.rbsp())
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual encoder (spec 9.2, inverse of entropy/cavlc.py) — lets the
+# synthetic streams carry real coefficient levels (DP partition B/C payloads,
+# residual-coded conformance cases). Uses the same generated spec tables as
+# the decoder; the encode/decode pair is roundtrip-tested in tests.
+# ---------------------------------------------------------------------------
+
+from h264decode_tpu.entropy.cavlc_tables import (  # noqa: E402
+    CHROMA_DC_COEFF_TOKEN,
+    CHROMA_DC_TOTAL_ZEROS,
+    COEFF_TOKEN,
+    RUN_BEFORE,
+    TOTAL_ZEROS_4x4,
+)
+
+
+def _ct_table_for_nc(nc: int):
+    if nc >= 8:
+        return COEFF_TOKEN[3]
+    if nc >= 4:
+        return COEFF_TOKEN[2]
+    if nc >= 2:
+        return COEFF_TOKEN[1]
+    if nc >= 0:
+        return COEFF_TOKEN[0]
+    return CHROMA_DC_COEFF_TOKEN  # nc == -1 (4:2:0 chroma DC)
+
+
+def encode_residual_cavlc(w: BitWriter, coeff, start: int, end: int,
+                          max_num_coeff: int, nc: int) -> int:
+    """Encode one residual block (scan-order coeff[max_num_coeff]) as
+    residual_block_cavlc() expects (9.2). Returns TotalCoeff."""
+    idxs = [i for i in range(start, end + 1) if coeff[i]]
+    total = len(idxs)
+    hi_first = [int(coeff[i]) for i in reversed(idxs)]
+    t1 = 0
+    while t1 < min(3, total) and abs(hi_first[t1]) == 1:
+        t1 += 1
+    ln, bits = _ct_table_for_nc(nc)[total * 4 + t1]
+    assert ln > 0, (total, t1, nc)
+    w.u(ln, bits)
+    if total == 0:
+        return 0
+    for i in range(t1):
+        w.u(1, 1 if hi_first[i] < 0 else 0)  # trailing one signs
+    suffix_length = 1 if (total > 10 and t1 < 3) else 0
+    for i in range(t1, total):
+        lv = hi_first[i]
+        level_code = 2 * lv - 2 if lv > 0 else -2 * lv - 1
+        if i == t1 and t1 < 3:
+            level_code -= 2
+        if suffix_length == 0:
+            if level_code < 14:
+                prefix, size, suffix = level_code, 0, 0
+            elif level_code < 30:
+                prefix, size, suffix = 14, 4, level_code - 14
+            else:
+                prefix, size, suffix = 15, 12, level_code - 30
+        else:
+            if (level_code >> suffix_length) < 15:
+                prefix = level_code >> suffix_length
+                size, suffix = suffix_length, level_code & ((1 << suffix_length) - 1)
+            else:
+                prefix, size = 15, 12
+                suffix = level_code - (15 << suffix_length)
+        assert 0 <= suffix < (1 << size) if size else suffix == 0, (lv, level_code)
+        w.u(prefix + 1, 1)  # level_prefix: `prefix` zeros then a 1
+        if size:
+            w.u(size, suffix)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(lv) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+    # total_zeros
+    n_pos = end - start + 1
+    zeros_left = (idxs[-1] - start + 1) - total
+    if total < n_pos:
+        tz = (CHROMA_DC_TOTAL_ZEROS if max_num_coeff == 4
+              else TOTAL_ZEROS_4x4)[total - 1]
+        ln, bits = tz[zeros_left]
+        assert ln > 0, (total, zeros_left)
+        w.u(ln, bits)
+    # run_before, highest-frequency first
+    pos = [i - start for i in reversed(idxs)]  # hi-first positions
+    for i in range(total - 1):
+        run = pos[i] - pos[i + 1] - 1
+        ln, bits = RUN_BEFORE[min(zeros_left, 7) - 1][run]
+        assert ln > 0, (zeros_left, run)
+        w.u(ln, bits)
+        zeros_left -= run
