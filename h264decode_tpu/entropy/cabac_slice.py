@@ -114,7 +114,15 @@ class CabacSliceDecoder(SliceDecoderBase):
             sp = self._mbaff_spatial(addr_m)
             bottom = addr_m % 2
             top = sp - ft.mb_w if bottom else sp
+            # mb_skip_flag precedes the pair's mb_field_decoding_flag for
+            # top MBs (and bottoms after a skipped top): its neighbor
+            # derivation must use the 7.4.4-inferred flag, not the stale
+            # grid default (see _nbr_mb)
+            self._cur_pair_top_unknown = (
+                None if (bottom and not prev_skipped) else top
+            )
             skipped = is_inter and self._decode_skip_flag(sp)
+            self._cur_pair_top_unknown = None
             if skipped:
                 if not bottom:
                     pending_top_skip = sp
@@ -170,7 +178,13 @@ class CabacSliceDecoder(SliceDecoderBase):
             return -1
         naddr = ny * ft.mb_w + nx
         if self.hdr.mbaff_frame_flag and dx == 0 and dy == -1:
-            cur_field = bool(ft.mb_field[addr])
+            pair_top = addr - ft.mb_w if mby % 2 else addr
+            if getattr(self, "_cur_pair_top_unknown", None) == pair_top:
+                # current pair's flag not yet decoded (mb_skip_flag comes
+                # first): 7.4.4 inference from the left/above pair
+                cur_field = self._infer_pair_field_flag(pair_top)
+            else:
+                cur_field = bool(ft.mb_field[addr])
             if mby % 2:  # bottom MB
                 if cur_field:
                     naddr = addr - 2 * ft.mb_w  # above pair's bottom MB

@@ -248,7 +248,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
             ft.qp[addr] = self._update_qp(r.se())
             # Intra16x16DCLevel: nC as for luma4x4BlkIdx 0 (spec 9.2.1)
             nc = self.luma_nc(mbx * 4, mby * 4)
-            coeffs, _ = residual_block_cavlc(self.res_r, 0, 15, 16, nc)
+            coeffs, _ = residual_block_cavlc(self._need_res_r(), 0, 15, 16, nc)
             ft.luma_dc[addr] = coeffs
             self._parse_luma_residual(addr, mbx, mby, cbp_luma, i16=True, t8=False)
             self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
@@ -277,7 +277,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
 
     def _parse_pcm(self, addr: int) -> None:
         ft = self.ft
-        r = self.res_r  # pcm_sample_* are category 3 (partition B)
+        r = self._need_res_r()  # pcm_sample_* are category 3 (partition B)
         ft.mb_class[addr] = MB_I_PCM
         r.align()  # pcm_alignment_zero_bit
         y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
@@ -503,7 +503,10 @@ class CavlcSliceDecoder(SliceDecoderBase):
         """residual_luma(), spec 7.3.5.3.1. For CAVLC + transform_8x8 the
         8x8 block is sent as 4 interleaved 4x4 CAVLC blocks
         (coeff k of partition i -> 8x8 scan position 4k+i, spec 8.5.6 note)."""
-        ft, r = self.ft, self.r
+        ft = self.ft
+        # residual levels are syntax category 3/4: partition B/C under data
+        # partitioning (7.4.1); same reader as `r` for ordinary slices
+        r = self._need_res_r() if cbp_luma else None
         # AC blocks occupy scan positions 1..15 of a 16-slot array; the
         # max_num_coeff arg only selects the total_zeros table family (4x4)
         start = 1 if i16 else 0
@@ -532,7 +535,9 @@ class CavlcSliceDecoder(SliceDecoderBase):
         8-coeff DC blocks — gated until 4:2:2 support lands)."""
         if self.sps.chroma_array_type == 0:
             return
-        ft, r = self.ft, self.r
+        ft = self.ft
+        # category-3/4 reader (partition B/C under data partitioning)
+        r = self._need_res_r() if cbp_chroma else None
         if cbp_chroma & 3:
             for comp in range(2):
                 coeffs, _ = residual_block_cavlc(r, 0, 3, 4, -1)

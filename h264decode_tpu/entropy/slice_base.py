@@ -215,6 +215,7 @@ class SliceDecoderBase:
         """Common per-MB bookkeeping before any syntax parsing."""
         ft = self.ft
         ft.slice_id[addr] = self.slice_id
+        ft.sp_slice_mb[addr] = self.hdr.is_sp or self.hdr.is_si
         ft.decode_order.append(addr)
         ft.disable_deblock[addr] = self.hdr.disable_deblocking_filter_idc
         ft.alpha_off[addr] = self.hdr.slice_alpha_c0_offset_div2 * 2

@@ -99,8 +99,9 @@ def _boundary_strengths(
             qx, qy = mbx * 4 + line // 4, mby * 4 + edge
             px, py = qx, qy - 1
         addr_p = (py // 4) * ft.mb_w + (px // 4)
-        intra_p = _is_intra(ft.mb_class[addr_p])
-        intra_q = _is_intra(ft.mb_class[addr_q])
+        # 8.7.2.1: all MBs of SP/SI slices take intra-strength bS
+        intra_p = _is_intra(ft.mb_class[addr_p]) or ft.sp_slice_mb[addr_p]
+        intra_q = _is_intra(ft.mb_class[addr_q]) or ft.sp_slice_mb[addr_q]
         if intra_p or intra_q:
             # 8.7.2.1: intra MB edges get bS 4 when the edge is vertical or
             # when p0 and q0 are both in FRAME macroblocks; horizontal MB

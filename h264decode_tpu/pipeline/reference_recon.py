@@ -512,9 +512,11 @@ def sp_chroma_comp(pred: np.ndarray, dc_levels: np.ndarray,
         return (L * v) << (q // 6 + 1)
 
     def requant_dc(d, q):
+        # round-half-up at the (qbits+1)-bit shift (JM rshift_rnd_sf):
+        # addend is half the divisor, so requant_dc(dequant_dc(L)) == L
         rw = int(REQUANT_W_4x4[q % 6][0])
         qbits = 15 + q // 6
-        return np.sign(d) * ((np.abs(d) * rw + (1 << (qbits + 1))) >> (qbits + 1))
+        return np.sign(d) * ((np.abs(d) * rw + (1 << qbits)) >> (qbits + 1))
 
     if switching:
         ldc = quant_dc(dc_t, qsc) + dc_levels.reshape(2, 2)

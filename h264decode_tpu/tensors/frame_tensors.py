@@ -96,6 +96,9 @@ class FrameTensors:
     field_pic: bool = False  # picture is a PAFF field picture
     mb_field: np.ndarray = None  # [nMB] bool (MBAFF per-MB field flag)
     slice_id: np.ndarray = None  # [nMB] int32
+    # MB belongs to an SP/SI slice: 8.7.2.1 forces intra-strength bS
+    # (4 at MB edges / 3 internal) for ALL MBs of such slices
+    sp_slice_mb: np.ndarray = None  # [nMB] bool
     # per-MB deblock parameters from the owning slice header
     disable_deblock: np.ndarray = None  # [nMB] int8 (0,1,2)
     alpha_off: np.ndarray = None  # [nMB] int8 (FilterOffsetA)
@@ -148,6 +151,8 @@ class FrameTensors:
             self.mb_field = np.zeros(n, bool)
         if self.slice_id is None:
             self.slice_id = np.full(n, -1, np.int32)
+        if self.sp_slice_mb is None:
+            self.sp_slice_mb = np.zeros(n, bool)
         if self.disable_deblock is None:
             self.disable_deblock = np.zeros(n, np.int8)
         if self.alpha_off is None:

@@ -219,6 +219,7 @@ def _slice_header(
     cabac: bool = False,  # PPS entropy_coding_mode_flag (for cabac_init_idc)
     sp_switch: bool = False,  # SP slices: sp_for_switch_flag
     qs_delta: int = 0,  # SP/SI slices: slice_qs_delta
+    deblock: bool = False,  # disable_deblocking_filter_idc 0 vs 1
 ):
     is_p = slice_type % 5 in (0, 3)  # P and SP share the ref-list fields
     w.ue(first_mb)
@@ -272,7 +273,11 @@ def _slice_header(
         w.se(qs_delta)
     elif slice_type % 5 == 4:  # SI
         w.se(qs_delta)
-    w.ue(1)  # disable_deblocking_filter_idc = 1 (off: keeps PCM/skip exact)
+    # disable_deblocking_filter_idc: off by default (keeps PCM/skip exact)
+    w.ue(0 if deblock else 1)
+    if deblock:
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
     if num_groups_cycle_bits:
         w.u(num_groups_cycle_bits, change_cycle)
 
@@ -564,6 +569,7 @@ def sp_slice(
     ref_idc: int = 0,
     sp_switch: bool = False,
     qs_delta: int = 0,
+    deblock: bool = False,
 ) -> bytes:
     """CAVLC SP slice (slice_type 8): P_L0_16x16 MBs without residual plus
     skip runs. Reconstruction runs the 8.6.1 transform-domain chain even
@@ -572,7 +578,7 @@ def sp_slice(
     _slice_header(
         w, first_mb=0, slice_type=8, frame_num=frame_num, idr=False,
         ref_idc=ref_idc, poc_lsb=poc_lsb, sp_switch=sp_switch,
-        qs_delta=qs_delta,
+        qs_delta=qs_delta, deblock=deblock,
     )
     run = 0
     for act in actions:
@@ -701,9 +707,12 @@ def encode_residual_cavlc(w: BitWriter, coeff, start: int, end: int,
         ln, bits = tz[zeros_left]
         assert ln > 0, (total, zeros_left)
         w.u(ln, bits)
-    # run_before, highest-frequency first
+    # run_before, highest-frequency first; not transmitted once zerosLeft
+    # hits 0 (9.2.3: the remaining runs are all inferred as 0)
     pos = [i - start for i in reversed(idxs)]  # hi-first positions
     for i in range(total - 1):
+        if zeros_left <= 0:
+            break
         run = pos[i] - pos[i + 1] - 1
         ln, bits = RUN_BEFORE[min(zeros_left, 7) - 1][run]
         assert ln > 0, (zeros_left, run)

@@ -101,9 +101,10 @@ def _sp_chroma8(pred, qpc, qsc, switching):
         return (L * V[q % 6][0]) << (q // 6 + 1)
 
     def rqdc(d, q):
+        # round-half-up at the (b+1)-bit shift: addend is half the divisor
         rw = int(round(2.0**15 / V[q % 6][0]))
         b = 15 + q // 6
-        return np.sign(d) * ((np.abs(d) * rw + (1 << (b + 1))) >> (b + 1))
+        return np.sign(d) * ((np.abs(d) * rw + (1 << b)) >> (b + 1))
 
     if switching:
         ldc = qdc(dc, qsc)
@@ -184,6 +185,80 @@ def test_sp_slice(switching, qs_delta):
         assert np.array_equal(np.asarray(got), want), f"plane {name}"
     # the SP chain must differ from plain-P copy (quantization is lossy)
     assert not np.array_equal(np.asarray(frames[1].y), _shift_pred(ref[0], 2))
+
+
+def test_sp_slice_bs_intra_strength():
+    """Spec 8.7.2.1: ALL macroblocks of SP/SI slices take intra-strength
+    boundary strengths (4 at MB edges, 3 internal), even inter-coded ones."""
+    from h264decode_tpu.pipeline.deblock import _boundary_strengths
+    from h264decode_tpu.tensors.frame_tensors import MB_P, FrameTensors
+
+    ft = FrameTensors(mb_w=2, mb_h=1)
+    ft.mb_class[:] = MB_P  # inter MBs, identical motion, no coefficients
+    ft.slice_id[:] = 0
+    ft.ref_pic[:, 0, :] = 0
+    ft.sp_slice_mb[:] = True
+    assert (_boundary_strengths(ft, 1, 0, True, 0) == 4).all()
+    assert (_boundary_strengths(ft, 1, 0, True, 1) == 3).all()
+    # same geometry in a plain P slice: identical mv/ref, no coeffs -> bS 0
+    ft.sp_slice_mb[:] = False
+    assert (_boundary_strengths(ft, 1, 0, True, 0) == 0).all()
+    assert (_boundary_strengths(ft, 1, 0, True, 1) == 0).all()
+
+
+def test_sp_deblock_enabled_filters():
+    """An all-skip SP picture with deblocking on: under plain-P strengths
+    every bS would be 0 (same mv, same ref, no residual) and the output
+    would equal the deblock-off decode; the SP rule (bS 4/3) must filter."""
+    # smooth reference content: deblock thresholds (|p0-q0| < alpha,
+    # side gradients < beta) must pass so the filter can act on the SP
+    # requantization's block-edge steps
+    yy, xx = np.mgrid[0 : MB_H * 16, 0 : MB_W * 16]
+    y = (100 + (xx + yy) // 2 % 48).astype(np.uint8)
+    cyy, cxx = np.mgrid[0 : MB_H * 8, 0 : MB_W * 8]
+    cb = (110 + (cxx + cyy) % 24).astype(np.uint8)
+    cr = (90 + (cxx * 2 + cyy) % 20).astype(np.uint8)
+    planes = (y, cb, cr)
+    actions = [("skip",)] * N_MBS
+
+    def stream(deblock):
+        return (
+            write_sps(MB_W, MB_H)
+            + write_pps()
+            + pcm_slice(planes, list(range(N_MBS)), MB_W, frame_num=0, idr=True)
+            + sp_slice(N_MBS, actions, frame_num=1, poc_lsb=2, deblock=deblock)
+        )
+
+    off = Decoder().decode_stream(stream(False))
+    on = Decoder().decode_stream(stream(True))
+    assert not np.array_equal(np.asarray(on[1].y), np.asarray(off[1].y))
+    # the IDR reference frame itself is deblock-idc-1 in both streams
+    assert np.array_equal(np.asarray(on[0].y), np.asarray(off[0].y))
+
+
+def test_requant_roundtrip_identity():
+    """requant∘dequant must be the identity on in-range levels (both the
+    4x4 AC pair and the chroma-DC pair) — the drift-free property SP
+    switching relies on (spec 8.6.1)."""
+    from h264decode_tpu.pipeline import reference_recon as rr
+
+    levels = np.arange(-128, 129, dtype=np.int64)
+    for q in range(0, 52, 5):
+        w = rr.sp_dequant_4x4(np.tile(levels[:, None], (1, 16)).reshape(-1, 4, 4), q)
+        back = rr.sp_requant_4x4(w, q)
+        assert np.array_equal(
+            back, np.tile(levels[:, None], (1, 16)).reshape(-1, 4, 4)
+        ), f"AC requant identity broken at qp {q}"
+    # chroma DC helpers are nested inside sp_chroma_comp; check the identity
+    # through the public function: zero prediction + pure DC levels at
+    # qp == qs must reproduce the non-switching == switching equivalence
+    for q in (20, 26, 31, 37):
+        pred = np.zeros((8, 8), np.int64)
+        dc_levels = np.array([3, -5, 7, -11], np.int64)
+        ac = np.zeros((4, 4, 4), np.int64)
+        ns = rr.sp_chroma_comp(pred, dc_levels, ac, q, q, switching=False)
+        sw = rr.sp_chroma_comp(pred, dc_levels, ac, q, q, switching=True)
+        assert np.array_equal(ns, sw), f"chroma-DC requant identity broken at qp {q}"
 
 
 def test_si_slice():
