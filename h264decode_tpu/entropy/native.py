@@ -111,17 +111,29 @@ def _ptr(a: np.ndarray) -> c_void_p:
 class NativeFrameState:
     """Per-frame buffers shared by the native engine across slices."""
 
-    def __init__(self, ft, motion, intra_mode_grid):
+    def __init__(self, ft, motion, intra_mode_grid, pool: dict | None = None):
         self.ft = ft
         self.motion = motion
         self.modes = intra_mode_grid
         n = ft.n_mbs
         ft.ensure_luma8()
-        self.decode_order = np.zeros(n, np.int32)
-        self.n_decoded = np.zeros(1, np.int32)
-        self.pcm_y = np.zeros((ft.mb_h * 16, ft.mb_w * 16), np.uint8)
-        self.pcm_cb = np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8)
-        self.pcm_cr = np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8)
+        # side buffers the engine writes into; reusable across frames via
+        # `pool` (keyed by geometry) because finish() copies PCM regions out
+        # per frame and only ever reads regions the engine just wrote
+        key = (ft.mb_h, ft.mb_w)
+        bufs = pool.get(key) if pool is not None else None
+        if bufs is None:
+            bufs = (
+                np.zeros(n, np.int32),
+                np.zeros(1, np.int32),
+                np.zeros((ft.mb_h * 16, ft.mb_w * 16), np.uint8),
+                np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8),
+                np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8),
+            )
+            if pool is not None:
+                pool[key] = bufs
+        (self.decode_order, self.n_decoded,
+         self.pcm_y, self.pcm_cb, self.pcm_cr) = bufs
         fb = _FrameBuffers()
         fb.mb_class = _ptr(ft.mb_class)
         fb.transform8x8 = _ptr(ft.transform_8x8)

@@ -77,6 +77,20 @@ class DecodedFrame:
     def planes(self):
         return self.y, self.cb, self.cr
 
+    def sync(self):
+        """Block until this frame's pixels have been COMPUTED, without
+        forcing the device->host download. For host-decoded frames this is
+        a no-op; for the TPU pipeline it waits for the frame's packed output
+        buffer to exist on device (the honest "decode complete" point —
+        fetching it is transport, not decoding)."""
+        for p in self._raw:
+            if p is None:
+                continue
+            block = getattr(p, "block_until_ready", None)
+            if block is not None:
+                block()
+        return self
+
 
 def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
     """Apply the SPS frame cropping rectangle (spec 7.4.2.1.1)."""
@@ -289,8 +303,25 @@ class Decoder:
             else:
                 if f is not None:
                     yield from bump(f)
+        # surface any deferred reconstruction error (pipelined decoders run
+        # pixel reconstruction on a worker thread; see _submit_reconstruct)
+        self._drain_recon()
         pending.sort(key=lambda f: f.poc)
         yield from pending
+
+    def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
+                            weight_ctx, poc):
+        """Reconstruction dispatch hook. The base decoder reconstructs
+        synchronously; TpuDecoder overrides this to run reconstruction on a
+        worker thread so the (serial, host-bound) entropy decode of picture
+        N+1 overlaps the host prep + device dispatch of picture N — the
+        slice-wavefront pipelining of SURVEY.md section 7.3. Returns
+        (y, cb, cr): numpy arrays or lazy plane objects."""
+        return self._reconstruct(ft, sps, pps, slices, ref_lists,
+                                 weight_ctx, poc)
+
+    def _drain_recon(self):
+        """Wait for any asynchronous reconstruction work (hook)."""
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
         """Pixel reconstruction backend (numpy oracle here; TpuDecoder in
@@ -349,8 +380,12 @@ class Decoder:
         use_native = native_mod.native_available() and all(
             native_mod.supported(s, p, h) for h, s, p, _ in slices
         )
+        if not hasattr(self, "_native_pool"):
+            self._native_pool = {}
         native_state = (
-            native_mod.NativeFrameState(ft, motion, intra_mode_grid)
+            native_mod.NativeFrameState(
+                ft, motion, intra_mode_grid, pool=self._native_pool
+            )
             if use_native
             else None
         )
@@ -441,7 +476,7 @@ class Decoder:
         if self.metrics is not None:
             self.metrics.count("frames")
             self.metrics.count("mbs", ft.n_mbs)
-        y, cb, cr = self._reconstruct(
+        y, cb, cr = self._submit_reconstruct(
             ft, sps, pps, slices, ref_lists, weight_ctx, poc
         )
         pic = Picture(

@@ -30,6 +30,9 @@ function. Bit-exact vs the numpy oracle and therefore vs libavcodec.
 
 from __future__ import annotations
 
+import os
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
 
 import jax
@@ -53,6 +56,7 @@ from ..kernels.intra_pallas import intra_frame_pallas
 from ..syntax.pps import PPS
 from ..syntax.sps import SPS
 from ..tensors.frame_tensors import (
+    LUMA_BLK_XY,
     MB_I_16X16,
     MB_I_NXN,
     MB_I_PCM,
@@ -462,6 +466,88 @@ class _PlaneView:
     def dtype(self):
         return np.dtype(np.uint8)
 
+    def block_until_ready(self):
+        """Wait until the frame's packed output exists ON DEVICE (decode
+        complete) without starting the device->host download."""
+        if self._frame._planes is None and self._frame._packed is not None:
+            jax.block_until_ready(self._frame._packed)
+
+
+class _FuturePlane:
+    """numpy-coercible plane backed by a pending reconstruction task (the
+    pipelined TpuDecoder reconstructs picture N on a worker thread while
+    the main thread entropy-decodes picture N+1)."""
+
+    def __init__(self, fut: Future, idx: int):
+        self._fut = fut
+        self._idx = idx
+
+    def _resolve(self):
+        return self._fut.result()[self._idx]
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._resolve())
+        if dtype is not None and a.dtype != dtype:
+            a = a.astype(dtype)
+        return a
+
+    def block_until_ready(self):
+        p = self._resolve()
+        block = getattr(p, "block_until_ready", None)
+        if block is not None:
+            block()
+
+
+# raster-cell -> luma4x4BlkIdx reorder (inverse of LUMA_BLK_XY)
+_RASTER_TO_BLK4 = np.array([y * 4 + x for (x, y) in LUMA_BLK_XY], np.int32)
+
+
+def _coded_block_masks(ft: FrameTensors, has_l8: bool):
+    """Coded-block booleans for the sparse residual wire format, derived
+    from the nnz bookkeeping grids the entropy stage already maintains —
+    O(nMB) int8 work instead of scanning every level of the dense
+    coefficient tensors. A decoded block's levels are nonzero by
+    construction (CAVLC total_coeff / CABAC significance), so nnz>0 is
+    exactly "this block has levels to ship". transform-8x8 and PCM MBs set
+    luma nnz for nC/deblock purposes without populating luma_ac, so they
+    are masked out of the 4x4 list (t8 blocks ship via l8; PCM ships as
+    planes). Returns dict key -> bool mask over the flattened block rows,
+    in the same row order as the dense tensors."""
+    mb_h, mb_w, n = ft.mb_h, ft.mb_w, ft.n_mbs
+    pcm = ft.mb_class == MB_I_PCM
+    nnz_raster = (
+        ft.luma_nnz.reshape(mb_h, 4, mb_w, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(n, 16)
+    )
+    nnz_blk = nnz_raster[:, _RASTER_TO_BLK4]
+    skip_mb = ft.transform_8x8 | pcm
+    out = {
+        "l": ((nnz_blk > 0) & ~skip_mb[:, None]).reshape(-1),
+        # chroma 4x4 blk order is raster within the 8x8 (CHROMA_BLK_XY)
+        "c": (
+            (
+                ft.chroma_nnz.reshape(2, mb_h, 2, mb_w, 2)
+                .transpose(1, 3, 0, 2, 4)
+                .reshape(n, 8)
+                > 0
+            )
+            & ~pcm[:, None]
+        ).reshape(-1),
+        # luma DC: cbf_dc is CABAC-only bookkeeping (CAVLC never sets it),
+        # and the tensor is tiny ([n,16] int16) — scan it directly
+        "ld": ft.luma_dc.any(axis=1),
+    }
+    if has_l8:
+        nnz8 = (
+            ft.luma_nnz.reshape(mb_h, 2, 2, mb_w, 2, 2)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(n, 4, 4)
+            .max(axis=2)
+        )
+        out["l8"] = ((nnz8 > 0) & (ft.transform_8x8 & ~pcm)[:, None]).reshape(-1)
+    return out
+
 
 def _mb_avail_grids(ft: FrameTensors, pps: PPS):
     """MB-level intra availability (left/top/topright/topleft) incl. slice
@@ -488,14 +574,36 @@ def _mb_avail_grids(ft: FrameTensors, pps: PPS):
     return nb(0, -1), nb(-1, 0), nb(-1, 1), nb(-1, -1)
 
 
+_IDENTITY_WT_CACHE: dict = {}
+
+
 def _weight_tables(weight_ctx, ref_lists, poc, s_pad: int, r_w: int):
     """Per-slice weighted-prediction tables for the device-side gather.
 
     Identity default everywhere: w=32, o=0, logWD=5 — exact for unweighted
     uni (p*32+16)>>5 = p and for default bi (32p0+32p1+32)>>6 = (p0+p1+1)>>1.
     Explicit slices (7.3.3.2) fill per-(list, ref_idx) entries; implicit
-    slices (8.4.2.3.1) fill the pair-indexed bi tables from POC distances."""
+    slices (8.4.2.3.1) fill the pair-indexed bi tables from POC distances.
+
+    Fully-unweighted frames (the common case) reuse a cached read-only
+    identity table set — callers must not mutate the returned arrays."""
     S, R = s_pad, r_w
+    if all(wmode == "none" for wmode, _ in weight_ctx):
+        key = (S, R)
+        cached = _IDENTITY_WT_CACHE.get(key)
+        if cached is None:
+            cached = _IDENTITY_WT_CACHE[key] = {
+                "w_tab": np.full((S, 2, R), 32, np.int16),
+                "o_tab": np.zeros((S, 2, R), np.int16),
+                "wc_tab": np.full((S, 2, R, 2), 32, np.int16),
+                "oc_tab": np.zeros((S, 2, R, 2), np.int16),
+                "lwd_tab": np.full((S, 2), 5, np.int8),
+                "pw0": np.full((S, R, R), 32, np.int16),
+                "pw1": np.full((S, R, R), 32, np.int16),
+                "pwc0": np.full((S, R, R, 2), 32, np.int16),
+                "pwc1": np.full((S, R, R, 2), 32, np.int16),
+            }
+        return cached
     w_tab = np.full((S, 2, R), 32, np.int16)
     o_tab = np.zeros((S, 2, R), np.int16)
     wc_tab = np.full((S, 2, R, 2), 32, np.int16)
@@ -558,6 +666,63 @@ class TpuDecoder(Decoder):
         self._ring_slots: dict[int, int] = {}  # pic uid -> ring slot
         self._ring_geom = None
         self._r_w = R_W_DEFAULT
+        # two-stage decode pipeline (SURVEY.md section 7.3): the main thread
+        # runs the irreducibly-serial entropy decode; this single worker
+        # runs host prep + device dispatch for the previous picture(s).
+        # Ring state, _ring_slots and _r_w are touched ONLY by the worker,
+        # in submission order, so no locking is needed.
+        self._pipeline = os.environ.get("H264_PIPELINE", "1") != "0"
+        self._recon_exec = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="h264recon")
+            if self._pipeline
+            else None
+        )
+        self._recon_pending: deque[Future] = deque()
+        self._recon_depth = max(1, int(os.environ.get("H264_PIPELINE_DEPTH", "2")))
+
+    def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
+                            weight_ctx, poc):
+        if not self._pipeline:
+            return self._reconstruct(ft, sps, pps, slices, ref_lists,
+                                     weight_ctx, poc)
+        cur_uid = self.uid_counter  # snapshot: main increments it right after
+        while len(self._recon_pending) >= self._recon_depth:
+            self._recon_pending.popleft().result()  # backpressure + errors
+        fut = self._recon_exec.submit(
+            self._recon_task, ft, sps, pps, slices, ref_lists, weight_ctx,
+            poc, cur_uid,
+        )
+        self._recon_pending.append(fut)
+        return _FuturePlane(fut, 0), _FuturePlane(fut, 1), _FuturePlane(fut, 2)
+
+    def _recon_task(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc,
+                    cur_uid):
+        try:
+            m = self.metrics
+            if m is not None:
+                with m.timer("prep"):
+                    return self._reconstruct(
+                        ft, sps, pps, slices, ref_lists, weight_ctx, poc,
+                        cur_uid=cur_uid,
+                    )
+            return self._reconstruct(
+                ft, sps, pps, slices, ref_lists, weight_ctx, poc,
+                cur_uid=cur_uid,
+            )
+        except Exception:
+            if self.error_policy == "strict":
+                raise
+            self.error_count += 1  # degrade: mid-gray frame (error_policy)
+            H, W = ft.mb_h * 16, ft.mb_w * 16
+            return (
+                np.full((H, W), 128, np.uint8),
+                np.full((H // 2, W // 2), 128, np.uint8),
+                np.full((H // 2, W // 2), 128, np.uint8),
+            )
+
+    def _drain_recon(self):
+        while self._recon_pending:
+            self._recon_pending.popleft().result()
 
     def _ensure_ring(self, sps: SPS):
         n_refs = max(1, sps.max_num_ref_frames + 1)
@@ -597,7 +762,10 @@ class TpuDecoder(Decoder):
             self._ring[2] = self._ring[2].at[slot].set(crp)
             self._ring_slots[p.uid] = slot
 
-    def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc):
+    def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc,
+                     cur_uid: int | None = None):
+        if cur_uid is None:
+            cur_uid = self.uid_counter
         if (
             slices[0][0].field_pic_flag
             or slices[0][0].mbaff_frame_flag
@@ -651,10 +819,10 @@ class TpuDecoder(Decoder):
         # exists: the ring has max_num_ref_frames+1 slots)
         cur_slot = self._alloc_slot(live, n_refs)
         if hdr0.nal_ref_idc:
-            self._ring_slots[self.uid_counter] = cur_slot
+            self._ring_slots[cur_uid] = cur_slot
 
         # ---- compact per-part ref slots (expanded to cells on device)
-        slot_lut = np.full(self.uid_counter + 2, -1, np.int32)
+        slot_lut = np.full(cur_uid + 2, -1, np.int32)
         for uid, s in uid_slot.items():
             slot_lut[uid] = s
         rp_parts = ft.ref_pic  # [n, 2, 4] picture uids (or -1/-2)
@@ -711,10 +879,11 @@ class TpuDecoder(Decoder):
         }
         if has_l8:
             sp["l8"] = (ft.luma8_ac.reshape(-1, 64), n // 4)
+        masks = _coded_block_masks(ft, has_l8)
         sp_idx = {}
         sparse = True
         for key, (flat, cap) in sp.items():
-            idx = np.flatnonzero(flat.any(axis=1)).astype(np.int32)
+            idx = np.flatnonzero(masks[key]).astype(np.int32)
             if len(idx) > cap:
                 sparse = False
                 break
@@ -830,16 +999,19 @@ class TpuDecoder(Decoder):
 
 
 def _implicit_w(p0: Picture, p1: Picture, cur_poc: int) -> tuple[int, int]:
-    """8.4.2.3.1 implicit weights (host-side, mirrors the oracle)."""
+    """8.4.2.3.1 implicit weights (host-side, mirrors the oracle).
+
+    Pure scalar integer math: this runs in an O(|l0|*|l1|) loop per B slice
+    on the decode hot path."""
     if p1.poc == p0.poc or p0.long_term or p1.long_term:
         return 32, 32
-    tb = int(np.clip(cur_poc - p0.poc, -128, 127))
-    td = int(np.clip(p1.poc - p0.poc, -128, 127))
+    tb = min(127, max(-128, cur_poc - p0.poc))
+    td = min(127, max(-128, p1.poc - p0.poc))
     if td > 0:
         tx = (16384 + abs(td) // 2) // td
     else:
         tx = -((16384 + abs(td) // 2) // -td)
-    dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
     w1 = dsf >> 2
     if w1 < -64 or w1 > 128:
         return 32, 32
