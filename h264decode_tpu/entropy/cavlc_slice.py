@@ -64,14 +64,48 @@ class CavlcSliceDecoder(SliceDecoderBase):
         return int(self.ft.chroma_nnz[comp, gy, gx])
 
     def luma_nc(self, gx: int, gy: int) -> int:
+        if self.hdr.mbaff_frame_flag:
+            return self._nc_mbaff(gx, gy, comp=None)
         return nc_from_neighbors(
             self._luma_nnz_at(gx - 1, gy), self._luma_nnz_at(gx, gy - 1)
         )
 
     def chroma_nc(self, comp: int, gx: int, gy: int) -> int:
+        if self.hdr.mbaff_frame_flag:
+            return self._nc_mbaff(gx, gy, comp=comp)
         return nc_from_neighbors(
             self._chroma_nnz_at(comp, gx - 1, gy), self._chroma_nnz_at(comp, gx, gy - 1)
         )
+
+    def _nc_mbaff(self, gx: int, gy: int, comp) -> int:
+        """9.2.1 nC for MBAFF slices: neighbor 4x4 blocks via the 6.4.10
+        location mapper. (gx, gy) are the current block's cell coordinates
+        in the repo-wide spatial-local grid layout; neighbor lookups convert
+        to MB-local pixel locations, map, and index the nnz grids back in
+        the neighbor's own local layout."""
+        g = self._nbr_grid()
+        ft = self.ft
+        if comp is None:
+            addr = (gy >> 2) * ft.mb_w + (gx >> 2)
+            x0, y0 = (gx & 3) * 4, (gy & 3) * 4
+            chroma = False
+        else:
+            addr = (gy >> 1) * ft.mb_w + (gx >> 1)
+            x0, y0 = (gx & 1) * 4, (gy & 1) * 4
+            chroma = True
+
+        def at(xN, yN):
+            naddr, xW, yW = g.neighbor(addr, xN, yN, chroma=chroma)
+            if naddr < 0 or not self._mb_available(naddr):
+                return None
+            nmby, nmbx = divmod(naddr, ft.mb_w)
+            if comp is None:
+                return int(ft.luma_nnz[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)])
+            return int(
+                ft.chroma_nnz[comp, nmby * 2 + (yW >> 2), nmbx * 2 + (xW >> 2)]
+            )
+
+        return nc_from_neighbors(at(x0 - 1, y0), at(x0, y0 - 1))
 
     # ------------------------------------------------------------- main loop
 
@@ -216,7 +250,6 @@ class CavlcSliceDecoder(SliceDecoderBase):
         if mb_type == 25:  # I_PCM
             self._parse_pcm(addr)
             return
-        self._require_frame_mb(addr, "intra prediction")
         if mb_type == 0:  # I_NxN
             ft.mb_class[addr] = MB_I_NXN
             t8 = False
@@ -296,11 +329,16 @@ class CavlcSliceDecoder(SliceDecoderBase):
 
     def _parse_intra_nxn_modes(self, addr: int, mbx: int, mby: int, t8: bool) -> None:
         ft, r = self.ft, self.r
+        mbaff = self.hdr.mbaff_frame_flag
         if t8:
             for b8 in range(4):
                 bx, by = b8 % 2, b8 // 2
                 gx, gy = mbx * 4 + bx * 2, mby * 4 + by * 2
-                pred = self._pred_intra4x4_mode(gx, gy)
+                pred = (
+                    self._pred_intra4x4_mode_mbaff(addr, bx * 8, by * 8)
+                    if mbaff
+                    else self._pred_intra4x4_mode(gx, gy)
+                )
                 if r.flag():  # prev_intra8x8_pred_mode_flag
                     mode = pred
                 else:
@@ -312,7 +350,11 @@ class CavlcSliceDecoder(SliceDecoderBase):
             for blk in range(16):
                 bx, by = LUMA_BLK_XY[blk]
                 gx, gy = mbx * 4 + bx, mby * 4 + by
-                pred = self._pred_intra4x4_mode(gx, gy)
+                pred = (
+                    self._pred_intra4x4_mode_mbaff(addr, bx * 4, by * 4)
+                    if mbaff
+                    else self._pred_intra4x4_mode(gx, gy)
+                )
                 if r.flag():  # prev_intra4x4_pred_mode_flag
                     mode = pred
                 else:

@@ -115,6 +115,46 @@ class SliceDecoderBase:
         """spec 6.4.9: neighbor must exist, be decoded, and share the slice."""
         return 0 <= naddr < self.ft.n_mbs and self.ft.slice_id[naddr] == self.slice_id
 
+    def _nbr_grid(self):
+        """6.4.10 MBAFF neighbor-location mapper (lazy; MBAFF slices only)."""
+        g = getattr(self, "_nbr_grid_", None)
+        if g is None:
+            from ..syntax.mbaff_nbr import MbaffGrid
+
+            ft = self.ft
+            g = self._nbr_grid_ = MbaffGrid(
+                ft.mb_w,
+                ft.mb_h,
+                field_at=lambda sp: bool(ft.mb_field[sp]),
+                avail=self._mb_available,
+            )
+        return g
+
+    def _pred_intra4x4_mode_mbaff(self, addr: int, x0: int, y0: int) -> int:
+        """8.3.1.1 for MBAFF slices: neighbors A/B via 6.4.10.4 in MB-local
+        coordinates; the modes/nnz grids store each spatial MB's cells in
+        its OWN local layout, so (naddr, xW, yW) indexes them directly."""
+        g = self._nbr_grid()
+        ft = self.ft
+
+        def mode_nbr(xN, yN):
+            naddr, xW, yW = g.neighbor(addr, xN, yN)
+            if naddr < 0 or not self._mb_available(naddr):
+                return -1
+            cls = ft.mb_class[naddr]
+            if (
+                self.pps.constrained_intra_pred_flag
+                and cls >= 3
+                and cls != MB_SI
+            ):
+                return -1
+            nmby, nmbx = divmod(naddr, ft.mb_w)
+            m = self.modes[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)]
+            return 2 if m < 0 else int(m)
+
+        pred = min(mode_nbr(x0 - 1, y0), mode_nbr(x0, y0 - 1))
+        return 2 if pred < 0 else pred
+
     def _pred_intra4x4_mode(self, gx: int, gy: int) -> int:
         """spec 8.3.1.1. dcPredModePredictedFlag is global over BOTH
         neighbors: if either is unavailable (or CIP-barred), the prediction

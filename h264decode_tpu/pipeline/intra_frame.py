@@ -56,9 +56,20 @@ class IntraFrameReconstructor:
         self.cb = np.zeros((self.H // 2, self.W // 2), np.uint8)
         self.cr = np.zeros((self.H // 2, self.W // 2), np.uint8)
         # decoded 4x4 luma cells (drives spec 6.4 availability exactly under
-        # raster decode order within a slice)
+        # raster decode order within a slice). For MBAFF pictures rows are
+        # each spatial MB's LOCAL cell rows (same convention as the entropy
+        # grids), not picture geometry.
         self.cell_done = np.zeros((ft.mb_h * 4, ft.mb_w * 4), bool)
         self.mb_done = np.zeros(ft.n_mbs, bool)
+        self._grid = None  # 6.4.10 mapper, built lazily for MBAFF pictures
+        if ft.mbaff:
+            from ..syntax.mbaff_nbr import MbaffGrid
+
+            self._grid = MbaffGrid(
+                ft.mb_w, ft.mb_h,
+                field_at=lambda sp: bool(ft.mb_field[sp]),
+                avail=lambda sp: True,  # availability checked by the caller
+            )
         # effective scaling lists
         s4 = pps.effective_scaling_4x4(sps)
         self.ls4 = {
@@ -91,6 +102,109 @@ class IntraFrameReconstructor:
         if naddr == cur_addr:
             return bool(self.cell_done[cy, cx])
         return self._mb_avail_intra(naddr, cur_addr) and bool(self.cell_done[cy, cx])
+
+    # -------------------------------------------------- MBAFF sample access
+    # MBAFF pictures (frame AND field macroblocks) route reference-sample
+    # gathering through the spec 6.4.10 neighbor mapper per SAMPLE location:
+    # with mixed frame/field pairs one block's left references can come from
+    # BOTH macroblocks of the left pair, so block-granular gathering cannot
+    # be exact. Placement interleaves field MBs' rows at their parity inside
+    # the pair's 32-row strip. The reference repo never reconstructs any
+    # pixels (/root/reference/h264/slice.go:599-630).
+
+    def _plane_of(self, idx: int):
+        return (self.y, self.cb, self.cr)[idx]
+
+    def _nbr_px(self, addr: int, xN: int, yN: int, plane_idx: int,
+                chroma: bool):
+        """Reference sample at location (xN, yN) relative to MB `addr`
+        (6.4.10 + 6.4.9 availability + CIP); None if unavailable."""
+        from ..syntax.mbaff_nbr import sample_pos
+
+        ft = self.ft
+        naddr, xW, yW = self._grid.neighbor(addr, xN, yN, chroma=chroma)
+        if naddr < 0:
+            return None
+        if naddr != addr:
+            if not self._mb_avail_intra(naddr, addr):
+                return None
+        sh = 2 if not chroma else 2  # px -> 4x4 cell shift (8px MB = 2 cells)
+        nmby, nmbx = divmod(naddr, ft.mb_w)
+        if chroma:
+            cy, cx = nmby * 4 + (yW >> 2) * 2, nmbx * 4 + (xW >> 2) * 2
+        else:
+            cy, cx = nmby * 4 + (yW >> sh), nmbx * 4 + (xW >> sh)
+        if not self.cell_done[cy, cx]:
+            return None
+        x, y = sample_pos(naddr, bool(ft.mb_field[naddr]), ft.mb_w, xW, yW,
+                          chroma=chroma)
+        return int(self._plane_of(plane_idx)[y, x])
+
+    def _gather(self, addr, locs, plane_idx=0, chroma=False):
+        """[sample or None] for a list of (xN, yN) locations."""
+        return [self._nbr_px(addr, x, y, plane_idx, chroma) for x, y in locs]
+
+    def _put_block(self, addr: int, x0: int, y0: int, block: np.ndarray,
+                   plane_idx: int = 0, chroma: bool = False):
+        """Write a reconstructed block (MB-local origin x0,y0) into the
+        picture, interleaving rows for field MBs."""
+        ft = self.ft
+        plane = self._plane_of(plane_idx)
+        h, w = block.shape
+        row = addr // ft.mb_w
+        mbx = addr % ft.mb_w
+        unit = 8 if chroma else 16
+        x = mbx * unit + x0
+        if not ft.mb_field[addr]:
+            yb = row * unit + y0
+            plane[yb : yb + h, x : x + w] = block
+        else:
+            base = (row & ~1) * unit + (row & 1)
+            rows = base + 2 * (y0 + np.arange(h))
+            plane[rows, x : x + w] = block
+
+    def _refs_mbaff_line(self, addr, n, x0, y0, plane_idx=0, chroma=False):
+        """(left[n], top[n], corner) sample groups for a block at local
+        (x0, y0): group available only when every sample in it is."""
+        left = self._gather(
+            addr, [(x0 - 1, y0 + i) for i in range(n)], plane_idx, chroma
+        )
+        top = self._gather(
+            addr, [(x0 + i, y0 - 1) for i in range(n)], plane_idx, chroma
+        )
+        corner = self._nbr_px(addr, x0 - 1, y0 - 1, plane_idx, chroma)
+        l = (
+            np.asarray(left, np.int32) if all(v is not None for v in left)
+            else None
+        )
+        t = (
+            np.asarray(top, np.int32) if all(v is not None for v in top)
+            else None
+        )
+        return l, t, corner
+
+    def _refs_4x4_mbaff(self, addr, x0, y0):
+        left, top, corner = self._refs_mbaff_line(addr, 4, x0, y0)
+        tr = None
+        if top is not None:
+            trs = self._gather(addr, [(x0 + 4 + i, y0 - 1) for i in range(4)])
+            # 8.3.1.2: unavailable top-right samples substitute p[3,-1]
+            tr = np.asarray(
+                [int(top[3]) if v is None else v for v in trs], np.int32
+            )
+        return left, top, tr, corner
+
+    def _intra8x8_pred_mbaff(self, addr, x0, y0, mode):
+        from .intra8x8 import intra8x8_predict
+
+        left, top, corner = self._refs_mbaff_line(addr, 8, x0, y0)
+        tr = None
+        if top is not None:
+            trs = self._gather(addr, [(x0 + 8 + i, y0 - 1) for i in range(8)])
+            tr = np.asarray(
+                [int(top[7]) if v is None else v for v in trs], np.int32
+            )
+        return intra8x8_predict(mode, left, top, tr, corner)
 
     # ------------------------------------------------------------- main walk
 
@@ -135,6 +249,19 @@ class IntraFrameReconstructor:
             raise NotImplementedError(f"mb class {cls} in frame walker")
         self.cell_done[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         self.mb_done[addr] = True
+
+    def _field_mb(self, addr: int) -> bool:
+        """Field-coded MB: PAFF field picture or MBAFF field pair — selects
+        the FIELD coefficient scan (spec 8.5.6, Tables 8-13/8-14)."""
+        return self.ft.field_pic or bool(self.ft.mb_field[addr])
+
+    def _dz4(self, addr: int, scan16) -> np.ndarray:
+        return rr.descan_4x4(scan16, self._field_mb(addr))
+
+    def _s8(self, addr: int) -> np.ndarray:
+        from ..tensors.frame_tensors import FIELD_SCAN_8x8, ZIGZAG_8x8
+
+        return FIELD_SCAN_8x8 if self._field_mb(addr) else ZIGZAG_8x8
 
     def _bypass(self, addr) -> bool:
         """TransformBypassModeFlag (spec 8.5.15): lossless coding when the
@@ -183,17 +310,23 @@ class IntraFrameReconstructor:
         for blk in range(16):
             bx, by = LUMA_BLK_XY[blk]
             gx, gy = mbx * 4 + bx, mby * 4 + by
-            x0, y0 = gx * 4, gy * 4
             mode = int(ft.intra4x4_modes[addr, blk])
-            left, top, tr, corner = self._refs_4x4(addr, gx, gy)
+            if self._grid is not None:
+                left, top, tr, corner = self._refs_4x4_mbaff(addr, bx * 4, by * 4)
+            else:
+                left, top, tr, corner = self._refs_4x4(addr, gx, gy)
             pred = rr.intra4x4_predict(mode, left, top, tr, corner)
-            c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
             if self._bypass(addr):
                 out = self._dpcm(pred, c, mode)
             else:
                 d = rr.dequant_4x4_ac(c, ls, qp)
                 out = pred + rr.idct_4x4(d)
-            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out).astype(np.uint8)
+            blkpx = rr.clip1(out).astype(np.uint8)
+            if self._grid is not None:
+                self._put_block(addr, bx * 4, by * 4, blkpx)
+            else:
+                self.y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = blkpx
             self.cell_done[gy, gx] = True
 
     # ------------------------------------------------------------- Intra 8x8
@@ -208,12 +341,15 @@ class IntraFrameReconstructor:
             gx, gy = mbx * 4 + bx * 2, mby * 4 + by * 2
             x0, y0 = gx * 4, gy * 4
             mode = int(ft.intra4x4_modes[addr, b8])
-            pred = self._intra8x8_pred(addr, gx, gy, mode)
+            if self._grid is not None:
+                pred = self._intra8x8_pred_mbaff(addr, bx * 8, by * 8, mode)
+            else:
+                pred = self._intra8x8_pred(addr, gx, gy, mode)
             scan = l8[addr, b8].astype(np.int32) if l8 is not None else np.zeros(64, np.int32)
             c = np.zeros(64, np.int32)
             from ..tensors.frame_tensors import ZIGZAG_8x8
 
-            c[ZIGZAG_8x8] = scan
+            c[self._s8(addr)] = scan
             c = c.reshape(8, 8)
             if self._bypass(addr):
                 out = self._dpcm(pred, c, mode)
@@ -223,7 +359,11 @@ class IntraFrameReconstructor:
                 else:
                     d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
                 out = pred + rr.idct_8x8(d)
-            self.y[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(out).astype(np.uint8)
+            blkpx = rr.clip1(out).astype(np.uint8)
+            if self._grid is not None:
+                self._put_block(addr, bx * 8, by * 8, blkpx)
+            else:
+                self.y[y0 : y0 + 8, x0 : x0 + 8] = blkpx
             self.cell_done[gy : gy + 2, gx : gx + 2] = True
 
     def _intra8x8_pred(self, addr, gx, gy, mode):
@@ -257,36 +397,47 @@ class IntraFrameReconstructor:
         qp = int(ft.qp[addr])
         ls = self.ls4[0][qp % 6]
         x0, y0 = mbx * 16, mby * 16
-        have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
-        have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
-        left = self.y[y0 : y0 + 16, x0 - 1].astype(np.int32) if have_l else None
-        top = self.y[y0 - 1, x0 : x0 + 16].astype(np.int32) if have_t else None
-        corner = int(self.y[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+        if self._grid is not None:
+            left, top, corner = self._refs_mbaff_line(addr, 16, 0, 0)
+        else:
+            have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
+            have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
+            left = self.y[y0 : y0 + 16, x0 - 1].astype(np.int32) if have_l else None
+            top = self.y[y0 - 1, x0 : x0 + 16].astype(np.int32) if have_t else None
+            corner = int(self.y[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+        if not (left is not None and top is not None):
+            corner = None  # plane/corner use requires both edges
         mode16 = int(ft.intra16_mode[addr])
         pred = rr.intra16x16_predict(mode16, left, top, corner)
         dc_scan = ft.luma_dc[addr].astype(np.int32)
-        dc = rr.dezigzag_4x4(dc_scan)
+        dc = self._dz4(addr, dc_scan)
         mb = np.zeros((16, 16), np.int32)
         if self._bypass(addr):
             # 8.5.15: DC/AC levels are the raw residual samples
             for blk in range(16):
                 bx, by = LUMA_BLK_XY[blk]
-                c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+                c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
                 c[0, 0] = dc[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
-            self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(
-                self._dpcm(pred, mb, mode16)
-            ).astype(np.uint8)
+            blkpx = rr.clip1(self._dpcm(pred, mb, mode16)).astype(np.uint8)
+            if self._grid is not None:
+                self._put_block(addr, 0, 0, blkpx)
+            else:
+                self.y[y0 : y0 + 16, x0 : x0 + 16] = blkpx
             return
         f = rr.hadamard_4x4(dc)
         dcy = rr.luma_dc_dequant(f, int(ls[0, 0]), qp)
         for blk in range(16):
             bx, by = LUMA_BLK_XY[blk]
-            c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
             d = rr.dequant_4x4_ac(c, ls, qp)
             d[0, 0] = dcy[by, bx]
             mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred + mb).astype(np.uint8)
+        blkpx = rr.clip1(pred + mb).astype(np.uint8)
+        if self._grid is not None:
+            self._put_block(addr, 0, 0, blkpx)
+        else:
+            self.y[y0 : y0 + 16, x0 : x0 + 16] = blkpx
 
     # ---------------------------------------------------------------- Inter
 
@@ -420,7 +571,7 @@ class IntraFrameReconstructor:
         for blk in range(16):
             bx, by = LUMA_BLK_XY[blk]
             pred = pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-            lev = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            lev = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
             out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.sp_luma_block(
                 pred, lev, qp, qs, switching
             )
@@ -438,7 +589,7 @@ class IntraFrameReconstructor:
             qsc = rr.chroma_qp(qs, off)
             dc = ft.chroma_dc[addr, comp].astype(np.int64)
             ac = np.stack([
-                rr.dezigzag_4x4(ft.chroma_ac[addr, comp, k].astype(np.int32))
+                self._dz4(addr, ft.chroma_ac[addr, comp, k].astype(np.int32))
                 for k in range(4)
             ]).astype(np.int64)
             rec = rr.sp_chroma_comp(pred, dc, ac, qpc, qsc, switching)
@@ -460,7 +611,7 @@ class IntraFrameReconstructor:
             mode = int(ft.intra4x4_modes[addr, blk])
             left, top, tr, corner = self._refs_4x4(addr, gx, gy)
             pred = rr.intra4x4_predict(mode, left, top, tr, corner)
-            lev = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+            lev = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
             out = rr.sp_luma_block(pred, lev, qp, qs, switching=True)
             self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out).astype(np.uint8)
             self.cell_done[gy, gx] = True
@@ -480,14 +631,14 @@ class IntraFrameReconstructor:
             if ft.transform_8x8[addr] and ft.luma8_ac is not None:
                 for b8 in range(4):
                     c = np.zeros(64, np.int32)
-                    c[ZIGZAG_8x8] = ft.luma8_ac[addr, b8]
+                    c[self._s8(addr)] = ft.luma8_ac[addr, b8]
                     bx, by = b8 % 2, b8 // 2
                     res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c.reshape(8, 8)
             else:
                 for blk in range(16):
                     bx, by = LUMA_BLK_XY[blk]
-                    res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.dezigzag_4x4(
-                        ft.luma_ac[addr, blk].astype(np.int32)
+                    res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = self._dz4(
+                        addr, ft.luma_ac[addr, blk].astype(np.int32)
                     )
             self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred_y + res).astype(np.uint8)
             if self.sps.chroma_array_type == 1:
@@ -498,7 +649,7 @@ class IntraFrameReconstructor:
                     c2 = ft.chroma_dc[addr, comp].astype(np.int32).reshape(2, 2)
                     for blk in range(4):
                         bx, by = CHROMA_BLK_XY[blk]
-                        c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                        c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                         c[0, 0] = c2[by, bx]
                         mbres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                     plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = rr.clip1(
@@ -512,7 +663,7 @@ class IntraFrameReconstructor:
             for b8 in range(4):
                 bx, by = b8 % 2, b8 // 2
                 c = np.zeros(64, np.int32)
-                c[ZIGZAG_8x8] = ft.luma8_ac[addr, b8].astype(np.int32)
+                c[self._s8(addr)] = ft.luma8_ac[addr, b8].astype(np.int32)
                 c = c.reshape(8, 8)
                 if qp >= 36:
                     d = (c * ls8) << (qp // 6 - 6)
@@ -523,7 +674,7 @@ class IntraFrameReconstructor:
             ls = self.ls4[3][qp % 6]  # list 3: Inter Y
             for blk in range(16):
                 bx, by = LUMA_BLK_XY[blk]
-                c = rr.dezigzag_4x4(ft.luma_ac[addr, blk].astype(np.int32))
+                c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
                 d = rr.dequant_4x4_ac(c, ls, qp)
                 res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
         self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred_y + res).astype(np.uint8)
@@ -546,7 +697,7 @@ class IntraFrameReconstructor:
             mb = np.zeros((8, 8), np.int32)
             for blk in range(4):
                 bx, by = CHROMA_BLK_XY[blk]
-                c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                 d = rr.dequant_4x4_ac(c, ls, qpc)
                 d[0, 0] = dcc[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
@@ -586,9 +737,16 @@ class IntraFrameReconstructor:
         ):
             qpc = rr.chroma_qp(qp_y, qp_off)
             ls = self.ls4[ls_idx][qpc % 6]  # lists 1/2: Intra Cb/Cr
-            left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
-            top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
-            corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+            if self._grid is not None:
+                left, top, corner = self._refs_mbaff_line(
+                    addr, 8, 0, 0, plane_idx=1 + comp, chroma=True
+                )
+                if left is None or top is None:
+                    corner = None
+            else:
+                left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
+                top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
+                corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
             pred = rr.intra_chroma_predict(mode, left, top, corner, None)
             dc_scan = ft.chroma_dc[addr, comp].astype(np.int32)
             c2 = dc_scan.reshape(2, 2)  # raster scan per 8.5.11 note
@@ -596,20 +754,26 @@ class IntraFrameReconstructor:
             if self.bypass_enabled and qpc == 0 and int(ft.qp[addr]) == 0:
                 for blk in range(4):
                     bx, by = CHROMA_BLK_XY[blk]
-                    c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                    c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                     c[0, 0] = c2[by, bx]
                     mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                 # chroma modes: 1 horizontal, 2 vertical (8.3.4 numbering)
                 dmode = 1 if mode == 1 else (0 if mode == 2 else -1)
-                plane[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(
-                    self._dpcm(pred, mb, dmode)
-                ).astype(np.uint8)
+                blkpx = rr.clip1(self._dpcm(pred, mb, dmode)).astype(np.uint8)
+                if self._grid is not None:
+                    self._put_block(addr, 0, 0, blkpx, 1 + comp, chroma=True)
+                else:
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = blkpx
                 continue
             dcc = rr.chroma_dc_dequant(c2, int(ls[0, 0]), qpc)
             for blk in range(4):
                 bx, by = CHROMA_BLK_XY[blk]
-                c = rr.dezigzag_4x4(ft.chroma_ac[addr, comp, blk].astype(np.int32))
+                c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                 d = rr.dequant_4x4_ac(c, ls, qpc)
                 d[0, 0] = dcc[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-            plane[y0 : y0 + 8, x0 : x0 + 8] = rr.clip1(pred + mb).astype(np.uint8)
+            blkpx = rr.clip1(pred + mb).astype(np.uint8)
+            if self._grid is not None:
+                self._put_block(addr, 0, 0, blkpx, 1 + comp, chroma=True)
+            else:
+                plane[y0 : y0 + 8, x0 : x0 + 8] = blkpx

@@ -111,6 +111,19 @@ def dezigzag_4x4(scan16) -> np.ndarray:
     return out.reshape(4, 4)
 
 
+def descan_4x4(scan16, field: bool) -> np.ndarray:
+    """Inverse 4x4 coefficient scan (spec 8.5.6 / Table 8-13): zig-zag for
+    frame-coded macroblocks, field scan for field-coded ones (PAFF pictures,
+    MBAFF field pairs)."""
+    if not field:
+        return dezigzag_4x4(scan16)
+    from ..tensors.frame_tensors import FIELD_SCAN_4x4
+
+    out = np.zeros(16, np.int32)
+    out[FIELD_SCAN_4x4] = scan16
+    return out.reshape(4, 4)
+
+
 def dequant_4x4_ac(c: np.ndarray, ls: np.ndarray, qp: int) -> np.ndarray:
     """spec 8.5.12.1 for a 4x4 residual block (raster c, int32)."""
     if qp >= 24:

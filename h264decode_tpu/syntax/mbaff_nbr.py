@@ -72,8 +72,40 @@ class MbaffGrid:
         if 0 <= xN < maxW and 0 <= yN < maxH:
             return sp, xN, yN
 
-        if xN >= maxW or xN < -maxW or yN >= maxH:
-            return -1, 0, 0  # C-position handled by caller at block level
+        if xN >= 2 * maxW or xN < -maxW or yN >= maxH:
+            return -1, 0, 0
+        if xN >= maxW and yN >= 0:
+            return -1, 0, 0  # right neighbor at same rows: never decoded yet
+        if xN >= maxW:
+            # C position (above-right, yN < 0): mirrors the D/above logic on
+            # the right side. For a frame BOTTOM MB the location is in the
+            # RIGHT pair (strip row 15 + yN + 1 region); all other cases
+            # reach the above-right pair. Decode-order availability (the
+            # right pair decodes later) is enforced by the caller.
+            xW = xN - maxW
+            if not cur_field and is_bottom:
+                if not self._pair_avail(pr, pc + 1):
+                    return -1, 0, 0
+                rtop = self._top_of_pair(pr, pc + 1)
+                if not self.field_at(rtop):
+                    return rtop, xW, maxH + yN  # right pair top MB, row 15
+                return rtop + mb_w, xW, (2 * maxH + yN) >> 1
+            if cur_field and is_bottom:
+                if not self._pair_avail(pr - 1, pc + 1):
+                    return -1, 0, 0
+                ctop = self._top_of_pair(pr - 1, pc + 1)
+                if self.field_at(ctop):
+                    return ctop + mb_w, xW, maxH + yN
+                return ctop + mb_w, xW, maxH + 2 * yN + 1
+            if not self._pair_avail(pr - 1, pc + 1):
+                return -1, 0, 0
+            ctop = self._top_of_pair(pr - 1, pc + 1)
+            nb_field = bool(self.field_at(ctop))
+            if not cur_field:
+                return ctop + mb_w, xW, maxH + yN  # above-right bottom MB
+            if nb_field:
+                return ctop, xW, maxH + yN
+            return ctop + mb_w, xW, maxH + 2 * yN
 
         if yN >= 0:
             # left neighbor (xN < 0): same absolute sample row, re-expressed
@@ -105,24 +137,22 @@ class MbaffGrid:
                 nb_field = bool(self.field_at(ltop))
                 if not nb_field:
                     return ltop, xN + maxW, maxH + yN  # top MB, row 15
-                # field left pair: strip row 15 is odd parity -> bottom MB
-                return ltop + mb_w, xN + maxW, (maxH + yN + maxH) >> 1
+                # field left pair: strip row 15 is odd parity -> bottom
+                # field MB, local row (15)>>1 = 7
+                return ltop + mb_w, xN + maxW, (maxH + yN) >> 1
             if cur_field and is_bottom:
-                # field bottom: above-left is in the LEFT pair (same pair
-                # rows) when the left pair is frame? No: for a bottom FIELD
-                # MB row -1 is the other parity INSIDE its own strip; the
-                # spec sends it to the left pair's matching row. Validated
-                # empirically: left pair, top MB when frame (row 2*0-1+...)
-                # -- see probe tests; fall through to the pair logic below.
-                if pc == 0 or not self._pair_avail(pr, pc - 1):
+                # field bottom: same-parity (bottom) field row -1 lives in
+                # the ABOVE-LEFT pair — bottom field MB row 16+yN when that
+                # pair is field-coded, else picture strip row 32+2*yN+1 =
+                # frame bottom MB row 16+2*yN+1 (mirrors the C-position
+                # logic; pinned vs libavcodec by tests/test_mbaff.py x264
+                # field streams)
+                if pc == 0 or not self._pair_avail(pr - 1, pc - 1):
                     return -1, 0, 0
-                ltop = self._top_of_pair(pr, pc - 1)
-                nb_field = bool(self.field_at(ltop))
-                if nb_field:
-                    return ltop, xN + maxW, maxH + yN  # top field MB row 15
-                # frame left pair: parity-0 row above bottom-field row 0 is
-                # strip row 0..: row (2*yN+1) + ... => strip row 0 + 2*0 - 1
-                return ltop, xN + maxW, maxH + 2 * yN + 1
+                dtop = self._top_of_pair(pr - 1, pc - 1)
+                if self.field_at(dtop):
+                    return dtop + mb_w, xN + maxW, maxH + yN
+                return dtop + mb_w, xN + maxW, maxH + 2 * yN + 1
             # top MB (frame or field): above-left pair's bottom region
             if pc == 0 or not self._pair_avail(pr - 1, pc - 1):
                 return -1, 0, 0

@@ -17,6 +17,25 @@ import numpy as np
 
 # spec Table 8-13: 4x4 zig-zag scan (frame coding): scan index -> raster index
 ZIGZAG_4x4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15], np.int32)
+# spec Table 8-13 (field): 4x4 coefficient scan for FIELD-coded macroblocks
+# (PAFF field pictures and MBAFF field MB pairs); validated against
+# libavcodec by a single-coefficient probe (tests/test_field_scan.py)
+FIELD_SCAN_4x4 = np.array(
+    [0, 4, 1, 8, 12, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15], np.int32
+)
+# spec Table 8-14 (field): 8x8 field scan — extracted from the system
+# libavcodec rodata (h264_slice.o `field_scan8x8`) like the entropy tables
+# (tools/extract_tables.py culture; hand-transcription is how the reference
+# corrupted its CABAC tables, SURVEY.md section 8)
+FIELD_SCAN_8x8 = np.array(
+    [
+        0, 8, 16, 1, 9, 24, 32, 17, 2, 25, 40, 48, 56, 33, 10, 3,
+        18, 41, 49, 57, 26, 11, 4, 19, 34, 42, 50, 58, 27, 12, 5, 20,
+        35, 43, 51, 59, 28, 13, 6, 21, 36, 44, 52, 60, 29, 14, 22, 37,
+        45, 53, 61, 30, 7, 15, 38, 46, 54, 62, 23, 31, 39, 47, 55, 63,
+    ],
+    np.int32,
+)
 # spec Table 8-14: 8x8 zig-zag scan (frame coding)
 ZIGZAG_8x8 = np.array(
     [

@@ -177,3 +177,45 @@ def test_mbaff_x264_frame_pairs(cabac):
         preset="fast", gop=3, extra_x264="interlaced=1",
     )
     _decode_both(bs)
+
+
+def _field_coded_frames(n=4, seed=3, h=96, w=112, mixed=False):
+    """Content that drives x264 (interlaced=1) to field-code MB pairs:
+    strong interfield motion (odd lines shifted per frame). mixed=True
+    shifts only the right half so the left half stays frame-coded —
+    exercising every frame/field crossing of the Table 6-4 mapper.
+    Chroma varies by ROW as well: a field MB placed with consecutive
+    instead of parity-interleaved rows must show (caught a real bug)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        if mixed:
+            base = (128 + 60 * np.sin(xx / 11.0 + yy / 9.0 + i * 0.5)).astype(float)
+            mask = xx >= w // 2
+            shifted = np.roll(base, 6 + 2 * i, axis=1)
+            base[1::2] = np.where(mask[1::2], shifted[1::2], base[1::2])
+        else:
+            base = (128 + 64 * np.sin(xx / 9.0 + (yy // 2) / 5.0 + i * 1.7)).astype(float)
+            base[1::2] = np.roll(base[1::2], 7 + 3 * i, axis=1)
+        y = np.clip(base + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+        cyy, cxx = yy[::2, ::2], xx[::2, ::2]
+        cb = np.clip(90 + 30 * np.sin(cxx / 7.0 + cyy / 5.0 + i), 0, 255).astype(np.uint8)
+        cr = np.clip(150 - 25 * np.cos(cxx / 9.0 - cyy / 6.0 + i), 0, 255).astype(np.uint8)
+        frames.append((y, cb, cr))
+    return frames
+
+
+@pytest.mark.parametrize("mixed", [False, True], ids=["all-field", "mixed-pairs"])
+def test_mbaff_x264_field_intra_cavlc(mixed):
+    """Field MB pairs from a real x264 interlaced encode, intra-only CAVLC:
+    field coefficient scans (Table 8-13/8-14), 6.4.10 neighbor mapping for
+    nC / intra mode prediction / reference samples, and parity-interleaved
+    sample placement — bit-exact vs libavcodec. x264's stderr reports
+    'field mbs: intra: 100%' for the all-field content."""
+    frames = _field_coded_frames(mixed=mixed)
+    bs = lavc.encode_x264(
+        frames, qp=24, profile="high", cabac=False, bframes=0,
+        preset="fast", gop=1, extra_x264="interlaced=1:no-deblock=1",
+    )
+    _decode_both(bs)
