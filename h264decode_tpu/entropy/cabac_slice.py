@@ -55,6 +55,22 @@ CBF_BASE = {0: 85, 1: 89, 2: 93, 3: 97, 4: 101}
 SIG_BASE = {0: 105, 1: 120, 2: 134, 3: 149, 4: 152, 5: 402}
 LAST_BASE = {0: 166, 1: 181, 2: 195, 3: 210, 4: 213, 5: 417}
 LVL_BASE = {0: 227, 1: 237, 2: 247, 3: 257, 4: 266, 5: 426}
+# Field-coded macroblocks (PAFF field pictures, MBAFF field pairs) use the
+# ctxIdxOffset field column of Table 9-40 for the significance map; the
+# level and coded_block_flag contexts are shared with frame coding.
+SIG_BASE_FIELD = {0: 277, 1: 292, 2: 306, 3: 321, 4: 324, 5: 436}
+LAST_BASE_FIELD = {0: 338, 1: 353, 2: 367, 3: 382, 4: 385, 5: 451}
+# Table 9-43 field column for significant_coeff_flag of 8x8 blocks —
+# extracted from the system libavcodec rodata (adjacent to the frame row
+# of significant_coeff_flag_offset_8x8[2][63]), the same trusted route as
+# the other spec tables; pinned end-to-end by the x264 interlaced CABAC
+# golden tests
+SIG_8x8_FIELD = (
+    0, 1, 1, 2, 2, 3, 3, 4, 5, 6, 7, 7, 7, 8, 4, 5,
+    6, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 11, 12, 11,
+    9, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 13, 13, 9,
+    9, 10, 10, 8, 13, 13, 9, 9, 10, 10, 14, 14, 14, 14, 14,
+)
 
 
 class CabacSliceDecoder(SliceDecoderBase):
@@ -163,43 +179,35 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     # ------------------------------------------------------- neighbor utils
 
-    def _nbr_mb(self, addr: int, dx: int, dy: int) -> int:
-        """Neighbor MB address with availability; -1 if unavailable.
-
-        Under MBAFF the above-neighbor follows 6.4.10.5: a bottom FRAME MB
-        neighbors its own pair's top MB; a bottom FIELD MB neighbors the
-        above PAIR (its bottom MB); a top FIELD MB above a field pair takes
-        the same-parity (top) MB of that pair. Left neighbors sit in the
-        same pair row, where the spatial grid already agrees."""
+    def _field_at_for_nbr(self, sp: int) -> bool:
+        """6.4.10 field flag with the 7.4.4 inference: when the current
+        pair's mb_field_decoding_flag has not been decoded yet (mb_skip_flag
+        precedes it), neighbor derivation uses the inferred value."""
         ft = self.ft
+        pair_top = sp - ft.mb_w if (sp // ft.mb_w) & 1 else sp
+        if getattr(self, "_cur_pair_top_unknown", None) == pair_top:
+            return self._infer_pair_field_flag(pair_top)
+        return bool(ft.mb_field[sp])
+
+    def _nbr_mb(self, addr: int, dx: int, dy: int) -> int:
+        """Left/above neighbor MB address with availability; -1 if
+        unavailable. Under MBAFF this is Table 6-4 at luma locations
+        (-1, 0) / (0, -1) via the shared 6.4.10 mapper — with mixed
+        frame/field pairs the neighbor can be either MB of the
+        neighboring pair."""
+        ft = self.ft
+        if self.hdr.mbaff_frame_flag:
+            naddr, _, _ = self._nbr_grid().neighbor(
+                addr, -1 if dx else 0, -1 if dy else 0
+            )
+            if naddr < 0:
+                return -1
+            return naddr if self._mb_available(naddr) else -1
         mbx, mby = ft.mb_xy(addr)
         nx, ny = mbx + dx, mby + dy
         if nx < 0 or ny < 0 or nx >= ft.mb_w:
             return -1
         naddr = ny * ft.mb_w + nx
-        if self.hdr.mbaff_frame_flag and dx == 0 and dy == -1:
-            pair_top = addr - ft.mb_w if mby % 2 else addr
-            if getattr(self, "_cur_pair_top_unknown", None) == pair_top:
-                # current pair's flag not yet decoded (mb_skip_flag comes
-                # first): 7.4.4 inference from the left/above pair
-                cur_field = self._infer_pair_field_flag(pair_top)
-            else:
-                cur_field = bool(ft.mb_field[addr])
-            if mby % 2:  # bottom MB
-                if cur_field:
-                    naddr = addr - 2 * ft.mb_w  # above pair's bottom MB
-                    if naddr < 0:
-                        return -1
-                # else: same-pair top MB == spatial above (naddr already)
-            else:  # top MB: above pair's bottom MB == spatial above
-                above_top = addr - 2 * ft.mb_w
-                if (
-                    cur_field
-                    and above_top >= 0
-                    and ft.mb_field[above_top]
-                    and self._mb_available(above_top)
-                ):
-                    naddr = above_top  # same-parity field neighbor
         return naddr if self._mb_available(naddr) else -1
 
     def _cond_pair(self, addr, cond_fn) -> int:
@@ -431,14 +439,36 @@ class CabacSliceDecoder(SliceDecoderBase):
 
         cbp_a, cbp_b = mb_cbp(la), mb_cbp(ta)
         cbp = 0
-        ctx = (0 if cbp_a & 0x02 else 1) + 2 * (0 if cbp_b & 0x04 else 1)
-        cbp |= e.decision(73 + ctx)
-        ctx = (0 if cbp & 0x01 else 1) + 2 * (0 if cbp_b & 0x08 else 1)
-        cbp |= e.decision(73 + ctx) << 1
-        ctx = (0 if cbp_a & 0x08 else 1) + 2 * (0 if cbp & 0x01 else 1)
-        cbp |= e.decision(73 + ctx) << 2
-        ctx = (0 if cbp & 0x04 else 1) + 2 * (0 if cbp & 0x02 else 1)
-        cbp |= e.decision(73 + ctx) << 3
+        if self.hdr.mbaff_frame_flag:
+            # 6.4.10.7 block-accurate neighbors: with mixed frame/field
+            # pairs the left neighbor of the two 8x8 rows (and the above
+            # of the two columns) can be DIFFERENT MBs
+            g = self._nbr_grid()
+
+            def blk_coded(b8: int, dx: int, dy: int, cbp_so_far: int) -> int:
+                x0, y0 = (b8 % 2) * 8 + dx, (b8 // 2) * 8 + dy
+                naddr, xW, yW = g.neighbor(addr, x0, y0)
+                if naddr < 0 or not self._mb_available(naddr):
+                    return 0  # unavailable counts as coded (condTerm 0)
+                nb8 = (1 if yW >= 8 else 0) * 2 + (1 if xW >= 8 else 0)
+                if naddr == addr:
+                    return 0 if (cbp_so_far >> nb8) & 1 else 1
+                if ft.mb_class[naddr] == MB_I_PCM:
+                    return 0
+                return 0 if (int(ft.cbp[naddr]) >> nb8) & 1 else 1
+
+            for b8 in range(4):
+                ctx = blk_coded(b8, -1, 0, cbp) + 2 * blk_coded(b8, 0, -1, cbp)
+                cbp |= e.decision(73 + ctx) << b8
+        else:
+            ctx = (0 if cbp_a & 0x02 else 1) + 2 * (0 if cbp_b & 0x04 else 1)
+            cbp |= e.decision(73 + ctx)
+            ctx = (0 if cbp & 0x01 else 1) + 2 * (0 if cbp_b & 0x08 else 1)
+            cbp |= e.decision(73 + ctx) << 1
+            ctx = (0 if cbp_a & 0x08 else 1) + 2 * (0 if cbp & 0x01 else 1)
+            cbp |= e.decision(73 + ctx) << 2
+            ctx = (0 if cbp & 0x04 else 1) + 2 * (0 if cbp & 0x02 else 1)
+            cbp |= e.decision(73 + ctx) << 3
         if self.sps.chroma_array_type not in (1, 2):
             return cbp
         ca = (cbp_a >> 4) & 3
@@ -478,6 +508,31 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     # --------------------------------------------------------- cbf contexts
 
+    def _field_coded(self, addr: int) -> bool:
+        """Field-coded MB: PAFF field picture or MBAFF field pair — selects
+        the Table 9-40 field-column significance contexts."""
+        ft = self.ft
+        return bool(ft.field_pic) or bool(ft.mb_field[addr])
+
+    def _cbf_cell_mbaff(self, addr, xN, yN, comp, cur_intra: bool) -> int:
+        """9.3.3.1.1.9 condTermFlag for the 4x4 block containing MB-local
+        location (xN, yN), neighbors resolved via the 6.4.10 mapper
+        (MBAFF slices). comp None = luma, 0/1 = Cb/Cr."""
+        g = self._nbr_grid()
+        ft = self.ft
+        chroma = comp is not None
+        naddr, xW, yW = g.neighbor(addr, xN, yN, chroma=chroma)
+        if naddr < 0 or not self._mb_available(naddr):
+            return 1 if cur_intra else 0
+        if ft.mb_class[naddr] == MB_I_PCM:
+            return 1
+        nmby, nmbx = divmod(naddr, ft.mb_w)
+        if chroma:
+            nnz = ft.chroma_nnz[comp, nmby * 2 + (yW >> 2), nmbx * 2 + (xW >> 2)]
+        else:
+            nnz = ft.luma_nnz[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)]
+        return 1 if nnz > 0 else 0
+
     def _cbf_luma_cell(self, cx: int, cy: int, cur_intra: bool) -> int:
         """condTermFlag for a neighboring luma 4x4 cell (9.3.3.1.1.9)."""
         ft = self.ft
@@ -515,23 +570,27 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     # ------------------------------------------------------ residual blocks
 
-    def _residual_cabac(self, cat: int, n_pos: int, ctx_cbf_inc: int | None):
+    def _residual_cabac(
+        self, cat: int, n_pos: int, ctx_cbf_inc: int | None, field: bool = False
+    ):
         """residual_block_cabac (7.3.5.3.3 + 9.3.3.1.3). Returns a list of
         n_pos levels in scan order (list index = levelListIdx) or None if
         coded_block_flag was decoded as 0. ctx_cbf_inc None means no
-        coded_block_flag is sent (luma 8x8 in 4:2:0)."""
+        coded_block_flag is sent (luma 8x8 in 4:2:0). `field` selects the
+        field-coded significance contexts (Table 9-40 field column)."""
         e = self.e
         if ctx_cbf_inc is not None:
             if not e.decision(CBF_BASE[cat] + ctx_cbf_inc):
                 return None
-        sig_base = SIG_BASE[cat]
-        last_base = LAST_BASE[cat]
+        sig_base = (SIG_BASE_FIELD if field else SIG_BASE)[cat]
+        last_base = (LAST_BASE_FIELD if field else LAST_BASE)[cat]
+        sig_8x8 = SIG_8x8_FIELD if field else SIG_8x8
         sig = [False] * n_pos
         num = n_pos
         i = 0
         while i < num - 1:
             if cat == 5:
-                s_inc = SIG_8x8[i]
+                s_inc = sig_8x8[i]
                 l_inc = LAST_8x8[i]
             elif cat == 3:
                 s_inc = min(i, 2)
@@ -608,7 +667,6 @@ class CabacSliceDecoder(SliceDecoderBase):
         if mb_type == 25:
             self._parse_pcm(addr)
             return
-        self._require_frame_mb(addr, "intra prediction")
         if mb_type == 0:  # I_NxN
             ft.mb_class[addr] = MB_I_NXN
             t8 = False
@@ -641,7 +699,7 @@ class CabacSliceDecoder(SliceDecoderBase):
             inc = self._cbf_dc(self._nbr_mb(addr, -1, 0), 0, True) + 2 * self._cbf_dc(
                 self._nbr_mb(addr, 0, -1), 0, True
             )
-            levels = self._residual_cabac(0, 16, inc)
+            levels = self._residual_cabac(0, 16, inc, self._field_coded(addr))
             ft.cbf_dc[addr, 0] = 0 if levels is None else 1
             if levels is not None:
                 ft.luma_dc[addr] = levels
@@ -678,6 +736,7 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     def _parse_intra_nxn_modes(self, addr, mbx, mby, t8):
         ft, e = self.ft, self.e
+        mbaff = self.hdr.mbaff_frame_flag
         n = 4 if t8 else 16
         for blk in range(n):
             if t8:
@@ -685,7 +744,11 @@ class CabacSliceDecoder(SliceDecoderBase):
             else:
                 bx, by = LUMA_BLK_XY[blk]
             gx, gy = mbx * 4 + bx, mby * 4 + by
-            pred = self._pred_intra4x4_mode(gx, gy)
+            pred = (
+                self._pred_intra4x4_mode_mbaff(addr, bx * 4, by * 4)
+                if mbaff
+                else self._pred_intra4x4_mode(gx, gy)
+            )
             if e.decision(68):  # prev_intraNxN_pred_mode_flag
                 mode = pred
             else:
@@ -893,6 +956,8 @@ class CabacSliceDecoder(SliceDecoderBase):
     def _parse_luma_residual(self, addr, mbx, mby, cbp_luma, *, i16, t8):
         ft = self.ft
         cur_intra = ft.mb_class[addr] < 3
+        fld = self._field_coded(addr)
+        mbaff = self.hdr.mbaff_frame_flag
         if t8:
             l8 = ft.ensure_luma8()
             for b8 in range(4):
@@ -901,7 +966,7 @@ class CabacSliceDecoder(SliceDecoderBase):
                 if not (cbp_luma & (1 << b8)):
                     ft.luma_nnz[gy : gy + 2, gx : gx + 2] = 0
                     continue
-                levels = self._residual_cabac(5, 64, None)
+                levels = self._residual_cabac(5, 64, None, fld)
                 nz = sum(1 for v in levels if v)
                 l8[addr, b8] = levels
                 # replicate coded status to cells (nC/cbf/deblock lookups)
@@ -918,10 +983,17 @@ class CabacSliceDecoder(SliceDecoderBase):
                 if not coded:
                     ft.luma_nnz[gy, gx] = 0
                     continue
-                inc = self._cbf_luma_cell(gx - 1, gy, cur_intra) + 2 * self._cbf_luma_cell(
-                    gx, gy - 1, cur_intra
-                )
-                levels = self._residual_cabac(cat, n_pos, inc)
+                if mbaff:
+                    inc = self._cbf_cell_mbaff(
+                        addr, bx * 4 - 1, by * 4, None, cur_intra
+                    ) + 2 * self._cbf_cell_mbaff(
+                        addr, bx * 4, by * 4 - 1, None, cur_intra
+                    )
+                else:
+                    inc = self._cbf_luma_cell(
+                        gx - 1, gy, cur_intra
+                    ) + 2 * self._cbf_luma_cell(gx, gy - 1, cur_intra)
+                levels = self._residual_cabac(cat, n_pos, inc, fld)
                 if levels is None:
                     ft.luma_nnz[gy, gx] = 0
                     continue
@@ -937,6 +1009,8 @@ class CabacSliceDecoder(SliceDecoderBase):
             return
         ft = self.ft
         cur_intra = ft.mb_class[addr] < 3
+        fld = self._field_coded(addr)
+        mbaff = self.hdr.mbaff_frame_flag
         if cbp_chroma & 3:
             for comp in range(2):
                 la = self._nbr_mb(addr, -1, 0)
@@ -944,7 +1018,7 @@ class CabacSliceDecoder(SliceDecoderBase):
                 inc = self._cbf_dc(la, 1 + comp, cur_intra) + 2 * self._cbf_dc(
                     ta, 1 + comp, cur_intra
                 )
-                levels = self._residual_cabac(3, 4, inc)
+                levels = self._residual_cabac(3, 4, inc, fld)
                 ft.cbf_dc[addr, 1 + comp] = 0 if levels is None else 1
                 if levels is not None:
                     ft.chroma_dc[addr, comp] = levels
@@ -955,10 +1029,17 @@ class CabacSliceDecoder(SliceDecoderBase):
                 if not (cbp_chroma & 2):
                     ft.chroma_nnz[comp, gy, gx] = 0
                     continue
-                inc = self._cbf_chroma_cell(
-                    comp, gx - 1, gy, cur_intra
-                ) + 2 * self._cbf_chroma_cell(comp, gx, gy - 1, cur_intra)
-                levels = self._residual_cabac(4, 15, inc)
+                if mbaff:
+                    inc = self._cbf_cell_mbaff(
+                        addr, bx * 4 - 1, by * 4, comp, cur_intra
+                    ) + 2 * self._cbf_cell_mbaff(
+                        addr, bx * 4, by * 4 - 1, comp, cur_intra
+                    )
+                else:
+                    inc = self._cbf_chroma_cell(
+                        comp, gx - 1, gy, cur_intra
+                    ) + 2 * self._cbf_chroma_cell(comp, gx, gy - 1, cur_intra)
+                levels = self._residual_cabac(4, 15, inc, fld)
                 if levels is None:
                     ft.chroma_nnz[comp, gy, gx] = 0
                     continue

@@ -125,10 +125,16 @@ class SliceDecoderBase:
             g = self._nbr_grid_ = MbaffGrid(
                 ft.mb_w,
                 ft.mb_h,
-                field_at=lambda sp: bool(ft.mb_field[sp]),
+                field_at=self._field_at_for_nbr,
                 avail=self._mb_available,
             )
         return g
+
+    def _field_at_for_nbr(self, sp: int) -> bool:
+        """mb_field flag feeding 6.4.10 derivation. The CABAC decoder
+        overrides this with the 7.4.4 inference for the current pair when
+        mb_skip_flag precedes mb_field_decoding_flag."""
+        return bool(self.ft.mb_field[sp])
 
     def _pred_intra4x4_mode_mbaff(self, addr: int, x0: int, y0: int) -> int:
         """8.3.1.1 for MBAFF slices: neighbors A/B via 6.4.10.4 in MB-local
