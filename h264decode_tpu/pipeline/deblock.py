@@ -29,10 +29,12 @@ def _bs_internal_intra() -> int:
     return 3
 
 
-def _mv_bs(ft: FrameTensors, addr_p, blk_p, addr_q, blk_q) -> int:
+def _mv_bs(ft: FrameTensors, addr_p, blk_p, addr_q, blk_q, thresh_y: int = 4) -> int:
     """bS 0/1 derivation from motion data, spec 8.7.2.1: different reference
     PICTURES (not indices), different vector count, or any component
-    differing by >= 4 quarter-pel units. Handles uni- and bi-prediction."""
+    differing by >= 4 quarter-pel units (vertical: >= thresh_y — 2 for
+    field-coded MBs whose MVs are in quarter FIELD units). Handles uni- and
+    bi-prediction."""
 
     def sides(addr, blk):
         part = (blk // 8) * 2 + (blk % 4) // 2
@@ -56,7 +58,7 @@ def _mv_bs(ft: FrameTensors, addr_p, blk_p, addr_q, blk_q) -> int:
         return 1
 
     def mv_far(a, b):
-        return abs(a[1] - b[1]) >= 4 or abs(a[2] - b[2]) >= 4
+        return abs(a[1] - b[1]) >= 4 or abs(a[2] - b[2]) >= thresh_y
 
     if len(p) == 1:
         return 1 if mv_far(p[0], q[0]) else 0
@@ -117,7 +119,11 @@ def _boundary_strengths(
         else:
             blk_p = (py % 4) * 4 + (px % 4)  # raster 4x4 idx within MB
             blk_q = (qy % 4) * 4 + (qx % 4)
-            bs[line] = _mv_bs(ft, addr_p, blk_p, addr_q, blk_q)
+            # field pictures carry quarter-FIELD-unit vertical MVs: the
+            # spec's 4-quarter-frame-sample threshold is 2 field units
+            bs[line] = _mv_bs(
+                ft, addr_p, blk_p, addr_q, blk_q, 2 if ft.field_pic else 4
+            )
     return bs
 
 
@@ -197,17 +203,322 @@ def _filter_chroma_lines(p, q, bs, index_a, index_b):
     return np.stack([new_p0, p1]), np.stack([new_q0, q1])
 
 
+def _mb_rows(ft: FrameTensors, addr: int, unit: int = 16) -> np.ndarray:
+    """Picture row indices of the MB's `unit` sample rows in its own
+    geometry: consecutive for frame MBs, parity-interleaved for MBAFF
+    field MBs."""
+    row = addr // ft.mb_w
+    if ft.mbaff and ft.mb_field[addr]:
+        base = (row & ~1) * unit
+        return base + (row & 1) + 2 * np.arange(unit)
+    return row * unit + np.arange(unit)
+
+
+def _bs_pair(
+    ft: FrameTensors,
+    addr_p: int,
+    px: int,
+    py: int,
+    addr_q: int,
+    qx: int,
+    qy: int,
+    vertical: bool,
+    mb_edge: bool,
+) -> int:
+    """8.7.2.1 bS for one sample line given the two 4x4 cells astride it in
+    GLOBAL spatial-local cell coordinates (cell row = spatial mby*4 +
+    MB-local cell row — the MBAFF grid layout)."""
+    intra_p = _is_intra(ft.mb_class[addr_p]) or ft.sp_slice_mb[addr_p]
+    intra_q = _is_intra(ft.mb_class[addr_q]) or ft.sp_slice_mb[addr_q]
+    fld_p = bool(ft.mb_field[addr_p]) or ft.field_pic
+    fld_q = bool(ft.mb_field[addr_q]) or ft.field_pic
+    mixed = fld_p != fld_q
+    if intra_p or intra_q:
+        strong = mb_edge and (vertical or not (fld_p or fld_q))
+        return 4 if strong else 3
+    if _cell_coded(ft, addr_p, px, py) or _cell_coded(ft, addr_q, qx, qy):
+        return 2
+    if mixed:
+        # frame/field mixed inter edge: motion is in different units (8.7.2.1)
+        return 1
+    blk_p = (py % 4) * 4 + (px % 4)
+    blk_q = (qy % 4) * 4 + (qx % 4)
+    return _mv_bs(ft, addr_p, blk_p, addr_q, blk_q, 2 if fld_p else 4)
+
+
+def _deblock_mbaff_picture(
+    ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+):
+    """spec 8.7 for an MBAFF picture containing field MB pairs. Per-MB slow
+    path in pair decode order with explicit sample-row indexing: a field
+    MB's edges live on its parity-interleaved rows; frame/field crossings
+    at pair boundaries follow the Table 6-4 mapper per sample line, and a
+    frame MB below a field pair filters its top edge as TWO stride-2
+    sub-edges (one per parity). The reference decodes no pixels at all
+    (/root/reference/h264/slice.go)."""
+    from ..syntax.mbaff_nbr import MbaffGrid
+
+    grid = MbaffGrid(
+        ft.mb_w, ft.mb_h,
+        field_at=lambda sp: bool(ft.mb_field[sp]),
+        avail=lambda sp: True,
+    )
+    w_mb, h_mb = ft.mb_w, ft.mb_h
+
+    def cqp(qp_p, qp_q, off):
+        return (chroma_qp(qp_p, off) + chroma_qp(qp_q, off) + 1) >> 1
+
+    def filter_luma_cols(rows, x, bs, ia, ib):
+        p = np.stack([y[rows, x - 1 - k] for k in range(4)])
+        q = np.stack([y[rows, x + k] for k in range(4)])
+        p, q = _filter_luma_lines(p, q, bs, ia, ib)
+        for k in range(3):
+            y[rows, x - 1 - k] = p[k]
+            y[rows, x + k] = q[k]
+
+    def filter_luma_rows(prow, qrow, cols, bs, ia, ib):
+        """prow/qrow: arrays of 4 row indices each (p0..p3 / q0..q3)."""
+        p = np.stack([y[prow[k], cols] for k in range(4)])
+        q = np.stack([y[qrow[k], cols] for k in range(4)])
+        p, q = _filter_luma_lines(p, q, bs, ia, ib)
+        for k in range(3):
+            y[prow[k], cols] = p[k]
+            y[qrow[k], cols] = q[k]
+
+    def filter_chroma_cols(crows, cx, cbs, qp_p, qp_q, a_off, b_off):
+        for plane, off in ((cb, pps.chroma_qp_index_offset),
+                           (cr, pps.second_chroma_qp_index_offset)):
+            qpc = cqp(qp_p, qp_q, off)
+            ia = np.clip(qpc + a_off, 0, 51)
+            ib = np.clip(qpc + b_off, 0, 51)
+            p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
+            q = np.stack([plane[crows, cx + k] for k in range(2)])
+            p, q = _filter_chroma_lines(p, q, cbs, ia, ib)
+            plane[crows, cx - 1] = p[0]
+            plane[crows, cx] = q[0]
+
+    def filter_chroma_rows(prow, qrow, ccols, cbs, qp_p, qp_q, a_off, b_off):
+        for plane, off in ((cb, pps.chroma_qp_index_offset),
+                           (cr, pps.second_chroma_qp_index_offset)):
+            qpc = cqp(qp_p, qp_q, off)
+            ia = np.clip(qpc + a_off, 0, 51)
+            ib = np.clip(qpc + b_off, 0, 51)
+            p = np.stack([plane[prow[k], ccols] for k in range(2)])
+            q = np.stack([plane[qrow[k], ccols] for k in range(2)])
+            p, q = _filter_chroma_lines(p, q, cbs, ia, ib)
+            plane[prow[0], ccols] = p[0]
+            plane[qrow[0], ccols] = q[0]
+
+    scan = [
+        (2 * pr + tb) * w_mb + pc
+        for pr in range(h_mb // 2)
+        for pc in range(w_mb)
+        for tb in (0, 1)
+    ]
+    for addr in scan:
+        if ft.disable_deblock[addr] == 1:
+            continue
+        mby, mbx = divmod(addr, w_mb)
+        fld = bool(ft.mb_field[addr])
+        rows = _mb_rows(ft, addr)
+        crows = _mb_rows(ft, addr, 8)
+        qp_q = int(ft.qp[addr])
+        a_off = int(ft.alpha_off[addr])
+        b_off = int(ft.beta_off[addr])
+        t8 = bool(ft.transform_8x8[addr])
+        edges = [0, 1, 2, 3] if not t8 else [0, 2]
+
+        def same_slice(p_addr):
+            return (
+                ft.disable_deblock[addr] != 2
+                or ft.slice_id[p_addr] == ft.slice_id[addr]
+            )
+
+        # ---------------- vertical edges (same picture rows both sides)
+        for edge in edges:
+            x = mbx * 16 + edge * 4
+            if edge == 0 and mbx == 0:
+                continue
+            bs = np.zeros(16, np.int32)
+            qp_p_line = np.full(16, qp_q, np.int32)
+            skip_all = True
+            for line in range(16):
+                qx, qy = mbx * 4 + edge, mby * 4 + line // 4
+                if edge:
+                    addr_p, px, py = addr, qx - 1, qy
+                else:
+                    naddr, xW, yW = grid.neighbor(addr, -1, line)
+                    if naddr < 0 or not same_slice(naddr):
+                        continue
+                    nmby, nmbx = divmod(naddr, w_mb)
+                    addr_p = naddr
+                    px, py = nmbx * 4 + (xW >> 2), nmby * 4 + (yW >> 2)
+                skip_all = False
+                bs[line] = _bs_pair(ft, addr_p, px, py, addr, qx, qy, True, edge == 0)
+                qp_p_line[line] = ft.qp[addr_p]
+            if skip_all or not bs.any():
+                continue
+            qp_av = (qp_p_line + qp_q + 1) >> 1
+            ia = np.clip(qp_av + a_off, 0, 51)
+            ib = np.clip(qp_av + b_off, 0, 51)
+            filter_luma_cols(rows, x, bs, ia, ib)
+            if edge in (0, 2):
+                cx = mbx * 8 + edge * 2
+                # per-line chroma qp: derive per pair of luma lines
+                for plane, off in ((cb, pps.chroma_qp_index_offset),
+                                   (cr, pps.second_chroma_qp_index_offset)):
+                    qpc_av = (
+                        np.array([chroma_qp(int(q_), off) for q_ in qp_p_line[::2]])
+                        + chroma_qp(qp_q, off) + 1
+                    ) >> 1
+                    ia_c = np.clip(qpc_av + a_off, 0, 51)
+                    ib_c = np.clip(qpc_av + b_off, 0, 51)
+                    p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
+                    q = np.stack([plane[crows, cx + k] for k in range(2)])
+                    p, q = _filter_chroma_lines(p, q, bs[::2], ia_c, ib_c)
+                    plane[crows, cx - 1] = p[0]
+                    plane[crows, cx] = q[0]
+
+        # ---------------- horizontal edges
+        cols = slice(mbx * 16, mbx * 16 + 16)
+        ccols = slice(mbx * 8, mbx * 8 + 8)
+        # top MB edge
+        pair_top = addr - w_mb if mby & 1 else addr
+        if not fld and (mby & 1):
+            # frame bottom MB: edge vs own pair's top (frame) MB
+            addr_p = pair_top
+            if same_slice(addr_p):
+                bs = np.zeros(16, np.int32)
+                for line in range(16):
+                    qx = mbx * 4 + line // 4
+                    bs[line] = _bs_pair(
+                        ft, addr_p, qx, (mby - 1) * 4 + 3, addr, qx, mby * 4,
+                        False, True,
+                    )
+                if bs.any():
+                    qp_p = int(ft.qp[addr_p])
+                    qp_av = (qp_p + qp_q + 1) >> 1
+                    ia = np.clip(qp_av + a_off, 0, 51)
+                    ib = np.clip(qp_av + b_off, 0, 51)
+                    prow = [rows[0] - 1 - k for k in range(4)]
+                    qrow = [rows[0] + k for k in range(4)]
+                    filter_luma_rows(prow, qrow, cols, bs, ia, ib)
+                    filter_chroma_rows(
+                        [crows[0] - 1 - k for k in range(2)],
+                        [crows[0] + k for k in range(2)],
+                        ccols, bs[::2], qp_p, qp_q, a_off, b_off,
+                    )
+        elif (mby // 2) >= 1:
+            # field MB (either slot) or frame top MB: edge vs the above pair
+            pr = mby // 2
+            if True:
+                above_top = (2 * (pr - 1)) * w_mb + mbx
+                above_fld = bool(ft.mb_field[above_top])
+                if not fld and above_fld:
+                    # frame MB below a field pair: TWO stride-2 sub-edges
+                    for par in (0, 1):
+                        addr_p = above_top + par * w_mb
+                        if not same_slice(addr_p):
+                            continue
+                        bs = np.zeros(16, np.int32)
+                        for line in range(16):
+                            qx = mbx * 4 + line // 4
+                            bs[line] = _bs_pair(
+                                ft, addr_p, qx, (2 * (pr - 1) + par) * 4 + 3,
+                                addr, qx, mby * 4, False, True,
+                            )
+                        if not bs.any():
+                            continue
+                        qp_p = int(ft.qp[addr_p])
+                        qp_av = (qp_p + qp_q + 1) >> 1
+                        ia = np.clip(qp_av + a_off, 0, 51)
+                        ib = np.clip(qp_av + b_off, 0, 51)
+                        y0 = mby * 16
+                        prow = [y0 + par - 2 * (k + 1) for k in range(4)]
+                        qrow = [y0 + par + 2 * k for k in range(4)]
+                        filter_luma_rows(prow, qrow, cols, bs, ia, ib)
+                        cy0 = mby * 8
+                        filter_chroma_rows(
+                            [cy0 + par - 2 * (k + 1) for k in range(2)],
+                            [cy0 + par + 2 * k for k in range(2)],
+                            ccols, bs[::2], qp_p, qp_q, a_off, b_off,
+                        )
+                else:
+                    # p side: owner of the same-geometry row above q0
+                    if fld:
+                        par = mby & 1
+                        if above_fld:
+                            addr_p = above_top + par * w_mb
+                            p_cell_row = (2 * (pr - 1) + par) * 4 + 3
+                        else:
+                            addr_p = above_top + w_mb  # frame bottom MB
+                            # p0 = picture row 32*pr - 2 + par -> local 14+par
+                            p_cell_row = (2 * (pr - 1) + 1) * 4 + 3
+                    else:
+                        addr_p = above_top + w_mb
+                        p_cell_row = (2 * (pr - 1) + 1) * 4 + 3
+                    if not same_slice(addr_p):
+                        continue
+                    bs = np.zeros(16, np.int32)
+                    for line in range(16):
+                        qx = mbx * 4 + line // 4
+                        bs[line] = _bs_pair(
+                            ft, addr_p, qx, p_cell_row, addr, qx, mby * 4,
+                            False, True,
+                        )
+                    if not bs.any():
+                        continue
+                    qp_p = int(ft.qp[addr_p])
+                    qp_av = (qp_p + qp_q + 1) >> 1
+                    ia = np.clip(qp_av + a_off, 0, 51)
+                    ib = np.clip(qp_av + b_off, 0, 51)
+                    if fld:
+                        prow = [rows[0] - 2 * (k + 1) for k in range(4)]
+                        crow_p = [crows[0] - 2 * (k + 1) for k in range(2)]
+                    else:
+                        prow = [rows[0] - 1 - k for k in range(4)]
+                        crow_p = [crows[0] - 1 - k for k in range(2)]
+                    qrow = [rows[0] + (2 if fld else 1) * k for k in range(4)]
+                    filter_luma_rows(prow, qrow, cols, bs, ia, ib)
+                    filter_chroma_rows(
+                        crow_p,
+                        [crows[0] + (2 if fld else 1) * k for k in range(2)],
+                        ccols, bs[::2], qp_p, qp_q, a_off, b_off,
+                    )
+        # internal edges: both sides inside this MB (its own geometry)
+        for edge in edges[1:]:
+            yy0 = edge * 4
+            bs = np.zeros(16, np.int32)
+            for line in range(16):
+                qx, qy = mbx * 4 + line // 4, mby * 4 + edge
+                bs[line] = _bs_pair(ft, addr, qx, qy - 1, addr, qx, qy, False, False)
+            if not bs.any():
+                continue
+            ia = np.clip(qp_q + a_off, 0, 51)
+            ib = np.clip(qp_q + b_off, 0, 51)
+            filter_luma_rows(
+                rows[yy0 - 1 :: -1][:4], rows[yy0 : yy0 + 4], cols, bs, ia, ib
+            )
+            if edge == 2:
+                filter_chroma_rows(
+                    crows[3::-1][:2], crows[4:6], ccols, bs[::2],
+                    qp_q, qp_q, a_off, b_off,
+                )
+    return y, cb, cr
+
+
 def deblock_frame(
     ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
 ):
     """Apply spec 8.7 in place over copies; returns filtered planes."""
     if ft.mb_field.any():
-        # MBAFF field MBs need the 8.7 field-edge cases (mixed-pair bS,
-        # field-row filtering). Frame-coded pairs reduce to the frame
-        # filter below; field pairs are only decodable with the filter off.
         if (ft.disable_deblock == 1).all():
             return y, cb, cr
-        raise NotImplementedError("MBAFF field-pair deblocking")
+        y = y.astype(np.int32)
+        cb = cb.astype(np.int32)
+        cr = cr.astype(np.int32)
+        y, cb, cr = _deblock_mbaff_picture(ft, sps, pps, y, cb, cr)
+        return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
     y = y.astype(np.int32)
     cb = cb.astype(np.int32)
     cr = cr.astype(np.int32)

@@ -206,9 +206,10 @@ def _field_coded_frames(n=4, seed=3, h=96, w=112, mixed=False):
     return frames
 
 
+@pytest.mark.parametrize("deblock", [False, True], ids=["nodb", "deblock"])
 @pytest.mark.parametrize("cabac", [False, True], ids=["cavlc", "cabac"])
 @pytest.mark.parametrize("mixed", [False, True], ids=["all-field", "mixed-pairs"])
-def test_mbaff_x264_field_intra(mixed, cabac):
+def test_mbaff_x264_field_intra(mixed, cabac, deblock):
     """Field MB pairs from a real x264 interlaced encode, intra-only:
     field coefficient scans (Table 8-13/8-14), 6.4.10 neighbor mapping for
     nC / CABAC contexts / intra mode prediction / reference samples, and
@@ -217,8 +218,9 @@ def test_mbaff_x264_field_intra(mixed, cabac):
     the Table 9-43 field 8x8 significance map. x264's stderr reports
     'field mbs: intra: 100%' for the all-field content."""
     frames = _field_coded_frames(mixed=mixed)
+    opt = "interlaced=1" + ("" if deblock else ":no-deblock=1")
     bs = lavc.encode_x264(
         frames, qp=24, profile="high", cabac=cabac, bframes=0,
-        preset="fast", gop=1, extra_x264="interlaced=1:no-deblock=1",
+        preset="fast", gop=1, extra_x264=opt,
     )
     _decode_both(bs)
