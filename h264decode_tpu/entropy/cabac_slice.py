@@ -335,8 +335,19 @@ class CabacSliceDecoder(SliceDecoderBase):
         return t
 
     def _refctx_at(self, lst: int, cx: int, cy: int) -> int:
-        """ref value for the ref_idx context (early-visible grid)."""
+        """ref value for the ref_idx context (early-visible grid), with the
+        9.3.3.1.1.6 MBAFF unit conversion (a frame neighbor's ref k reads
+        as 2k in a field MB's list and vice versa)."""
         m = self.motion
+        if m.grid is not None:
+            rc = m.resolve_cell(cx, cy)
+            if rc is None:
+                return -2
+            naddr, gcx, gcy = rc
+            r = int(m.refctx[lst, gcy, gcx])
+            if r >= 0:
+                _, r = m._convert(naddr, (0, 0), r)
+            return r
         h4, w4 = m.refctx.shape[1], m.refctx.shape[2]
         if cx < 0 or cy < 0 or cx >= w4 or cy >= h4:
             return -2
@@ -378,6 +389,23 @@ class CabacSliceDecoder(SliceDecoderBase):
         am = self.motion.absmvd
 
         def absmvd_at(cx, cy):
+            m = self.motion
+            if m.grid is not None:
+                rc = m.resolve_cell(cx, cy)
+                if rc is None:
+                    return 0
+                naddr, gcx, gcy = rc
+                if not self._mb_available(naddr):
+                    return 0
+                v = int(am[lst, gcy, gcx, comp])
+                # 9.3.3.1.1.7: vertical |mvd| scales across frame/field
+                if comp == 1:
+                    nf = bool(m.mb_field[naddr])
+                    if nf and not m.cur_field:
+                        v *= 2
+                    elif m.cur_field and not nf:
+                        v //= 2
+                return v
             if cx < 0 or cy < 0 or cx >= am.shape[2] or cy >= am.shape[1]:
                 return 0
             naddr = (cy >> 2) * self.ft.mb_w + (cx >> 2)
@@ -767,11 +795,13 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     def _parse_p_mb(self, addr: int, mb_type: int) -> None:
         ft = self.ft
-        self._require_frame_mb(addr, "inter prediction")
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         ft.mb_class[addr] = MB_P
-        n_ref = self.hdr.num_ref_idx_l0_active_minus1 + 1
+        # 7.4.5.1: a field MB indexes a per-field list of twice the size
+        n_ref = (self.hdr.num_ref_idx_l0_active_minus1 + 1) * (
+            2 if (self.hdr.mbaff_frame_flag and ft.mb_field[addr]) else 1
+        )
         motion = self.motion
         motion.ref[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1
         motion.refctx[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1

@@ -368,12 +368,14 @@ class CavlcSliceDecoder(SliceDecoderBase):
     def _parse_p_mb(self, addr: int, mb_type: int) -> None:
         """P macroblock, spec 7.3.5.1/7.3.5.2 + 8.4.1.3 MV reconstruction."""
         ft, r = self.ft, self.r
-        self._require_frame_mb(addr, "inter prediction")
         self.res_r = self._res_reader(intra=False)
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         ft.mb_class[addr] = MB_P
-        n_ref = self.hdr.num_ref_idx_l0_active_minus1 + 1
+        # 7.4.5.1: a field MB indexes a per-field list of twice the size
+        n_ref = (self.hdr.num_ref_idx_l0_active_minus1 + 1) * (
+            2 if (self.hdr.mbaff_frame_flag and ft.mb_field[addr]) else 1
+        )
         motion = self.motion
         motion.ref[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1
         motion.refctx[1, by0 : by0 + 4, bx0 : bx0 + 4] = -1

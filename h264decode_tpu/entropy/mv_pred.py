@@ -33,9 +33,46 @@ class MotionContext:
         self.refctx = np.full((2, mb_h * 4, mb_w * 4), UNAVAILABLE, np.int8)
         self.slice_id = slice_id_per_mb  # shared with FrameTensors
         self.cur_slice = -1
+        # MBAFF mode (8.4.1.3.2): neighbor derivation through the 6.4.10
+        # mapper with frame<->field unit conversion. Grids hold each MB's
+        # data in its OWN units at its spatial-local cells.
+        self.grid = None
+        self.mb_field = None
+        self.cur_addr = -1
+        self.cur_field = False
+        self._cur_cx0 = self._cur_cy0 = 0
+
+    def enable_mbaff(self, grid, mb_field) -> None:
+        self.grid = grid
+        self.mb_field = mb_field
+
+    def begin_mb(self, addr: int) -> None:
+        """Set the current MB for MBAFF neighbor derivation."""
+        if self.grid is None:
+            return
+        self.cur_addr = addr
+        self.cur_field = bool(self.mb_field[addr])
+        mby, mbx = divmod(addr, self.mb_w)
+        self._cur_cx0, self._cur_cy0 = mbx * 4, mby * 4
+
+    def _convert(self, naddr: int, mv, ref):
+        """8.4.1.3.2 unit conversion when neighbor and current differ in
+        frame/field coding: field refs double per frame (2k = same parity),
+        vertical MVs halve per field row."""
+        nf = bool(self.mb_field[naddr])
+        if nf == self.cur_field or ref < 0:
+            return mv, ref
+        if self.cur_field:  # neighbor is a frame MB
+            vy = mv[1]
+            return (mv[0], vy // 2 if vy >= 0 else -((-vy) // 2)), ref * 2
+        return (mv[0], mv[1] * 2), ref >> 1
 
     def cell(self, lst: int, cx: int, cy: int):
-        """Returns (mv[2], ref) with availability semantics applied."""
+        """Returns (mv[2], ref) with availability semantics applied. Under
+        MBAFF (cx, cy) are interpreted relative to the current MB and routed
+        through the Table 6-4 mapper with unit conversion."""
+        if self.grid is not None:
+            return self._cell_mbaff(lst, cx, cy)
         h4, w4 = self.ref.shape[1], self.ref.shape[2]
         if cx < 0 or cy < 0 or cx >= w4 or cy >= h4:
             return (0, 0), UNAVAILABLE
@@ -46,6 +83,35 @@ class MotionContext:
         if r == UNAVAILABLE:
             return (0, 0), UNAVAILABLE
         return (int(self.mv[lst, cy, cx, 0]), int(self.mv[lst, cy, cx, 1])), r
+
+    def resolve_cell(self, cx: int, cy: int):
+        """MBAFF: (cx, cy) spatial-local cell query relative to the current
+        MB -> (naddr, gcx, gcy) of the neighboring cell, or None."""
+        px = (cx - self._cur_cx0) * 4
+        py = (cy - self._cur_cy0) * 4
+        if px < 0:
+            px += 3  # -1: rightmost column of the left neighbor cell
+        if py < 0:
+            py += 3
+        naddr, xW, yW = self.grid.neighbor(self.cur_addr, px, py)
+        if naddr < 0 or self.slice_id[naddr] != self.cur_slice:
+            return None
+        nmby, nmbx = divmod(naddr, self.mb_w)
+        return naddr, nmbx * 4 + (xW >> 2), nmby * 4 + (yW >> 2)
+
+    def _cell_mbaff(self, lst: int, cx: int, cy: int):
+        """MBAFF cell lookup: (cx, cy) in spatial-local cell coordinates;
+        locations outside the current MB resolve via the 6.4.10 mapper at a
+        representative sample of the queried cell."""
+        rc = self.resolve_cell(cx, cy)
+        if rc is None:
+            return (0, 0), UNAVAILABLE
+        naddr, gcx, gcy = rc
+        r = int(self.ref[lst, gcy, gcx])
+        if r == UNAVAILABLE:
+            return (0, 0), UNAVAILABLE
+        mv = (int(self.mv[lst, gcy, gcx, 0]), int(self.mv[lst, gcy, gcx, 1]))
+        return self._convert(naddr, mv, r)
 
     def set_cells(self, lst, bx, by, w, h, mv, ref):
         self.mv[lst, by : by + h, bx : bx + w] = mv

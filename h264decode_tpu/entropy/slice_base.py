@@ -225,8 +225,8 @@ class SliceDecoderBase:
 
     def _decode_skip_mb(self, spatial_addr: int) -> None:
         """Skip decode shared by the MBAFF walkers (pair flag already set)."""
-        self._require_frame_mb(spatial_addr, "inter prediction")
         if self.hdr.is_b:
+            self._require_frame_mb(spatial_addr, "B direct prediction")
             self._decode_b_skip(spatial_addr)
         else:
             self._decode_p_skip(spatial_addr)
@@ -241,25 +241,44 @@ class SliceDecoderBase:
     # --------------------------------------------------------- motion store
 
     def _store_part(self, addr, dx, dy, w, h, mv, ref, lst=0):
-        """Mirror a decoded partition into the FrameTensors SoA arrays."""
+        """Mirror a decoded partition into the FrameTensors SoA arrays.
+
+        Field MBs (MBAFF) carry FIELD ref indices (8.4.2.1: index 2k is the
+        same-parity field of frame-list entry k, 2k+1 the opposite); the
+        referenced frame uid and field parity are resolved here so recon
+        and deblock never re-derive list semantics."""
         ft = self.ft
         uids = self.ref_uids_l0 if lst == 0 else self.ref_uids_l1
         for cy in range(dy, dy + h):
             for cx in range(dx, dx + w):
                 blk = cy * 4 + cx
                 ft.mv[addr, lst, blk] = mv
+        fld = self.hdr.mbaff_frame_flag and bool(ft.mb_field[addr])
+        if fld and ref >= 0:
+            mb_par = (addr // ft.mb_w) & 1
+            frame_ref = ref >> 1
+            parity = mb_par if (ref & 1) == 0 else 1 - mb_par
+            uid = uids[frame_ref] if frame_ref < len(uids) else -1
+        else:
+            frame_ref = ref
+            parity = -1
+            uid = uids[ref] if 0 <= ref < len(uids) else -1
         for py in range(dy // 2, (dy + h + 1) // 2):
             for px in range(dx // 2, (dx + w + 1) // 2):
                 part = py * 2 + px
                 ft.ref_idx[addr, lst, part] = ref
                 ft.pred_flags[addr, lst, part] = 1 if ref >= 0 else 0
-                ft.ref_pic[addr, lst, part] = (
-                    uids[ref] if 0 <= ref < len(uids) else -1
-                )
+                ft.ref_pic[addr, lst, part] = uid
+                ft.ref_parity[addr, lst, part] = parity
 
     def _mb_prelude(self, addr: int) -> None:
         """Common per-MB bookkeeping before any syntax parsing."""
         ft = self.ft
+        if self.hdr.mbaff_frame_flag and self.motion is not None:
+            # rebind per slice: the grid's availability closure is this
+            # slice decoder's (6.4.9 same-slice gating)
+            self.motion.enable_mbaff(self._nbr_grid(), ft.mb_field)
+            self.motion.begin_mb(addr)
         ft.slice_id[addr] = self.slice_id
         ft.sp_slice_mb[addr] = self.hdr.is_sp or self.hdr.is_si
         ft.decode_order.append(addr)
@@ -295,11 +314,7 @@ class SliceDecoderBase:
         self.motion.set_cells(0, bx, by, 4, 4, mv, 0)
         self.motion.ref[1, by : by + 4, bx : bx + 4] = -1
         self.motion.refctx[1, by : by + 4, bx : bx + 4] = -1
-        ft.mv[addr, 0, :, 0] = mv[0]
-        ft.mv[addr, 0, :, 1] = mv[1]
-        ft.ref_idx[addr, 0] = 0
-        ft.pred_flags[addr, 0] = 1
-        ft.ref_pic[addr, 0] = self.ref_uids_l0[0]
+        self._store_part(addr, 0, 0, 4, 4, mv, 0)
         ft.luma_nnz[by : by + 4, bx : bx + 4] = 0
         ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
 

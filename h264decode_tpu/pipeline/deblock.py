@@ -43,7 +43,13 @@ def _mv_bs(ft: FrameTensors, addr_p, blk_p, addr_q, blk_q, thresh_y: int = 4) ->
             if ft.ref_pic[addr, lst, part] >= 0:
                 used.append(
                     (
-                        int(ft.ref_pic[addr, lst, part]),
+                        # reference identity = (picture uid, field parity):
+                        # two field MBs referencing different fields of the
+                        # same frame use different reference pictures
+                        (
+                            int(ft.ref_pic[addr, lst, part]),
+                            int(ft.ref_parity[addr, lst, part]),
+                        ),
                         int(ft.mv[addr, lst, blk, 0]),
                         int(ft.mv[addr, lst, blk, 1]),
                     )

@@ -115,6 +115,18 @@ class IntraFrameReconstructor:
     def _plane_of(self, idx: int):
         return (self.y, self.cb, self.cr)[idx]
 
+    def _field_view(self, pic, parity: int):
+        """Cached field view of a frame reference (8.4.2.1), for MBAFF
+        field-MB motion compensation."""
+        cache = getattr(self, "_field_views", None)
+        if cache is None:
+            cache = self._field_views = {}
+        key = (pic.uid, parity)
+        v = cache.get(key)
+        if v is None:
+            v = cache[key] = pic.field(parity)
+        return v
+
     def _nbr_px(self, addr: int, xN: int, yN: int, plane_idx: int,
                 chroma: bool):
         """Reference sample at location (xN, yN) relative to MB `addr`
@@ -478,6 +490,13 @@ class IntraFrameReconstructor:
         pred_cb = np.zeros((8, 8), np.int32)
         pred_cr = np.zeros((8, 8), np.int32)
         chroma = self.sps.chroma_array_type == 1
+        # MBAFF field MB: prediction runs in FIELD geometry — field ref
+        # views (8.4.2.1: field idx 2k/2k+1 over the frame list), field-row
+        # coordinates, and the MB's own parity for the 8.4.1.4 chroma shift
+        fld = self._grid is not None and bool(ft.mb_field[addr])
+        mb_par = (addr // ft.mb_w) & 1 if fld else self.cur_parity
+        y0m = (mby // 2) * 16 if fld else y0
+        cy0m = (mby // 2) * 8 if fld else mby * 8
         # per 4x4 luma cell (MVs are constant within partitions, and the
         # interpolation filters are local, so cell granularity is exact)
         for cy in range(4):
@@ -490,9 +509,16 @@ class IntraFrameReconstructor:
                     if ref_idx < 0 or not lists[lst]:
                         continue
                     mvx, mvy = (int(v) for v in ft.mv[addr, lst, blk])
-                    ref = lists[lst][ref_idx]
+                    if fld:
+                        widx = ref_idx >> 1  # pred-weight index: frame entry
+                        ref = self._field_view(
+                            lists[lst][widx], int(ft.ref_parity[addr, lst, part])
+                        )
+                    else:
+                        widx = ref_idx
+                        ref = lists[lst][ref_idx]
                     py = luma_mc_block(
-                        ref.y, x0 + cx * 4, y0 + cy * 4, 4, 4, mvx, mvy
+                        ref.y, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
                     )
                     pcb = pcr = None
                     if chroma:
@@ -500,17 +526,17 @@ class IntraFrameReconstructor:
                         # reference field shifts the chroma vertical MV by
                         # +-2 (1/8-pel chroma units)
                         cvy = mvy
-                        if self.cur_parity >= 0 and ref.parity >= 0 and (
-                            ref.parity != self.cur_parity
+                        if mb_par >= 0 and ref.parity >= 0 and (
+                            ref.parity != mb_par
                         ):
-                            cvy += 2 if self.cur_parity == 1 else -2
+                            cvy += 2 if mb_par == 1 else -2
                         pcb = chroma_mc_block(
-                            ref.cb, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, cvy
+                            ref.cb, mbx * 8 + cx * 2, cy0m + cy * 2, 2, 2, mvx, cvy
                         )
                         pcr = chroma_mc_block(
-                            ref.cr, mbx * 8 + cx * 2, mby * 8 + cy * 2, 2, 2, mvx, cvy
+                            ref.cr, mbx * 8 + cx * 2, cy0m + cy * 2, 2, 2, mvx, cvy
                         )
-                    preds.append((lst, ref_idx, ref, py, pcb, pcr))
+                    preds.append((lst, widx, ref, py, pcb, pcr))
                 if len(preds) == 1:
                     lst, ref_idx, ref, py, pcb, pcr = preds[0]
                     if wmode == "explicit":
@@ -620,6 +646,16 @@ class IntraFrameReconstructor:
             pred_cb, pred_cr = self._chroma_pred(addr, mbx, mby)
             self._sp_chroma(addr, mbx, mby, pred_cb, pred_cr, qp, qs, True)
 
+    def _put_mb(self, addr, mbx, mby, plane_idx, block, chroma=False):
+        """Final MB write: interleaved for MBAFF field MBs, direct else."""
+        if self._grid is not None:
+            self._put_block(addr, 0, 0, block, plane_idx, chroma=chroma)
+        else:
+            unit = 8 if chroma else 16
+            plane = self._plane_of(plane_idx)
+            plane[mby * unit : mby * unit + unit,
+                  mbx * unit : mbx * unit + unit] = block
+
     def _add_inter_residual(self, addr, mbx, mby, pred_y, pred_cb, pred_cr):
         ft = self.ft
         qp = int(ft.qp[addr])
@@ -640,7 +676,7 @@ class IntraFrameReconstructor:
                     res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = self._dz4(
                         addr, ft.luma_ac[addr, blk].astype(np.int32)
                     )
-            self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred_y + res).astype(np.uint8)
+            self._put_mb(addr, mbx, mby, 0, rr.clip1(pred_y + res).astype(np.uint8))
             if self.sps.chroma_array_type == 1:
                 for comp, (plane, pred) in enumerate(
                     ((self.cb, pred_cb), (self.cr, pred_cr))
@@ -652,9 +688,8 @@ class IntraFrameReconstructor:
                         c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                         c[0, 0] = c2[by, bx]
                         mbres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
-                    plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = rr.clip1(
-                        pred + mbres
-                    ).astype(np.uint8)
+                    self._put_mb(addr, mbx, mby, 1 + comp,
+                                 rr.clip1(pred + mbres).astype(np.uint8), chroma=True)
             return
         if ft.transform_8x8[addr] and ft.luma8_ac is not None:
             ls8 = self.ls8[1][qp % 6]  # 8x8 list 1: Inter Y
@@ -677,7 +712,7 @@ class IntraFrameReconstructor:
                 c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
                 d = rr.dequant_4x4_ac(c, ls, qp)
                 res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(pred_y + res).astype(np.uint8)
+        self._put_mb(addr, mbx, mby, 0, rr.clip1(pred_y + res).astype(np.uint8))
         if self.sps.chroma_array_type == 0:
             return
         cx0, cy0 = mbx * 8, mby * 8
@@ -701,7 +736,8 @@ class IntraFrameReconstructor:
                 d = rr.dequant_4x4_ac(c, ls, qpc)
                 d[0, 0] = dcc[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = rr.clip1(pred + mb).astype(np.uint8)
+            self._put_mb(addr, mbx, mby, 1 + comp,
+                         rr.clip1(pred + mb).astype(np.uint8), chroma=True)
 
     # --------------------------------------------------------------- Chroma
 

@@ -109,6 +109,9 @@ class FrameTensors:
     ref_idx: np.ndarray = None  # [nMB,2,4] int8: list, 8x8 part; -1 = unused
     pred_flags: np.ndarray = None  # [nMB,2,4] uint8: list used per 8x8 part
     ref_pic: np.ndarray = None  # [nMB,2,4] int32: global picture uid per part (-1)
+    # [nMB,2,4] int8: referenced FIELD parity for MBAFF field MBs (0 top,
+    # 1 bottom); -1 = frame reference (frame MBs, PAFF handled by list)
+    ref_parity: np.ndarray = None
 
     # deblocking inputs
     mbaff: bool = False  # picture uses MBAFF coding (pair-ordered scan)
@@ -166,6 +169,8 @@ class FrameTensors:
             self.pred_flags = np.zeros((n, 2, 4), np.uint8)
         if self.ref_pic is None:
             self.ref_pic = np.full((n, 2, 4), -1, np.int32)
+        if self.ref_parity is None:
+            self.ref_parity = np.full((n, 2, 4), -1, np.int8)
         if self.mb_field is None:
             self.mb_field = np.zeros(n, bool)
         if self.slice_id is None:

@@ -473,6 +473,11 @@ def mbaff_p_slice(
         else:
             _, mvd_x, mvd_y = act
             w.ue(0)  # mb_type P_L0_16x16
+            if pair_flags[addr_m // 2]:
+                # field MB: the per-field list doubles (7.4.5.1) so with one
+                # frame reference ref_idx_l0 is coded — te(cMax 1) single
+                # bit, INVERTED (0 -> bit 1); pick index 0 = same parity
+                w.u(1, 1)
             w.se(mvd_x)
             w.se(mvd_y)
             w.ue(0)  # coded_block_pattern = 0 (inter me(0))

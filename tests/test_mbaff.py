@@ -138,8 +138,10 @@ def test_mbaff_p_with_field_pcm_pairs():
     _decode_both(data)
 
 
-def test_mbaff_field_pair_prediction_gated():
-    """Field pairs with predicted (non-PCM) MBs must raise, not mis-decode."""
+def test_mbaff_field_pair_p_prediction():
+    """Field pairs with predicted (non-PCM) P MBs decode bit-exactly:
+    field ref lists (8.4.2.1), field-unit MV prediction (8.4.1.3.2) and
+    field MC with parity-interleaved placement."""
     ref = _planes(8)
     cur = _planes(9)
     flags = [True] + [False] * (N_PAIRS - 1)
@@ -147,8 +149,7 @@ def test_mbaff_field_pair_prediction_gated():
     data = _headers() + mbaff_pcm_slice(
         ref, MB_W, [False] * N_PAIRS, frame_num=0, idr=True
     ) + mbaff_p_slice(cur, MB_W, actions, flags, frame_num=1, poc_lsb=2)
-    with pytest.raises(NotImplementedError):
-        Decoder().decode_stream(data)
+    _decode_both(data)
 
 
 @pytest.mark.parametrize("cabac", [False, True], ids=["cavlc", "cabac"])
@@ -222,5 +223,21 @@ def test_mbaff_x264_field_intra(mixed, cabac, deblock):
     bs = lavc.encode_x264(
         frames, qp=24, profile="high", cabac=cabac, bframes=0,
         preset="fast", gop=1, extra_x264=opt,
+    )
+    _decode_both(bs)
+
+
+@pytest.mark.parametrize("cabac", [False, True], ids=["cavlc", "cabac"])
+@pytest.mark.parametrize("mixed", [False, True], ids=["all-field", "mixed-pairs"])
+def test_mbaff_x264_field_p_inter(mixed, cabac):
+    """P-slice MBAFF field inter from real x264 interlaced encodes:
+    doubled field reference lists (7.4.5.1/8.4.2.1), frame<->field MV
+    unit conversion in prediction (8.4.1.3.2), field MC with the 8.4.1.4
+    cross-parity chroma shift, P_Skip over field pairs, and field-edge
+    deblocking — bit-exact vs libavcodec."""
+    frames = _field_coded_frames(n=6, mixed=mixed)
+    bs = lavc.encode_x264(
+        frames, qp=25, profile="high", cabac=cabac, bframes=0,
+        preset="fast", gop=3, extra_x264="interlaced=1",
     )
     _decode_both(bs)
