@@ -364,9 +364,16 @@ class CabacSliceDecoder(SliceDecoderBase):
             ref = self._refctx_at(lst, cx, cy)
             if ref <= 0:
                 return 0
-            naddr = (cy >> 2) * self.ft.mb_w + (cx >> 2)
-            if self.hdr.is_b and self.ft.mb_class[naddr] in (MB_B_SKIP, MB_B_DIRECT):
-                return 0
+            if self.hdr.is_b:
+                # 9.3.3.1.1.6: a DIRECT-predicted PARTITION (B_Skip,
+                # B_Direct_16x16, or a B_Direct_8x8 sub-partition of an
+                # otherwise explicit B_8x8 MB) contributes 0
+                if motion.grid is not None:
+                    rc = motion.resolve_cell(cx, cy)
+                    if rc is None or motion.direct[rc[2], rc[1]]:
+                        return 0
+                elif motion.direct[cy, cx]:
+                    return 0
             return 1
 
         inc = cond(bx - 1, by) + 2 * cond(bx, by - 1)
@@ -858,13 +865,13 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     def _parse_b_mb(self, addr: int, mb_type: int) -> None:
         ft = self.ft
-        self._require_frame_mb(addr, "inter prediction")
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         motion = self.motion
+        _fx = 2 if (self.hdr.mbaff_frame_flag and ft.mb_field[addr]) else 1
         n_ref = (
-            self.hdr.num_ref_idx_l0_active_minus1 + 1,
-            self.hdr.num_ref_idx_l1_active_minus1 + 1,
+            (self.hdr.num_ref_idx_l0_active_minus1 + 1) * _fx,
+            (self.hdr.num_ref_idx_l1_active_minus1 + 1) * _fx,
         )
         self._b_no_sub_lt_8x8 = True
         if mb_type == 0:

@@ -437,14 +437,14 @@ class CavlcSliceDecoder(SliceDecoderBase):
     def _parse_b_mb(self, addr: int, mb_type: int) -> None:
         """B macroblock, Table 7-14 + spec 7.3.5.1/7.3.5.2 + 8.4.1."""
         ft, r = self.ft, self.r
-        self._require_frame_mb(addr, "inter prediction")
         self.res_r = self._res_reader(intra=False)
         mbx, mby = ft.mb_xy(addr)
         bx0, by0 = mbx * 4, mby * 4
         motion = self.motion
+        _fx = 2 if (self.hdr.mbaff_frame_flag and ft.mb_field[addr]) else 1
         n_ref = (
-            self.hdr.num_ref_idx_l0_active_minus1 + 1,
-            self.hdr.num_ref_idx_l1_active_minus1 + 1,
+            (self.hdr.num_ref_idx_l0_active_minus1 + 1) * _fx,
+            (self.hdr.num_ref_idx_l1_active_minus1 + 1) * _fx,
         )
         no_sub_lt_8x8 = True
         if mb_type == 0:  # B_Direct_16x16

@@ -34,6 +34,12 @@ class DirectContext:
     cur_poc: int
     spatial: bool
     direct_8x8_inference: bool
+    # MBAFF (8.4.1.2.1 AFRM cases): current picture tensors, the colocated
+    # picture's per-MB field flags, and its field order counts
+    cur_ft: object = None
+    col_mb_field: np.ndarray | None = None
+    col_top_poc: int = 0
+    col_bottom_poc: int = 0
 
     def ref_idx_l0_of_uid(self, uid: int) -> int:
         """Lowest list0 index referring to the given picture (8.4.1.2.3)."""
@@ -71,6 +77,57 @@ def _col_cell(ctx: DirectContext, cx: int, cy: int, q: int, bx0: int, by0: int):
     return cx, cy
 
 
+def _col_motion(ctx: DirectContext, ccx: int, ccy: int):
+    """(refIdxCol, mvCol) for the colocated cell of current spatial-local
+    cell (ccx, ccy) — the 8.4.1.2.1 AFRM frame/field crossings: the col
+    grids are in the col picture's own spatial-local layout and per-MB
+    units; vertMvScale converts Frm<->Fld vertical units. Returns
+    (None, None) when no colocated data exists."""
+    if ctx.col_ref_idx is None:
+        return None, None
+    ft = ctx.cur_ft
+    mb_w = ft.mb_w if ft is not None else 0
+    if ft is None or not getattr(ft, "mbaff", False):
+        return int(ctx.col_ref_idx[ccy, ccx]), ctx.col_mv[ccy, ccx]
+    addr = (ccy // 4) * mb_w + (ccx // 4)
+    row = addr // mb_w
+    pr, par = row // 2, row & 1
+    ly = ccy - row * 4
+    cur_fld = bool(ft.mb_field[addr])
+    cfa = ctx.col_mb_field
+    pair_top = 2 * pr * mb_w + (addr % mb_w)
+
+    def grid_at(col_addr, cell_row):
+        gy = (col_addr // mb_w) * 4 + cell_row
+        return int(ctx.col_ref_idx[gy, ccx]), ctx.col_mv[gy, ccx]
+
+    col_pair_fld = bool(cfa[pair_top]) if cfa is not None else False
+    if cur_fld == col_pair_fld:
+        # same coding: colocated MB is the same spatial slot, same units
+        return int(ctx.col_ref_idx[ccy, ccx]), ctx.col_mv[ccy, ccx]
+    if cur_fld:
+        # current FIELD, colocated FRAME pair (Frm_To_Fld): picture strip
+        # row 8*ly + par selects the top/bottom frame MB; vertical halves
+        s = 8 * ly + par
+        col_addr = pair_top + (mb_w if s >= 16 else 0)
+        cref, cmv = grid_at(col_addr, (s % 16) >> 2)
+        vy = int(cmv[1])
+        return cref, (int(cmv[0]), vy // 2 if vy >= 0 else -((-vy) // 2))
+    # current FRAME, colocated FIELD pair (Fld_To_Frm): the field whose POC
+    # is closer to the current picture; field row = strip row / 2; vertical
+    # doubles
+    par_sel = (
+        1
+        if abs(ctx.col_bottom_poc - ctx.cur_poc)
+        < abs(ctx.col_top_poc - ctx.cur_poc)
+        else 0
+    )
+    s = 16 * par + 4 * ly
+    col_addr = pair_top + (mb_w if par_sel else 0)
+    cref, cmv = grid_at(col_addr, (s >> 1) >> 2)
+    return cref, (int(cmv[0]), int(cmv[1]) * 2)
+
+
 def _spatial_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
     """8.4.1.2.2: spatial direct."""
     # MinPositive over the 16x16 partition neighbors, per list
@@ -104,8 +161,7 @@ def _spatial_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
                     and ctx.col_ref_idx is not None
                     and ctx.col_is_short_term
                 ):
-                    cref = int(ctx.col_ref_idx[ccy, ccx])
-                    cmv = ctx.col_mv[ccy, ccx]
+                    cref, cmv = _col_motion(ctx, ccx, ccy)
                     col_zero = (
                         cref == 0 and abs(int(cmv[0])) <= 1 and abs(int(cmv[1])) <= 1
                     )
@@ -124,6 +180,12 @@ def _spatial_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
 
 def _temporal_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
     """8.4.1.2.3: temporal direct (POC-distance scaled colocated vectors)."""
+    ft = ctx.cur_ft
+    if ft is not None and getattr(ft, "mbaff", False) and ft.mb_field.any():
+        # field POC pairing + Fld/Frm vector scaling for temporal direct is
+        # not wired; encoders use spatial direct for interlaced content
+        # (x264 forces it) — gate rather than mis-decode
+        raise NotImplementedError("temporal direct in MBAFF field pictures")
     out = []
     for q in range(4):
         qx, qy = bx0 + (q % 2) * 2, by0 + (q // 2) * 2

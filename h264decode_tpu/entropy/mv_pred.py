@@ -31,6 +31,10 @@ class MotionContext:
         # updated as soon as each ref_idx is PARSED (same-MB partitions are
         # context-visible before their MVs are reconstructed, 9.3.3.1.1.6)
         self.refctx = np.full((2, mb_h * 4, mb_w * 4), UNAVAILABLE, np.int8)
+        # direct-predicted cells (B_Skip / B_Direct_16x16 / B_Direct_8x8
+        # sub-partitions): excluded from the CABAC ref_idx context
+        # (9.3.3.1.1.6 — per PARTITION, not per macroblock)
+        self.direct = np.zeros((mb_h * 4, mb_w * 4), bool)
         self.slice_id = slice_id_per_mb  # shared with FrameTensors
         self.cur_slice = -1
         # MBAFF mode (8.4.1.3.2): neighbor derivation through the 6.4.10

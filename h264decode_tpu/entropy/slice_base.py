@@ -226,7 +226,6 @@ class SliceDecoderBase:
     def _decode_skip_mb(self, spatial_addr: int) -> None:
         """Skip decode shared by the MBAFF walkers (pair flag already set)."""
         if self.hdr.is_b:
-            self._require_frame_mb(spatial_addr, "B direct prediction")
             self._decode_b_skip(spatial_addr)
         else:
             self._decode_p_skip(spatial_addr)
@@ -297,6 +296,7 @@ class SliceDecoderBase:
         """Write one direct quadrant's cells into grids + tensors."""
         motion = self.motion
         for cx, cy, mv0, ref0, mv1, ref1 in cells:
+            motion.direct[cy, cx] = True
             for lst, (mv, ref) in enumerate(((mv0, ref0), (mv1, ref1))):
                 motion.set_cells(lst, cx, cy, 1, 1, mv, ref if ref >= 0 else -1)
                 self._store_part(addr, cx % 4, cy % 4, 1, 1, mv, ref, lst)

@@ -463,34 +463,32 @@ def _deblock_mbaff_picture(
                     else:
                         addr_p = above_top + w_mb
                         p_cell_row = (2 * (pr - 1) + 1) * 4 + 3
-                    if not same_slice(addr_p):
-                        continue
                     bs = np.zeros(16, np.int32)
-                    for line in range(16):
-                        qx = mbx * 4 + line // 4
-                        bs[line] = _bs_pair(
-                            ft, addr_p, qx, p_cell_row, addr, qx, mby * 4,
-                            False, True,
+                    if same_slice(addr_p):
+                        for line in range(16):
+                            qx = mbx * 4 + line // 4
+                            bs[line] = _bs_pair(
+                                ft, addr_p, qx, p_cell_row, addr, qx, mby * 4,
+                                False, True,
+                            )
+                    if bs.any():  # NOT continue: internal edges still follow
+                        qp_p = int(ft.qp[addr_p])
+                        qp_av = (qp_p + qp_q + 1) >> 1
+                        ia = np.clip(qp_av + a_off, 0, 51)
+                        ib = np.clip(qp_av + b_off, 0, 51)
+                        if fld:
+                            prow = [rows[0] - 2 * (k + 1) for k in range(4)]
+                            crow_p = [crows[0] - 2 * (k + 1) for k in range(2)]
+                        else:
+                            prow = [rows[0] - 1 - k for k in range(4)]
+                            crow_p = [crows[0] - 1 - k for k in range(2)]
+                        qrow = [rows[0] + (2 if fld else 1) * k for k in range(4)]
+                        filter_luma_rows(prow, qrow, cols, bs, ia, ib)
+                        filter_chroma_rows(
+                            crow_p,
+                            [crows[0] + (2 if fld else 1) * k for k in range(2)],
+                            ccols, bs[::2], qp_p, qp_q, a_off, b_off,
                         )
-                    if not bs.any():
-                        continue
-                    qp_p = int(ft.qp[addr_p])
-                    qp_av = (qp_p + qp_q + 1) >> 1
-                    ia = np.clip(qp_av + a_off, 0, 51)
-                    ib = np.clip(qp_av + b_off, 0, 51)
-                    if fld:
-                        prow = [rows[0] - 2 * (k + 1) for k in range(4)]
-                        crow_p = [crows[0] - 2 * (k + 1) for k in range(2)]
-                    else:
-                        prow = [rows[0] - 1 - k for k in range(4)]
-                        crow_p = [crows[0] - 1 - k for k in range(2)]
-                    qrow = [rows[0] + (2 if fld else 1) * k for k in range(4)]
-                    filter_luma_rows(prow, qrow, cols, bs, ia, ib)
-                    filter_chroma_rows(
-                        crow_p,
-                        [crows[0] + (2 if fld else 1) * k for k in range(2)],
-                        ccols, bs[::2], qp_p, qp_q, a_off, b_off,
-                    )
         # internal edges: both sides inside this MB (its own geometry)
         for edge in edges[1:]:
             yy0 = edge * 4

@@ -337,6 +337,7 @@ class Decoder:
         recon = IntraFrameReconstructor(
             ft, sps, pps, ref_lists=ref_lists, weight_ctx=weight_ctx,
             cur_poc=poc, cur_parity=parity, sp_ctx=sp_ctx,
+            cur_field_pocs=getattr(ft, "cur_field_pocs", (poc, poc)),
         )
         y, cb, cr = recon.run()
         if self.apply_deblock:
@@ -371,6 +372,7 @@ class Decoder:
         ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=mb_h_pic)
         ft.mbaff = bool(hdr0.mbaff_frame_flag)
         ft.field_pic = field
+        ft.cur_field_pocs = self.poc_ctx.last_field_pocs
         intra_mode_grid = np.full((ft.mb_h * 4, ft.mb_w * 4), -1, np.int8)
         motion = MotionContext(ft.mb_w, ft.mb_h, ft.slice_id)
         ref_lists: list[tuple[list[Picture], list[Picture]]] = []
@@ -417,6 +419,10 @@ class Decoder:
                     col_ref_uid=col.col_ref_uid,
                     col_is_short_term=not col.long_term,
                     col_poc=col.poc,
+                    cur_ft=ft,
+                    col_mb_field=col.col_mb_field,
+                    col_top_poc=col.top_poc,
+                    col_bottom_poc=col.bottom_poc,
                     l0_uids=[p.uid for p in l0],
                     l0_pocs=[p.poc for p in l0],
                     l0_long_term=[p.long_term for p in l0],
@@ -479,6 +485,7 @@ class Decoder:
         y, cb, cr = self._submit_reconstruct(
             ft, sps, pps, slices, ref_lists, weight_ctx, poc
         )
+        top_poc, bottom_poc = self.poc_ctx.last_field_pocs
         pic = Picture(
             y=y,
             cb=cb,
@@ -487,7 +494,11 @@ class Decoder:
             poc=poc,
             uid=self.uid_counter,
             parity=int(hdr0.bottom_field_flag) if field else -1,
+            top_poc=top_poc,
+            bottom_poc=bottom_poc,
         )
+        if ft.mb_field.any():
+            pic.col_mb_field = ft.mb_field.copy()
         # colocated motion for future B direct derivation (8.4.1.2.1):
         # prefer L0; fall back to L1; intra/none -> -1
         use_l0 = motion.ref[0] >= 0

@@ -33,6 +33,12 @@ class Picture:
     pic_num: int = 0
     # field coding (PAFF): -1 = frame picture, 0 = top field, 1 = bottom
     parity: int = -1
+    # field order counts of a frame picture (8.2.1); poc == min(top, bottom)
+    top_poc: int = 0
+    bottom_poc: int = 0
+    # per-MB field flags of an MBAFF source picture (colocated derivation
+    # 8.4.1.2.1 needs the colocated pair's coding); None = no field MBs
+    col_mb_field: np.ndarray | None = None
     pair: "Picture | None" = None  # complementary field of the same frame
     # colocated motion (spec 8.4.1.2.1), 4x4 granularity, filled by the
     # decoder when the picture completes: L0-preferred mv/ref selection
@@ -54,7 +60,7 @@ class Picture:
             cb=np.ascontiguousarray(np.asarray(self.cb)[parity::2]),
             cr=np.ascontiguousarray(np.asarray(self.cr)[parity::2]),
             frame_num=self.frame_num,
-            poc=self.poc,
+            poc=self.bottom_poc if parity else self.top_poc,
             uid=self.uid,
             long_term=self.long_term,
             long_term_idx=self.long_term_idx,
@@ -72,6 +78,7 @@ class POCContext:
         self.prev_poc_lsb = 0
         self.prev_frame_num = 0
         self.prev_frame_num_offset = 0
+        self.last_field_pocs = (0, 0)  # (top, bottom) of the last frame
 
     def compute(self, hdr: SliceHeader) -> int:
         sps = self.sps
@@ -94,6 +101,15 @@ class POCContext:
             if hdr.nal_ref_idc:
                 self.prev_poc_msb = msb
                 self.prev_poc_lsb = lsb
+            if not hdr.field_pic_flag:
+                # frame picture: TopFieldOrderCnt = poc, BottomFieldOrderCnt
+                # = poc + delta_pic_order_cnt_bottom (8-2/8-3); PicOrderCnt
+                # of the frame is their min (8.2.1). Field POCs feed MBAFF
+                # field-MB implicit weights and temporal direct.
+                bottom = poc + hdr.delta_pic_order_cnt_bottom
+                self.last_field_pocs = (poc, bottom)
+                return min(poc, bottom)
+            self.last_field_pocs = (poc, poc)
             return poc
         # frame_num_offset shared by types 1 and 2 (8-7/8-12)
         if hdr.frame_num < self.prev_frame_num:
@@ -117,14 +133,24 @@ class POCContext:
                 )
             if hdr.nal_ref_idc == 0:
                 expected += sps.offset_for_non_ref_pic
-            d0, _ = hdr.delta_pic_order_cnt
+            d0, d1 = hdr.delta_pic_order_cnt
             if hdr.field_pic_flag and hdr.bottom_field_flag:
                 expected += sps.offset_for_top_to_bottom_field
-            return expected + d0
+            if not hdr.field_pic_flag:
+                top = expected + d0
+                bottom = top + sps.offset_for_top_to_bottom_field + d1
+                self.last_field_pocs = (top, bottom)
+                return min(top, bottom)
+            v = expected + d0
+            self.last_field_pocs = (v, v)
+            return v
         # type 2
         if hdr.nal_ref_idc == 0:
-            return 2 * (offset + hdr.frame_num) - 1
-        return 2 * (offset + hdr.frame_num)
+            v = 2 * (offset + hdr.frame_num) - 1
+        else:
+            v = 2 * (offset + hdr.frame_num)
+        self.last_field_pocs = (v, v)
+        return v
 
 
 class DPB:

@@ -40,6 +40,7 @@ class IntraFrameReconstructor:
         cur_parity: int = -1,  # -1 frame picture; 0/1 = field parity (PAFF)
         sp_ctx: list | None = None,  # per slice_id: None or
         #   ("sp", sp_for_switch_flag, QSy) / ("si", True, QSy) — spec 8.6
+        cur_field_pocs: tuple = (0, 0),  # (top, bottom) OCs of this frame
     ):
         self.ft = ft
         self.sps = sps
@@ -49,6 +50,7 @@ class IntraFrameReconstructor:
         self.sp_ctx = sp_ctx or []
         self.cur_poc = cur_poc
         self.cur_parity = cur_parity
+        self.cur_top_poc, self.cur_bottom_poc = cur_field_pocs
         self.bypass_enabled = bool(sps.qpprime_y_zero_transform_bypass_flag)
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
@@ -453,11 +455,15 @@ class IntraFrameReconstructor:
 
     # ---------------------------------------------------------------- Inter
 
-    def _implicit_weights(self, p0, p1) -> tuple[int, int]:
-        """8.4.2.3.1: implicit bi-prediction weights from POC distances."""
+    def _implicit_weights(self, p0, p1, cur_poc=None) -> tuple[int, int]:
+        """8.4.2.3.1: implicit bi-prediction weights from POC distances.
+        For MBAFF field MBs `cur_poc` is the current FIELD's order count and
+        p0/p1 are field views carrying field POCs."""
+        if cur_poc is None:
+            cur_poc = self.cur_poc
         if p1.poc == p0.poc or p0.long_term or p1.long_term:
             return 32, 32
-        tb = np.clip(self.cur_poc - p0.poc, -128, 127)
+        tb = np.clip(cur_poc - p0.poc, -128, 127)
         td = np.clip(p1.poc - p0.poc, -128, 127)
         tx = int((16384 + abs(int(td)) // 2) / td) if td != 0 else 0
         if td < 0:
@@ -563,7 +569,12 @@ class IntraFrameReconstructor:
                             pcb = weight_bi(cb0, cb1, e0.chroma_weight[0], e1.chroma_weight[0], e0.chroma_offset[0], e1.chroma_offset[0], d)
                             pcr = weight_bi(cr0, cr1, e0.chroma_weight[1], e1.chroma_weight[1], e0.chroma_offset[1], e1.chroma_offset[1], d)
                     elif wmode == "implicit":
-                        w0, w1 = self._implicit_weights(p0, p1)
+                        cpoc = None
+                        if fld:
+                            cpoc = (
+                                self.cur_bottom_poc if mb_par else self.cur_top_poc
+                            )
+                        w0, w1 = self._implicit_weights(p0, p1, cpoc)
                         py = weight_bi(y0p, y1p, w0, w1, 0, 0, 5)
                         if chroma:
                             pcb = weight_bi(cb0, cb1, w0, w1, 0, 0, 5)

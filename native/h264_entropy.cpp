@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 
 #include "tables.h"
 
@@ -319,6 +320,9 @@ struct Ctx {
   int qp_prev;
   int last_qp_delta;
   int is_cabac;
+  // direct-predicted 4x4 cells (B_Skip / B_Direct_16x16 / B_Direct_8x8
+  // sub-partitions) — excluded from the CABAC ref_idx ctx (9.3.3.1.1.6)
+  uint8_t* g_direct;  // [H4][W4], slice-lifetime scratch
 };
 
 // ---------------------------------------------------------------------------
@@ -608,6 +612,7 @@ static void store_direct(Ctx* t, int addr, DirectCell cells[16], int quad) {
       for (int sx = 0; sx < 2; sx++) {
         int dx = (q % 2) * 2 + sx, dy = (q / 2) * 2 + sy;
         DirectCell* dc = &cells[dy * 4 + dx];
+        t->g_direct[(by0 + dy) * t->W4 + bx0 + dx] = 1;
         g_set_cells(t, 0, bx0 + dx, by0 + dy, 1, 1, dc->mv0x, dc->mv0y,
                     dc->ref0 >= 0 ? dc->ref0 : -1);
         g_set_cells(t, 1, bx0 + dx, by0 + dy, 1, 1, dc->mv1x, dc->mv1y,
@@ -683,8 +688,10 @@ int decode_slice(const uint8_t* rbsp, int64_t rbsp_len, int64_t start_bit,
   t.last_qp_delta = 0;
   t.is_cabac = p->cabac;
   br_init(&t.r, rbsp, rbsp_len, start_bit);
-  if (p->cabac) return decode_slice_cabac(&t);
-  return decode_slice_cavlc(&t);
+  t.g_direct = (uint8_t*)calloc((size_t)t.H4 * t.W4, 1);
+  int rc = p->cabac ? decode_slice_cabac(&t) : decode_slice_cavlc(&t);
+  free(t.g_direct);
+  return rc;
 }
 
 }  // extern "C"

@@ -241,3 +241,21 @@ def test_mbaff_x264_field_p_inter(mixed, cabac):
         preset="fast", gop=3, extra_x264="interlaced=1",
     )
     _decode_both(bs)
+
+
+@pytest.mark.parametrize("cabac", [False, True], ids=["cavlc", "cabac"])
+@pytest.mark.parametrize("mixed", [False, True], ids=["all-field", "mixed-pairs"])
+def test_mbaff_x264_field_b_inter(mixed, cabac):
+    """B-slice MBAFF field decoding from real x264 interlaced encodes:
+    spatial direct with the 8.4.1.2.1 AFRM colocated crossings (field MB
+    over frame colocated pair and vice versa), doubled field lists for
+    both directions, implicit bi-prediction weights from FIELD order
+    counts, the per-partition direct exclusion in the CABAC ref_idx
+    context (9.3.3.1.1.6), and field-edge deblocking — bit-exact vs
+    libavcodec."""
+    frames = _field_coded_frames(n=7, mixed=mixed)
+    bs = lavc.encode_x264(
+        frames, qp=25, profile="high", cabac=cabac, bframes=2,
+        preset="fast", gop=4, extra_x264="interlaced=1",
+    )
+    _decode_both(bs)
