@@ -415,8 +415,20 @@ class DPB:
         m = hdr.dec_ref_pic_marking
         first = self._second_field_of(pic)
         if first is not None:
+            if hdr.idr_pic_flag:
+                # 8.2.5.1: an IDR picture (the second IDR field included)
+                # marks ALL reference pictures unused — the first field of
+                # the pair stops being referenceable (libavcodec agrees;
+                # pinned by tests/test_paff.py P-field prediction)
+                self.clear()
+                if m is not None and m.long_term_reference_flag:
+                    pic.long_term = True
+                    pic.long_term_idx = 0
+                    self.max_long_term_idx = 0
+                self.pictures.append(pic)
+                return
             # second field of a reference pair: completes the frame unit —
-            # no window eviction, no clear (even for the IDR second field)
+            # no window eviction
             pic.pair = first
             first.pair = pic
             pic.long_term = first.long_term

@@ -723,3 +723,54 @@ def encode_residual_cavlc(w: BitWriter, coeff, start: int, end: int,
         assert ln > 0, (zeros_left, run)
         w.u(ln, bits)
         zeros_left -= run
+
+
+def paff_p_residual_slice(
+    mb_w: int,
+    mb_h_field: int,
+    coeff_at,  # (mb_idx, blk) -> scan position of a single +-1 level, or None
+    *,
+    frame_num: int,
+    field: int,
+    poc_lsb: int,
+    ref_idc: int = 3,
+    deblock: bool = False,
+) -> bytes:
+    """CAVLC P FIELD picture of P_L0_16x16 MBs with zero MVs and luma-only
+    residuals (cbp 15): each 4x4 block carries at most one +-1 level at a
+    chosen SCAN position. Field pictures descan with the Table 8-13 FIELD
+    scan, so any wrong scan misplaces the coefficient observably."""
+    from h264decode_tpu.entropy.cavlc import nc_from_neighbors
+    from h264decode_tpu.entropy.cavlc_tables import CBP_ME_CHROMA12_INTER
+    from h264decode_tpu.tensors.frame_tensors import LUMA_BLK_XY
+
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=5, frame_num=frame_num, idr=False,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, field=field, interlaced_sps=True,
+        deblock=deblock,
+    )
+    n_mbs = mb_w * mb_h_field
+    totals = {}  # (gx, gy) cell -> TotalCoeff
+    cbp_code = CBP_ME_CHROMA12_INTER.index(15)
+    for mb in range(n_mbs):
+        mby, mbx = divmod(mb, mb_w)
+        w.ue(0)  # mb_skip_run
+        w.ue(0)  # mb_type P_L0_16x16
+        w.se(0)  # mvd_x
+        w.se(0)  # mvd_y
+        w.ue(cbp_code)  # coded_block_pattern 15 (luma only)
+        w.se(0)  # mb_qp_delta
+        for blk in range(16):
+            bx, by = LUMA_BLK_XY[blk]
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            na = totals.get((gx - 1, gy)) if gx > 0 else None
+            nb = totals.get((gx, gy - 1)) if gy > 0 else None
+            nc = nc_from_neighbors(na, nb)
+            coeff = [0] * 16
+            pos = coeff_at(mb, blk)
+            if pos is not None:
+                coeff[pos] = 1 if (mb + blk) % 2 == 0 else -1
+            totals[(gx, gy)] = encode_residual_cavlc(w, coeff, 0, 15, 16, nc)
+    w.trailing_bits()
+    return nal(1, ref_idc, w.rbsp())

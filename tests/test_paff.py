@@ -153,3 +153,32 @@ class TestPaff:
         frames = _decode_both(data)
         assert len(frames) == 2
         assert np.array_equal(np.asarray(frames[1].y), full[0])
+
+
+@pytest.mark.parametrize("deblock", [False, True], ids=["nodb", "deblock"])
+def test_paff_p_field_residuals(deblock):
+    """Field pictures with CODED residuals: the Table 8-13 FIELD coefficient
+    scan governs descan in PAFF field pictures (every scan position probed
+    across blocks), on top of field MC from a PCM reference pair — bit-exact
+    vs libavcodec. Previously only PCM/skip field pictures were exercised,
+    which let a missing field scan go unnoticed."""
+    from tests.synth import paff_p_residual_slice, pcm_slice, write_pps, write_sps
+
+    pair, _, _ = _idr_pair(31, 32, frame_num=0, lsb=(0, 1))
+    data = write_sps(MB_W, MB_H_FIELD, frame_mbs_only=False) + write_pps()
+    data += pair
+
+    def plan(mb, blk):
+        # cycle through all 16 scan positions; leave some blocks empty
+        k = (mb * 16 + blk) % 19
+        return k if k < 16 else None
+
+    data += paff_p_residual_slice(
+        MB_W, MB_H_FIELD, plan, frame_num=1, field=0, poc_lsb=2,
+        deblock=deblock,
+    )
+    data += paff_p_residual_slice(
+        MB_W, MB_H_FIELD, plan, frame_num=1, field=1, poc_lsb=2,
+        deblock=deblock,
+    )
+    _decode_both(data)
