@@ -380,14 +380,39 @@ def frame_step(buf, ring_y, ring_cb, ring_cr, dyn: dict,
     has_l8, has_pcm, apply_db, sparse = flags
     inp = dict(dyn)
     inp.update(_unpack(buf, meta))
+    f8 = inp.pop("flags8")
+    m4n = inp.pop("modes4n")
+    inp["modes4"] = (
+        jnp.stack([m4n & 0x0F, m4n >> 4], axis=-1)
+        .reshape(m4n.shape[0], 16)
+        .astype(jnp.int32)
+        - 1
+    )
+    if "slice_mb" in inp and "slice_arr" not in inp:
+        inp["slice_arr"] = inp["slice_mb"]
+    inp["is_i16"] = (f8 & 1) != 0
+    inp["is_t8"] = (f8 & 2) != 0
+    inp["is_intra"] = (f8 & 4) != 0
+    inp["avl"] = (f8 & 8) != 0
+    inp["avt"] = (f8 & 16) != 0
+    inp["avtr"] = (f8 & 32) != 0
+    inp["avtl"] = (f8 & 64) != 0
+    if "nnz_bits" in inp:
+        nb = inp.pop("nnz_bits")
+        bits = (nb[:, None] >> jnp.arange(7, -1, -1, dtype=nb.dtype)) & 1
+        inp["nnz_grid"] = (
+            bits.reshape(-1)[: mb_h * 4 * mb_w * 4].reshape(mb_h * 4, mb_w * 4)
+        )
     if sparse:
         _densify_residuals(inp, mb_h * mb_w, has_l8)
     if "mv8_parts" in inp:  # 8x8-granular MVs -> per-4x4-cell layout
         n = mb_h * mb_w
-        m8 = inp["mv8_parts"].reshape(n, 2, 2, 1, 2, 1, 2)
+        m8 = inp["mv8_parts"].astype(jnp.int32).reshape(n, 2, 2, 1, 2, 1, 2)
         inp["mv_parts"] = jnp.broadcast_to(
             m8, (n, 2, 2, 2, 2, 2, 2)
         ).reshape(n, 2, 16, 2)
+    else:
+        inp["mv_parts"] = inp["mv_parts"].astype(jnp.int32)
     inp["ref_luma"] = ring_y
     inp["ref_cb"] = ring_cb
     inp["ref_cr"] = ring_cr
@@ -429,6 +454,16 @@ class _PackedFrame:
         self._planes = None
         self._metrics = metrics
 
+    def block_until_ready(self):
+        """Wait for the frame's packed buffer to be COMPUTED on device
+        (decode complete) without forcing the device->host download."""
+        pk = self._packed
+        if pk is not None:
+            b = getattr(pk, "block_until_ready", None)
+            if b is not None:
+                b()
+        return self
+
     def fetch(self):
         if self._planes is None:
             m = self._metrics
@@ -456,6 +491,10 @@ class _PlaneView:
         if dtype is not None and a.dtype != dtype:
             a = a.astype(dtype)
         return a
+
+    def block_until_ready(self):
+        self._frame.block_until_ready()
+        return self
 
     @property
     def shape(self):
@@ -660,8 +699,12 @@ class TpuDecoder(Decoder):
     packed-plane output."""
 
     def __init__(self, apply_deblock: bool = True, backend=None,
-                 metrics: DecodeMetrics | None = None):
+                 metrics: DecodeMetrics | None = None,
+                 eager_download: bool | None = None):
         super().__init__(apply_deblock=apply_deblock, metrics=metrics)
+        if eager_download is None:
+            eager_download = os.environ.get("H264_TPU_EAGER_DL", "1") != "0"
+        self._eager_dl = bool(eager_download)
         self._ring = None  # device DPB ring buffers (luma hp, cb, cr)
         self._ring_slots: dict[int, int] = {}  # pic uid -> ring slot
         self._ring_geom = None
@@ -889,57 +932,76 @@ class TpuDecoder(Decoder):
                 break
             sp_idx[key] = idx
         pk = _HostPack()
-        pk.add("chroma_dc", ft.chroma_dc)
+
+        def narrow(a):
+            # coefficient levels overwhelmingly fit int8; ship the narrow
+            # dtype when the whole tensor does (meta carries the dtype, so
+            # the rare wide frame simply takes the int16 compile variant)
+            if a.dtype == np.int16 and a.size and abs(int(a.max(initial=0))) < 128 \
+                    and abs(int(a.min(initial=0))) < 128:
+                return a.astype(np.int8)
+            return a
+
+        pk.add("chroma_dc", narrow(ft.chroma_dc))
         if sparse:
             for key, (flat, cap) in sp.items():
                 idx = sp_idx[key]
                 pad = cap - len(idx)
                 pk.add(key + "_idx", np.pad(idx, (0, pad)))
-                pk.add(key + "_lev", np.pad(flat[idx], ((0, pad), (0, 0))))
+                pk.add(key + "_lev", narrow(np.pad(flat[idx], ((0, pad), (0, 0)))))
         else:
-            pk.add("luma_ac", ft.luma_ac)
-            pk.add("chroma_ac", ft.chroma_ac)
-            pk.add("luma_dc", ft.luma_dc)
+            pk.add("luma_ac", narrow(ft.luma_ac))
+            pk.add("chroma_ac", narrow(ft.chroma_ac))
+            pk.add("luma_dc", narrow(ft.luma_dc))
         # MVs ship at 8x8 granularity when no MB uses sub-8x8 partitions
         # (the overwhelmingly common case); expanded back on device
         mv16 = ft.mv.reshape(n, 2, 2, 2, 2, 2, 2)
         mv8c = mv16[:, :, :, :1, :, :1, :]
         mv8 = bool((mv16 == mv8c).all())
+        # MVs fit quarter-pel int16 (level limits); halves the wire size
         if mv8:
-            pk.add("mv8_parts", np.ascontiguousarray(mv8c).reshape(n, 2, 4, 2))
+            pk.add(
+                "mv8_parts",
+                np.ascontiguousarray(mv8c).reshape(n, 2, 4, 2).astype(np.int16),
+            )
         else:
-            pk.add("mv_parts", ft.mv)
+            pk.add("mv_parts", ft.mv.astype(np.int16))
         pk.add("qp", ft.qp)
-        pk.add("is_i16", ft.mb_class == MB_I_16X16)
-        pk.add("is_t8", ft.transform_8x8)
-        pk.add("is_intra", ft.mb_class < 3)
+        # seven per-MB booleans ride one byte (device unpacks by bit)
+        flags8 = (
+            (ft.mb_class == MB_I_16X16).astype(np.uint8)
+            | (ft.transform_8x8.astype(np.uint8) << 1)
+            | ((ft.mb_class < 3).astype(np.uint8) << 2)
+            | (avl.reshape(-1).astype(np.uint8) << 3)
+            | (avt.reshape(-1).astype(np.uint8) << 4)
+            | (avtr.reshape(-1).astype(np.uint8) << 5)
+            | (avtl.reshape(-1).astype(np.uint8) << 6)
+        )
+        pk.add("flags8", flags8)
         pk.add("slot_parts", slot_parts)
         pk.add("kind", kind.astype(np.int8))
-        pk.add("modes4", ft.intra4x4_modes)
+        # intra NxN modes (-1..8) nibble-pack two per byte
+        m4 = (ft.intra4x4_modes.astype(np.int16) + 1).astype(np.uint8)
+        pk.add("modes4n", m4[:, 0::2] | (m4[:, 1::2] << 4))
         pk.add("i16mode", ft.intra16_mode)
         pk.add("cmode", ft.chroma_mode)
-        pk.add("avl", avl.reshape(-1))
-        pk.add("avt", avt.reshape(-1))
-        pk.add("avtr", avtr.reshape(-1))
-        pk.add("avtl", avtl.reshape(-1))
         pk.add("slice_mb", ft.slice_id.astype(np.int16))
         pk.add("ridx_parts", ft.ref_idx)
         for k, v in wt.items():
             pk.add(k, v)
         pk.add("slot_idx", np.asarray([cur_slot], np.int32))
         if has_l8 and not sparse:
-            pk.add("luma8_ac", ft.luma8_ac)
+            pk.add("luma8_ac", narrow(ft.luma8_ac))
         if has_pcm:
             pk.add("pcm_y", pcm_y)
             pk.add("pcm_cb", pcm_cb)
             pk.add("pcm_cr", pcm_cr)
         if self.apply_deblock:
             pk.add("mb_cls", ft.mb_class)
-            pk.add("slice_arr", ft.slice_id.astype(np.int16))
             pk.add("disable", ft.disable_deblock)
             pk.add("aoff", ft.alpha_off)
             pk.add("boff", ft.beta_off)
-            pk.add("nnz_grid", ft.luma_nnz)
+            pk.add("nnz_bits", np.packbits((ft.luma_nnz > 0).reshape(-1)))
             # bS picture identity rides the already-shipped slot_parts
         buf_np, meta = pk.finish()
         if m is not None:
@@ -989,11 +1051,15 @@ class TpuDecoder(Decoder):
             )
         self._ring = [ry, rcb, rcr]
         # start the device->host copy now; it overlaps later frames' entropy
-        # decode and device compute, and the first plane access just waits
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
+        # decode and device compute, and the first plane access just waits.
+        # H264_TPU_EAGER_DL=0 defers it to first access instead — on this
+        # harness the device link is a narrow tunnel and eager copies of
+        # full frames contend with the next frames' uploads
+        if self._eager_dl:
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
         out = _PackedFrame(packed, H, W, m)
         return _PlaneView(out, 0), _PlaneView(out, 1), _PlaneView(out, 2)
 
