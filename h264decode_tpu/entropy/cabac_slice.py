@@ -584,7 +584,7 @@ class CabacSliceDecoder(SliceDecoderBase):
         ft = self.ft
         if cx < 0 or cy < 0:
             return 1 if cur_intra else 0
-        naddr = (cy >> 1) * ft.mb_w + (cx >> 1)
+        naddr = (cy // ft.ch_rows) * ft.mb_w + (cx >> 1)
         if not self._mb_available(naddr):
             return 1 if cur_intra else 0
         if ft.mb_class[naddr] == MB_I_PCM:
@@ -606,13 +606,19 @@ class CabacSliceDecoder(SliceDecoderBase):
     # ------------------------------------------------------ residual blocks
 
     def _residual_cabac(
-        self, cat: int, n_pos: int, ctx_cbf_inc: int | None, field: bool = False
+        self,
+        cat: int,
+        n_pos: int,
+        ctx_cbf_inc: int | None,
+        field: bool = False,
+        num_c8x8: int = 1,
     ):
         """residual_block_cabac (7.3.5.3.3 + 9.3.3.1.3). Returns a list of
         n_pos levels in scan order (list index = levelListIdx) or None if
         coded_block_flag was decoded as 0. ctx_cbf_inc None means no
         coded_block_flag is sent (luma 8x8 in 4:2:0). `field` selects the
-        field-coded significance contexts (Table 9-40 field column)."""
+        field-coded significance contexts (Table 9-40 field column).
+        `num_c8x8` is the 9.3.3.1.3 chroma-DC divisor (2 for 4:2:2)."""
         e = self.e
         if ctx_cbf_inc is not None:
             if not e.decision(CBF_BASE[cat] + ctx_cbf_inc):
@@ -628,8 +634,8 @@ class CabacSliceDecoder(SliceDecoderBase):
                 s_inc = sig_8x8[i]
                 l_inc = LAST_8x8[i]
             elif cat == 3:
-                s_inc = min(i, 2)
-                l_inc = min(i, 2)
+                s_inc = min(i // num_c8x8, 2)
+                l_inc = min(i // num_c8x8, 2)
             else:
                 s_inc = i
                 l_inc = i
@@ -755,16 +761,18 @@ class CabacSliceDecoder(SliceDecoderBase):
         ft.mb_class[addr] = MB_I_PCM
         r.align()
         y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
-        if self.sps.chroma_array_type == 1:
-            cb = np.array([r.u(8) for _ in range(64)], np.uint8).reshape(8, 8)
-            cr = np.array([r.u(8) for _ in range(64)], np.uint8).reshape(8, 8)
+        if self.sps.chroma_array_type in (1, 2):
+            ch = ft.ch_mb_h
+            cb = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
+            cr = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
         else:
             cb = cr = np.zeros((8, 8), np.uint8)
         ft.pcm_samples[addr] = (y, cb, cr)
         ft.qp[addr] = 0
         mbx, mby = ft.mb_xy(addr)
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
-        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        cr_ = ft.ch_rows
+        ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 16
         ft.cbf_dc[addr] = 1
         self.last_qp_delta = 0
         e.reinit()
@@ -1048,6 +1056,7 @@ class CabacSliceDecoder(SliceDecoderBase):
         cur_intra = ft.mb_class[addr] < 3
         fld = self._field_coded(addr)
         mbaff = self.hdr.mbaff_frame_flag
+        dc_n = ft.ch_dc_n
         if cbp_chroma & 3:
             for comp in range(2):
                 la = self._nbr_mb(addr, -1, 0)
@@ -1055,14 +1064,16 @@ class CabacSliceDecoder(SliceDecoderBase):
                 inc = self._cbf_dc(la, 1 + comp, cur_intra) + 2 * self._cbf_dc(
                     ta, 1 + comp, cur_intra
                 )
-                levels = self._residual_cabac(3, 4, inc, fld)
+                levels = self._residual_cabac(
+                    3, dc_n, inc, fld, num_c8x8=dc_n // 4
+                )
                 ft.cbf_dc[addr, 1 + comp] = 0 if levels is None else 1
                 if levels is not None:
                     ft.chroma_dc[addr, comp] = levels
         for comp in range(2):
-            for blk in range(4):
-                bx, by = CHROMA_BLK_XY[blk]
-                gx, gy = mbx * 2 + bx, mby * 2 + by
+            for blk in range(ft.ch_blks):
+                bx, by = ft.ch_blk_xy[blk]
+                gx, gy = mbx * 2 + bx, mby * ft.ch_rows + by
                 if not (cbp_chroma & 2):
                     ft.chroma_nnz[comp, gy, gx] = 0
                     continue

@@ -58,7 +58,7 @@ class CavlcSliceDecoder(SliceDecoderBase):
     def _chroma_nnz_at(self, comp: int, gx: int, gy: int):
         if gx < 0 or gy < 0:
             return None
-        naddr = (gy >> 1) * self.ft.mb_w + (gx >> 1)
+        naddr = (gy // self.ft.ch_rows) * self.ft.mb_w + (gx >> 1)
         if not self._mb_available(naddr):
             return None
         return int(self.ft.chroma_nnz[comp, gy, gx])
@@ -314,9 +314,10 @@ class CavlcSliceDecoder(SliceDecoderBase):
         ft.mb_class[addr] = MB_I_PCM
         r.align()  # pcm_alignment_zero_bit
         y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
-        if self.sps.chroma_array_type == 1:
-            cb = np.array([r.u(8) for _ in range(64)], np.uint8).reshape(8, 8)
-            cr = np.array([r.u(8) for _ in range(64)], np.uint8).reshape(8, 8)
+        if self.sps.chroma_array_type in (1, 2):
+            ch = ft.ch_mb_h
+            cb = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
+            cr = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
         else:
             cb = cr = np.zeros((8, 8), np.uint8)
         ft.pcm_samples[addr] = (y, cb, cr)
@@ -325,7 +326,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
         mbx, mby = ft.mb_xy(addr)
         # spec 9.2.1: PCM neighbors count as TotalCoeff 16
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
-        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        cr_ = ft.ch_rows
+        ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 16
 
     def _parse_intra_nxn_modes(self, addr: int, mbx: int, mby: int, t8: bool) -> None:
         ft, r = self.ft, self.r
@@ -575,21 +577,23 @@ class CavlcSliceDecoder(SliceDecoderBase):
                     ft.luma_ac[addr, blk] = coeffs
 
     def _parse_chroma_residual(self, addr: int, mbx: int, mby: int, cbp_chroma: int):
-        """residual chroma part of 7.3.5.3.3 (ChromaArrayType 1; 4:2:2 uses
-        8-coeff DC blocks — gated until 4:2:2 support lands)."""
+        """residual chroma part of 7.3.5.3.3 (ChromaArrayType 1 and 2;
+        4:2:2 codes 8-coefficient DC blocks with the nC == -2 VLC)."""
         if self.sps.chroma_array_type == 0:
             return
         ft = self.ft
+        dc_n = ft.ch_dc_n
         # category-3/4 reader (partition B/C under data partitioning)
         r = self._need_res_r() if cbp_chroma else None
         if cbp_chroma & 3:
+            nc_dc = -1 if dc_n == 4 else -2
             for comp in range(2):
-                coeffs, _ = residual_block_cavlc(r, 0, 3, 4, -1)
+                coeffs, _ = residual_block_cavlc(r, 0, dc_n - 1, dc_n, nc_dc)
                 ft.chroma_dc[addr, comp] = coeffs
         for comp in range(2):
-            for blk in range(4):
-                bx, by = CHROMA_BLK_XY[blk]
-                gx, gy = mbx * 2 + bx, mby * 2 + by
+            for blk in range(ft.ch_blks):
+                bx, by = ft.ch_blk_xy[blk]
+                gx, gy = mbx * 2 + bx, mby * ft.ch_rows + by
                 if cbp_chroma & 2:
                     nc = self.chroma_nc(comp, gx, gy)
                     coeffs, total = residual_block_cavlc(r, 1, 15, 16, nc)

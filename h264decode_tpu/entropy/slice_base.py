@@ -316,7 +316,8 @@ class SliceDecoderBase:
         self.motion.refctx[1, by : by + 4, bx : bx + 4] = -1
         self._store_part(addr, 0, 0, 4, 4, mv, 0)
         ft.luma_nnz[by : by + 4, bx : bx + 4] = 0
-        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        cr_ = ft.ch_rows
+        ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 0
 
     def _decode_b_skip(self, addr: int) -> None:
         """B_Skip macroblock: direct prediction, no residual."""
@@ -329,4 +330,5 @@ class SliceDecoderBase:
         for cells in self._direct_quadrants(addr):
             self._store_direct_quadrant(addr, cells)
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
-        ft.chroma_nnz[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        cr_ = ft.ch_rows
+        ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 0

@@ -32,6 +32,14 @@ _avutil = ctypes.CDLL("libavutil.so.57")
 
 AV_CODEC_ID_H264 = 27
 AV_PIX_FMT_YUV420P = 0
+AV_PIX_FMT_YUV422P = 4
+AV_PIX_FMT_YUV444P = 5
+# pixel format -> (chroma width shift, chroma height shift)
+_PIX_FMT_SHIFTS = {
+    AV_PIX_FMT_YUV420P: (1, 1),
+    AV_PIX_FMT_YUV422P: (1, 0),
+    AV_PIX_FMT_YUV444P: (0, 0),
+}
 AV_OPT_SEARCH_CHILDREN = 1  # search priv_data (e.g. x264 options) too
 AVERROR_EAGAIN = -11
 AVERROR_EOF = -541478725  # FFERRTAG('E','O','F',' ')
@@ -120,11 +128,11 @@ _av_opt_set = _sig(_avutil.av_opt_set, c_int, [c_void_p, c_char_p, c_char_p, c_i
 
 @dataclass
 class YUVFrame:
-    """One decoded frame as exact uint8 planes (YUV 4:2:0)."""
+    """One decoded frame as exact uint8 planes (4:2:0 / 4:2:2 / 4:4:4)."""
 
     y: np.ndarray  # [H, W]
-    cb: np.ndarray  # [H/2, W/2]
-    cr: np.ndarray  # [H/2, W/2]
+    cb: np.ndarray  # subsampled per the stream's chroma format
+    cr: np.ndarray
 
     @property
     def shape(self):
@@ -142,13 +150,15 @@ def _copy_plane(frame: AVFrame, idx: int, h: int, w: int) -> np.ndarray:
 
 
 def _frame_to_yuv(frame: AVFrame) -> YUVFrame:
-    if frame.format != AV_PIX_FMT_YUV420P:
-        raise ValueError(f"expected yuv420p, got format={frame.format}")
+    shifts = _PIX_FMT_SHIFTS.get(frame.format)
+    if shifts is None:
+        raise ValueError(f"unsupported planar YUV format={frame.format}")
+    sw, sh = shifts
     h, w = frame.height, frame.width
     return YUVFrame(
         y=_copy_plane(frame, 0, h, w),
-        cb=_copy_plane(frame, 1, h // 2, w // 2),
-        cr=_copy_plane(frame, 2, h // 2, w // 2),
+        cb=_copy_plane(frame, 1, h >> sh, w >> sw),
+        cr=_copy_plane(frame, 2, h >> sh, w >> sw),
     )
 
 
@@ -244,6 +254,7 @@ def encode_x264(
     bframes: int | None = None,
     extra_x264: str = "",
     cabac: bool | None = None,
+    csp: str = "yuv420p",
 ) -> bytes:
     """Encode YUV420 frames to an Annex-B H.264 stream with libx264.
 
@@ -264,7 +275,7 @@ def encode_x264(
             raise RuntimeError(f"av_opt_set({name}={val}) -> {ret}")
 
     opt("video_size", f"{w}x{h}")
-    opt("pixel_format", "yuv420p")
+    opt("pixel_format", csp)
     opt("time_base", "1/25")
     opt("preset", preset)
     if profile:
@@ -290,7 +301,11 @@ def encode_x264(
     frame = _av_frame_alloc()
     frame.contents.width = w
     frame.contents.height = h
-    frame.contents.format = AV_PIX_FMT_YUV420P
+    frame.contents.format = {
+        "yuv420p": AV_PIX_FMT_YUV420P,
+        "yuv422p": AV_PIX_FMT_YUV422P,
+        "yuv444p": AV_PIX_FMT_YUV444P,
+    }[csp]
     if _av_frame_get_buffer(frame, 32) < 0:
         raise RuntimeError("av_frame_get_buffer failed")
     pkt = _av_packet_alloc()

@@ -10,7 +10,8 @@ import numpy as np
 
 
 def write_y4m(path: str, frames, fps=(25, 1)) -> int:
-    """frames: iterable of objects with .y/.cb/.cr uint8 planes (4:2:0).
+    """frames: iterable of objects with .y/.cb/.cr uint8 planes; the chroma
+    tag (C420mpeg2/C422/C444) is derived from the plane shapes.
 
     Streams: each frame is written (and its planes released) as it arrives,
     so piping `Decoder.decode_iter` through here holds O(1) frames in
@@ -21,10 +22,17 @@ def write_y4m(path: str, frames, fps=(25, 1)) -> int:
     except StopIteration:
         return 0
     h, w = first.y.shape
+    ch, cw = first.cb.shape
+    if (ch, cw) == (h, w):
+        ctag = "C444"
+    elif ch == h:
+        ctag = "C422"
+    else:
+        ctag = "C420mpeg2"
     n = 0
     with open(path, "wb") as f:
         f.write(
-            f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420mpeg2\n".encode()
+            f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {ctag}\n".encode()
         )
 
         def emit(fr):

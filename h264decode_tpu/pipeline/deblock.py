@@ -527,6 +527,8 @@ def deblock_frame(
     cb = cb.astype(np.int32)
     cr = cr.astype(np.int32)
     w_mb, h_mb = ft.mb_w, ft.mb_h
+    cf = ft.chroma_format
+    ch = ft.ch_mb_h  # chroma MB height in samples (8 / 16)
     if ft.mbaff:
         # MBAFF: MBs filter in PAIR scan order (8.7 processes macroblocks
         # in decoding order). The order is observable: a bottom MB's
@@ -577,7 +579,7 @@ def deblock_frame(
             for k in range(4):
                 y[rows, x - 1 - k] = p[k]
                 y[rows, x + k] = q[k]
-            if edge in (0, 2):  # chroma vertical edges (4:2:0)
+            if edge in (0, 2):  # chroma vertical edges (x = 0/4 of 8-wide)
                 cx = mbx * 8 + edge * 2
                 qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
                 qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
@@ -589,16 +591,21 @@ def deblock_frame(
                 qpc_av2 = (qpc_p2 + qpc_q2 + 1) >> 1
                 ia2 = np.clip(qpc_av2 + a_off, 0, 51)
                 ib2 = np.clip(qpc_av2 + b_off, 0, 51)
-                crows = slice(mby * 8, mby * 8 + 8)
-                cbs = bs[::2]
+                crows = slice(mby * ch, mby * ch + ch)
+                # 4:2:2 chroma rows map 1:1 to the 16 luma sample lines
+                cbs = bs if cf == 2 else bs[::2]
                 for plane, iaa, ibb in ((cb, ia, ib), (cr, ia2, ib2)):
                     p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
                     q = np.stack([plane[crows, cx + k] for k in range(2)])
                     p, q = _filter_chroma_lines(p, q, cbs, iaa, ibb)
                     plane[crows, cx - 1] = p[0]
                     plane[crows, cx] = q[0]
-        # ---- horizontal edges (filter across rows)
-        for edge in edges:
+        # ---- horizontal edges (filter across rows). 4:2:2 chroma has a
+        # transform boundary every 4 chroma rows = every 4 LUMA rows, so all
+        # four edge positions carry chroma filtering even when the 8x8 luma
+        # transform suppresses luma edges 1 and 3.
+        h_edges = [0, 1, 2, 3] if cf == 2 else edges
+        for edge in h_edges:
             if edge == 0 and not same_slice_t:
                 continue
             yy = mby * 16 + edge * 4
@@ -611,14 +618,15 @@ def deblock_frame(
             index_a = np.clip(qp_av + a_off, 0, 51)
             index_b = np.clip(qp_av + b_off, 0, 51)
             cols = slice(mbx * 16, mbx * 16 + 16)
-            p = np.stack([y[yy - 1 - k, cols] for k in range(4)])
-            q = np.stack([y[yy + k, cols] for k in range(4)])
-            p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
-            for k in range(4):
-                y[yy - 1 - k, cols] = p[k]
-                y[yy + k, cols] = q[k]
-            if edge in (0, 2):
-                cy = mby * 8 + edge * 2
+            if edge in edges:  # luma transform boundary
+                p = np.stack([y[yy - 1 - k, cols] for k in range(4)])
+                q = np.stack([y[yy + k, cols] for k in range(4)])
+                p, q = _filter_luma_lines(p, q, bs, index_a, index_b)
+                for k in range(4):
+                    y[yy - 1 - k, cols] = p[k]
+                    y[yy + k, cols] = q[k]
+            if cf == 2 or edge in (0, 2):
+                cy = mby * ch + edge * (ch // 4)
                 qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
                 qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
                 qpc_av = (qpc_p + qpc_q + 1) >> 1

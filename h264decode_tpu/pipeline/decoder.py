@@ -95,8 +95,8 @@ class DecodedFrame:
 def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
     """Apply the SPS frame cropping rectangle (spec 7.4.2.1.1)."""
     if not sps.frame_cropping_flag:
-        h = sps.height // (2 if chroma else 1)
-        w = sps.width // (2 if chroma else 1)
+        h = sps.height // ((sps.sub_height_c or 1) if chroma else 1)
+        w = sps.width // ((sps.sub_width_c or 1) if chroma else 1)
         return plane[:h, :w]
     sub_x = sps.sub_width_c if chroma else 1
     sub_y = sps.sub_height_c if chroma else 1
@@ -369,7 +369,14 @@ class Decoder:
         mb_h_pic = (
             sps.pic_height_in_map_units if field else sps.frame_height_in_mbs
         )
-        ft = FrameTensors(mb_w=sps.pic_width_in_mbs, mb_h=mb_h_pic)
+        cf = sps.chroma_array_type
+        if cf == 2 and (field or hdr0.mbaff_frame_flag):
+            raise NotImplementedError("interlaced 4:2:2 decoding")
+        ft = FrameTensors(
+            mb_w=sps.pic_width_in_mbs,
+            mb_h=mb_h_pic,
+            chroma_format=2 if cf == 2 else 1,
+        )
         ft.mbaff = bool(hdr0.mbaff_frame_flag)
         ft.field_pic = field
         ft.cur_field_pocs = self.poc_ctx.last_field_pocs

@@ -54,9 +54,12 @@ class IntraFrameReconstructor:
         self.bypass_enabled = bool(sps.qpprime_y_zero_transform_bypass_flag)
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
+        self.cf = sps.chroma_array_type
+        self.ch = 16 if self.cf == 2 else 8  # chroma MB height (MbHeightC)
+        ch_pic_h = self.H if self.cf == 2 else self.H // 2
         self.y = np.zeros((self.H, self.W), np.uint8)
-        self.cb = np.zeros((self.H // 2, self.W // 2), np.uint8)
-        self.cr = np.zeros((self.H // 2, self.W // 2), np.uint8)
+        self.cb = np.zeros((ch_pic_h, self.W // 2), np.uint8)
+        self.cr = np.zeros((ch_pic_h, self.W // 2), np.uint8)
         # decoded 4x4 luma cells (drives spec 6.4 availability exactly under
         # raster decode order within a slice). For MBAFF pictures rows are
         # each spatial MB's LOCAL cell rows (same convention as the entropy
@@ -243,9 +246,10 @@ class IntraFrameReconstructor:
                 self.cb[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cb
                 self.cr[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cr
             else:
+                ch = self.ch
                 self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
-                self.cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cb
-                self.cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = cr
+                self.cb[mby * ch : (mby + 1) * ch, mbx * 8 : mbx * 8 + 8] = cb
+                self.cr[mby * ch : (mby + 1) * ch, mbx * 8 : mbx * 8 + 8] = cr
         elif cls == MB_I_NXN:
             if ft.transform_8x8[addr]:
                 self._recon_i8x8_luma(addr, mbx, mby)
@@ -493,9 +497,12 @@ class IntraFrameReconstructor:
         )
         x0, y0 = mbx * 16, mby * 16
         pred_y = np.zeros((16, 16), np.int32)
-        pred_cb = np.zeros((8, 8), np.int32)
-        pred_cr = np.zeros((8, 8), np.int32)
-        chroma = self.sps.chroma_array_type == 1
+        pred_cb = np.zeros((self.ch, 8), np.int32)
+        pred_cr = np.zeros((self.ch, 8), np.int32)
+        chroma = self.sps.chroma_array_type in (1, 2)
+        # chroma vertical scale: 4:2:2 chroma rows are full-resolution, so
+        # mvCLX[1] = 2 * mvLX[1] (8.4.1.4.1) and cell blocks are 2x4
+        csy = self.ch // 8
         # MBAFF field MB: prediction runs in FIELD geometry — field ref
         # views (8.4.2.1: field idx 2k/2k+1 over the frame list), field-row
         # coordinates, and the MB's own parity for the 8.4.1.4 chroma shift
@@ -531,16 +538,18 @@ class IntraFrameReconstructor:
                         # spec 8.4.1.4.1: field MC from an opposite-parity
                         # reference field shifts the chroma vertical MV by
                         # +-2 (1/8-pel chroma units)
-                        cvy = mvy
+                        cvy = mvy * csy
                         if mb_par >= 0 and ref.parity >= 0 and (
                             ref.parity != mb_par
                         ):
                             cvy += 2 if mb_par == 1 else -2
                         pcb = chroma_mc_block(
-                            ref.cb, mbx * 8 + cx * 2, cy0m + cy * 2, 2, 2, mvx, cvy
+                            ref.cb, mbx * 8 + cx * 2, csy * (cy0m + cy * 2),
+                            2, 2 * csy, mvx, cvy,
                         )
                         pcr = chroma_mc_block(
-                            ref.cr, mbx * 8 + cx * 2, cy0m + cy * 2, 2, 2, mvx, cvy
+                            ref.cr, mbx * 8 + cx * 2, csy * (cy0m + cy * 2),
+                            2, 2 * csy, mvx, cvy,
                         )
                     preds.append((lst, widx, ref, py, pcb, pcr))
                 if len(preds) == 1:
@@ -586,8 +595,9 @@ class IntraFrameReconstructor:
                             pcr = (cr0 + cr1 + 1) >> 1
                 pred_y[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = py
                 if chroma:
-                    pred_cb[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcb
-                    pred_cr[cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = pcr
+                    ch0 = cy * 2 * csy
+                    pred_cb[ch0 : ch0 + 2 * csy, cx * 2 : cx * 2 + 2] = pcb
+                    pred_cr[ch0 : ch0 + 2 * csy, cx * 2 : cx * 2 + 2] = pcr
         sp = self.sp_ctx[sid] if sid < len(self.sp_ctx) else None
         if sp is not None:
             # SP slice: inter MBs (incl. P_Skip) reconstruct in the
@@ -662,10 +672,10 @@ class IntraFrameReconstructor:
         if self._grid is not None:
             self._put_block(addr, 0, 0, block, plane_idx, chroma=chroma)
         else:
-            unit = 8 if chroma else 16
+            w = 8 if chroma else 16
+            h = self.ch if chroma else 16
             plane = self._plane_of(plane_idx)
-            plane[mby * unit : mby * unit + unit,
-                  mbx * unit : mbx * unit + unit] = block
+            plane[mby * h : mby * h + h, mbx * w : mbx * w + w] = block
 
     def _add_inter_residual(self, addr, mbx, mby, pred_y, pred_cb, pred_cr):
         ft = self.ft
@@ -726,7 +736,6 @@ class IntraFrameReconstructor:
         self._put_mb(addr, mbx, mby, 0, rr.clip1(pred_y + res).astype(np.uint8))
         if self.sps.chroma_array_type == 0:
             return
-        cx0, cy0 = mbx * 8, mby * 8
         for comp, (plane, pred, qp_off, ls_idx) in enumerate(
             [
                 (self.cb, pred_cb, self.pps.chroma_qp_index_offset, 4),
@@ -735,14 +744,12 @@ class IntraFrameReconstructor:
         ):
             qpc = rr.chroma_qp(qp, qp_off)
             ls = self.ls4[ls_idx][qpc % 6]  # lists 4/5: Inter Cb/Cr
-            dcc = rr.chroma_dc_dequant(
-                ft.chroma_dc[addr, comp].astype(np.int32).reshape(2, 2),
-                int(ls[0, 0]),
-                qpc,
+            dcc = self._chroma_dc_deq(
+                self._chroma_dc_grid(addr, comp), ls_idx, ls, qpc
             )
-            mb = np.zeros((8, 8), np.int32)
-            for blk in range(4):
-                bx, by = CHROMA_BLK_XY[blk]
+            mb = np.zeros((self.ch, 8), np.int32)
+            for blk in range(ft.ch_blks):
+                bx, by = ft.ch_blk_xy[blk]
                 c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                 d = rr.dequant_4x4_ac(c, ls, qpc)
                 d[0, 0] = dcc[by, bx]
@@ -767,12 +774,32 @@ class IntraFrameReconstructor:
             preds.append(rr.intra_chroma_predict(mode, left, top, corner, None))
         return preds[0], preds[1]
 
+    def _chroma_dc_grid(self, addr, comp):
+        """Chroma DC levels as the spatial DC array: 2x2 raster (4:2:0) or
+        the spec 8.5.4 4x2 inverse scan (4:2:2)."""
+        dc_scan = self.ft.chroma_dc[addr, comp].astype(np.int32)
+        if self.cf == 2:
+            from ..tensors.frame_tensors import CHROMA422_DC_SCAN
+
+            c = np.zeros((4, 2), np.int32)
+            for k, (i, j) in enumerate(CHROMA422_DC_SCAN):
+                c[i, j] = dc_scan[k]
+            return c
+        return dc_scan.reshape(2, 2)  # raster scan per 8.5.11 note
+
+    def _chroma_dc_deq(self, cgrid, ls_idx, ls, qpc):
+        """Dequantized chroma DC grid for either chroma format."""
+        if self.cf == 2:
+            return rr.chroma_dc_dequant_422(cgrid, self.ls4[ls_idx], qpc)
+        return rr.chroma_dc_dequant(cgrid, int(ls[0, 0]), qpc)
+
     def _recon_chroma(self, addr, mbx, mby):
         ft, pps = self.ft, self.pps
         if self.sps.chroma_array_type == 0:
             return
         qp_y = int(ft.qp[addr])
-        x0, y0 = mbx * 8, mby * 8
+        ch = self.ch
+        x0, y0 = mbx * 8, mby * ch
         have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
         have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
         mode = int(ft.chroma_mode[addr])
@@ -791,18 +818,17 @@ class IntraFrameReconstructor:
                 if left is None or top is None:
                     corner = None
             else:
-                left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
+                left = plane[y0 : y0 + ch, x0 - 1].astype(np.int32) if have_l else None
                 top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
                 corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
-            pred = rr.intra_chroma_predict(mode, left, top, corner, None)
-            dc_scan = ft.chroma_dc[addr, comp].astype(np.int32)
-            c2 = dc_scan.reshape(2, 2)  # raster scan per 8.5.11 note
-            mb = np.zeros((8, 8), np.int32)
-            if self.bypass_enabled and qpc == 0 and int(ft.qp[addr]) == 0:
+            pred = rr.intra_chroma_predict(mode, left, top, corner, None, h=ch)
+            cdc = self._chroma_dc_grid(addr, comp)
+            mb = np.zeros((ch, 8), np.int32)
+            if self.cf == 1 and self.bypass_enabled and qpc == 0 and int(ft.qp[addr]) == 0:
                 for blk in range(4):
                     bx, by = CHROMA_BLK_XY[blk]
                     c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
-                    c[0, 0] = c2[by, bx]
+                    c[0, 0] = cdc[by, bx]
                     mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                 # chroma modes: 1 horizontal, 2 vertical (8.3.4 numbering)
                 dmode = 1 if mode == 1 else (0 if mode == 2 else -1)
@@ -810,11 +836,11 @@ class IntraFrameReconstructor:
                 if self._grid is not None:
                     self._put_block(addr, 0, 0, blkpx, 1 + comp, chroma=True)
                 else:
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = blkpx
+                    plane[y0 : y0 + ch, x0 : x0 + 8] = blkpx
                 continue
-            dcc = rr.chroma_dc_dequant(c2, int(ls[0, 0]), qpc)
-            for blk in range(4):
-                bx, by = CHROMA_BLK_XY[blk]
+            dcc = self._chroma_dc_deq(cdc, ls_idx, ls, qpc)
+            for blk in range(ft.ch_blks):
+                bx, by = ft.ch_blk_xy[blk]
                 c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
                 d = rr.dequant_4x4_ac(c, ls, qpc)
                 d[0, 0] = dcc[by, bx]
@@ -823,4 +849,4 @@ class IntraFrameReconstructor:
             if self._grid is not None:
                 self._put_block(addr, 0, 0, blkpx, 1 + comp, chroma=True)
             else:
-                plane[y0 : y0 + 8, x0 : x0 + 8] = blkpx
+                plane[y0 : y0 + ch, x0 : x0 + 8] = blkpx

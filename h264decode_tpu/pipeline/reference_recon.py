@@ -171,6 +171,24 @@ def chroma_dc_dequant(c: np.ndarray, ls00: int, qpc: int) -> np.ndarray:
     return ((f * ls00) << (qpc // 6)) >> 5
 
 
+def chroma_dc_dequant_422(c: np.ndarray, ls4_by_m, qpc: int) -> np.ndarray:
+    """spec 8.5.11 (4:2:2): 2x4 chroma DC transform + scaling at
+    qP.DC = QPc + 3 with the luma-DC (8.5.10-style) rounding — calibrated
+    against libavcodec by single-coefficient probe streams across QPs
+    (tests/test_chroma422.py). `c` is the 4-row x 2-col DC array;
+    `ls4_by_m` is the per-m list of LevelScale4x4 matrices."""
+    h4 = np.array(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], np.int32
+    )
+    h2 = np.array([[1, 1], [1, -1]], np.int32)
+    f = h4 @ c.astype(np.int32) @ h2
+    qp_dc = qpc + 3
+    ls00 = int(ls4_by_m[qp_dc % 6][0, 0])
+    if qp_dc >= 36:
+        return (f * ls00) << (qp_dc // 6 - 6)
+    return (f * ls00 + (1 << (5 - qp_dc // 6))) >> (6 - qp_dc // 6)
+
+
 def idct_8x8(d: np.ndarray) -> np.ndarray:
     """spec 8.5.12.3: 8x8 inverse transform."""
     d = d.astype(np.int32)
@@ -366,17 +384,19 @@ def intra16x16_predict(mode: int, left, top, corner) -> np.ndarray:
     return p
 
 
-def intra_chroma_predict(mode: int, left, top, corner, avail_l4) -> np.ndarray:
-    """spec 8.3.4 (4:2:0, 8x8). avail_l4: (left_top4, left_bot4, top_left4,
-    top_right4) availability booleans for the DC sub-block rules — here we
-    pass explicit left/top arrays or None and treat halves uniformly."""
-    p = np.zeros((8, 8), np.int32)
+def intra_chroma_predict(mode: int, left, top, corner, avail_l4,
+                         h: int = 8) -> np.ndarray:
+    """spec 8.3.4 on the 8-wide x `h`-tall chroma component (h = 8 for
+    4:2:0, 16 for 4:2:2). avail_l4 is unused (left/top arrays or None
+    encode availability uniformly)."""
+    p = np.zeros((h, 8), np.int32)
     if mode == 0:  # DC, per 4x4 sub-block (8.3.4.1)
-        for by in range(2):
+        for by in range(h // 4):
             for bx in range(2):
                 t = top[bx * 4 : bx * 4 + 4] if top is not None else None
                 l = left[by * 4 : by * 4 + 4] if left is not None else None
-                if bx == by:  # corner blocks: average both if available
+                if (bx == 0 and by == 0) or (bx > 0 and by > 0):
+                    # corner + interior blocks: average both if available
                     if t is not None and l is not None:
                         dc = (int(np.sum(t)) + int(np.sum(l)) + 4) >> 3
                     elif t is not None:
@@ -385,14 +405,14 @@ def intra_chroma_predict(mode: int, left, top, corner, avail_l4) -> np.ndarray:
                         dc = (int(np.sum(l)) + 2) >> 2
                     else:
                         dc = 128
-                elif bx == 1:  # top-right block: prefer top
+                elif bx > 0:  # top-row right blocks: prefer top
                     if t is not None:
                         dc = (int(np.sum(t)) + 2) >> 2
                     elif l is not None:
                         dc = (int(np.sum(l)) + 2) >> 2
                     else:
                         dc = 128
-                else:  # bottom-left block: prefer left
+                else:  # left-column lower blocks: prefer left
                     if l is not None:
                         dc = (int(np.sum(l)) + 2) >> 2
                     elif t is not None:
@@ -404,17 +424,28 @@ def intra_chroma_predict(mode: int, left, top, corner, avail_l4) -> np.ndarray:
         p[:, :] = np.asarray(left)[:, None]
     elif mode == 2:  # Vertical
         p[:, :] = top[None, :]
-    elif mode == 3:  # Plane (8.3.4.4, 4:2:0)
+    elif mode == 3:  # Plane (8.3.4.4; yCF = 4 at 4:2:2)
         t = np.asarray(top, np.int64)
         l = np.asarray(left, np.int64)
         m = int(corner)
-        hsum = sum((x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else m)) for x in range(4))
-        vsum = sum((y + 1) * (int(l[4 + y]) - (int(l[2 - y]) if 2 - y >= 0 else m)) for y in range(4))
-        a = 16 * (int(l[7]) + int(t[7]))
+        ycf = 4 if h == 16 else 0  # spec yCF: 0 (4:2:0) / 4 (4:2:2)
+        hsum = sum(
+            (x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else m))
+            for x in range(4)
+        )
+        vsum = sum(
+            (y + 1)
+            * (
+                int(l[4 + ycf + y])
+                - (int(l[2 + ycf - y]) if 2 + ycf - y >= 0 else m)
+            )
+            for y in range(4 + ycf)
+        )
+        a = 16 * (int(l[h - 1]) + int(t[7]))
         b = (34 * hsum + 32) >> 6
-        c = (34 * vsum + 32) >> 6
-        yy, xx = np.mgrid[0:8, 0:8]
-        p = clip1((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5)
+        c = ((34 - 29 * (1 if h == 16 else 0)) * vsum + 32) >> 6
+        yy, xx = np.mgrid[0:h, 0:8]
+        p = clip1((a + b * (xx - 3) + c * (yy - 3 - ycf) + 16) >> 5)
     return p
 
 

@@ -725,6 +725,12 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
+        if sps.chroma_array_type == 2:
+            # High 4:2:2: the device wire format/kernels are 4:2:0-shaped;
+            # reconstruct on the numpy oracle path (still bit-exact)
+            return Decoder._submit_reconstruct(
+                self, ft, sps, pps, slices, ref_lists, weight_ctx, poc
+            )
         if not self._pipeline:
             return self._reconstruct(ft, sps, pps, slices, ref_lists,
                                      weight_ctx, poc)

@@ -56,6 +56,15 @@ LUMA_BLK_XY = (
 )
 # chroma 4x4 blocks (4:2:0), raster within the 8x8 plane
 CHROMA_BLK_XY = ((0, 0), (1, 0), (0, 1), (1, 1))
+# chroma 4x4 blocks (4:2:2), raster within the 8x16 plane (spec 6.4.7)
+CHROMA_BLK_XY_422 = (
+    (0, 0), (1, 0), (0, 1), (1, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3),
+)
+# spec 8.5.4: 4:2:2 chroma DC inverse scan — list index k -> (row, col) of
+# the 4x2 DC array. Verified against libavcodec by single-coefficient
+# probe streams (tests/test_chroma422.py::test_dc_scan_probe).
+CHROMA422_DC_SCAN = ((0, 0), (1, 0), (0, 1), (2, 0), (3, 0), (1, 1), (2, 1), (3, 1))
 # luma8x8BlkIdx -> (x, y) in 8-px units
 LUMA8_BLK_XY = ((0, 0), (1, 0), (0, 1), (1, 1))
 
@@ -86,6 +95,9 @@ class FrameTensors:
 
     mb_w: int
     mb_h: int
+    # ChromaArrayType geometry: 1 = 4:2:0 (default, also used for mono),
+    # 2 = 4:2:2 (8x16 chroma MBs: 8 AC blocks + 8-coeff DC per component)
+    chroma_format: int = 1
 
     mb_class: np.ndarray = None  # [nMB] int8, MB_* above
     transform_8x8: np.ndarray = None  # [nMB] bool
@@ -158,9 +170,9 @@ class FrameTensors:
         if self.luma_dc is None:
             self.luma_dc = np.zeros((n, 16), np.int16)
         if self.chroma_dc is None:
-            self.chroma_dc = np.zeros((n, 2, 4), np.int16)
+            self.chroma_dc = np.zeros((n, 2, self.ch_dc_n), np.int16)
         if self.chroma_ac is None:
-            self.chroma_ac = np.zeros((n, 2, 4, 16), np.int16)
+            self.chroma_ac = np.zeros((n, 2, self.ch_blks, 16), np.int16)
         if self.mv is None:
             self.mv = np.zeros((n, 2, 16, 2), np.int16)
         if self.ref_idx is None:
@@ -188,11 +200,38 @@ class FrameTensors:
         if self.luma_nnz is None:
             self.luma_nnz = np.zeros((self.mb_h * 4, self.mb_w * 4), np.int8)
         if self.chroma_nnz is None:
-            self.chroma_nnz = np.zeros((2, self.mb_h * 2, self.mb_w * 2), np.int8)
+            self.chroma_nnz = np.zeros(
+                (2, self.mb_h * self.ch_rows, self.mb_w * 2), np.int8
+            )
 
     @property
     def n_mbs(self) -> int:
         return self.mb_w * self.mb_h
+
+    # -------- chroma geometry (per component, per MB) --------
+    @property
+    def ch_blks(self) -> int:
+        """Chroma AC 4x4 blocks per component (4 at 4:2:0, 8 at 4:2:2)."""
+        return 8 if self.chroma_format == 2 else 4
+
+    @property
+    def ch_dc_n(self) -> int:
+        """Chroma DC coefficients per component (4 / 8)."""
+        return 8 if self.chroma_format == 2 else 4
+
+    @property
+    def ch_rows(self) -> int:
+        """Chroma 4x4 block rows per MB (2 at 4:2:0, 4 at 4:2:2)."""
+        return 4 if self.chroma_format == 2 else 2
+
+    @property
+    def ch_mb_h(self) -> int:
+        """Chroma MB height in samples (MbHeightC: 8 / 16)."""
+        return 16 if self.chroma_format == 2 else 8
+
+    @property
+    def ch_blk_xy(self):
+        return CHROMA_BLK_XY_422 if self.chroma_format == 2 else CHROMA_BLK_XY
 
     def ensure_luma8(self):
         if self.luma8_ac is None:
