@@ -34,6 +34,7 @@ AV_CODEC_ID_H264 = 27
 AV_PIX_FMT_YUV420P = 0
 AV_PIX_FMT_YUV422P = 4
 AV_PIX_FMT_YUV444P = 5
+AV_PIX_FMT_GRAY8 = 8
 # pixel format -> (chroma width shift, chroma height shift)
 _PIX_FMT_SHIFTS = {
     AV_PIX_FMT_YUV420P: (1, 1),
@@ -150,6 +151,13 @@ def _copy_plane(frame: AVFrame, idx: int, h: int, w: int) -> np.ndarray:
 
 
 def _frame_to_yuv(frame: AVFrame) -> YUVFrame:
+    if frame.format == AV_PIX_FMT_GRAY8:  # monochrome: no chroma planes
+        empty = np.zeros((0, 0), np.uint8)
+        return YUVFrame(
+            y=_copy_plane(frame, 0, frame.height, frame.width),
+            cb=empty,
+            cr=empty,
+        )
     shifts = _PIX_FMT_SHIFTS.get(frame.format)
     if shifts is None:
         raise ValueError(f"unsupported planar YUV format={frame.format}")
@@ -305,6 +313,7 @@ def encode_x264(
         "yuv420p": AV_PIX_FMT_YUV420P,
         "yuv422p": AV_PIX_FMT_YUV422P,
         "yuv444p": AV_PIX_FMT_YUV444P,
+        "gray": AV_PIX_FMT_GRAY8,
     }[csp]
     if _av_frame_get_buffer(frame, 32) < 0:
         raise RuntimeError("av_frame_get_buffer failed")

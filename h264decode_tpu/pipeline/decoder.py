@@ -340,6 +340,12 @@ class Decoder:
             cur_field_pocs=getattr(ft, "cur_field_pocs", (poc, poc)),
         )
         y, cb, cr = recon.run()
+        if sps.chroma_array_type == 0:
+            # monochrome (chroma_format_idc 0): no chroma is coded; present
+            # the conventional mid-gray fill (what libavcodec emits when a
+            # mono stream is viewed as 4:2:0) so refs/MC stay consistent
+            cb = np.full_like(cb, 128)
+            cr = np.full_like(cr, 128)
         if self.apply_deblock:
             y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
         return y, cb, cr

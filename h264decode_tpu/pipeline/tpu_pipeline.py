@@ -725,9 +725,9 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
-        if sps.chroma_array_type == 2:
-            # High 4:2:2: the device wire format/kernels are 4:2:0-shaped;
-            # reconstruct on the numpy oracle path (still bit-exact)
+        if sps.chroma_array_type != 1:
+            # mono / High 4:2:2 / 4:4:4: the device wire format/kernels are
+            # 4:2:0-shaped; reconstruct on the numpy oracle path (bit-exact)
             return Decoder._submit_reconstruct(
                 self, ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
