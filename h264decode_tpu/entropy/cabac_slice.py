@@ -49,17 +49,33 @@ LAST_8x8 = (
     5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8,
 )
 
-# ctxBlockCat (Table 9-42, 4:2:0): 0 lumaDC(I16), 1 lumaAC(I16), 2 luma4x4,
-# 3 chromaDC, 4 chromaAC, 5 luma8x8
-CBF_BASE = {0: 85, 1: 89, 2: 93, 3: 97, 4: 101}
-SIG_BASE = {0: 105, 1: 120, 2: 134, 3: 149, 4: 152, 5: 402}
-LAST_BASE = {0: 166, 1: 181, 2: 195, 3: 210, 4: 213, 5: 417}
-LVL_BASE = {0: 227, 1: 237, 2: 247, 3: 257, 4: 266, 5: 426}
+# ctxBlockCat (Table 9-42): 0 lumaDC(I16), 1 lumaAC(I16), 2 luma4x4,
+# 3 chromaDC, 4 chromaAC, 5 luma8x8; ChromaArrayType 3 adds the per-
+# component luma-style categories 6-9 (Cb: DC, AC, 4x4, 8x8) and 10-13
+# (Cr). Base offsets are spec Table 9-40's ctxIdxOffset column; for 4:4:4
+# coded_block_flag is ALSO sent for the 8x8 categories 5/9/13
+# (7.3.5.3.3: maxNumCoeff != 64 || ChromaArrayType == 3).
+CBF_BASE = {0: 85, 1: 89, 2: 93, 3: 97, 4: 101, 5: 1012,
+            6: 460, 7: 464, 8: 468, 9: 1016,
+            10: 472, 11: 476, 12: 480, 13: 1020}
+SIG_BASE = {0: 105, 1: 120, 2: 134, 3: 149, 4: 152, 5: 402,
+            6: 484, 7: 499, 8: 513, 9: 660,
+            10: 528, 11: 543, 12: 557, 13: 718}
+LAST_BASE = {0: 166, 1: 181, 2: 195, 3: 210, 4: 213, 5: 417,
+             6: 572, 7: 587, 8: 601, 9: 690,
+             10: 616, 11: 631, 12: 645, 13: 748}
+LVL_BASE = {0: 227, 1: 237, 2: 247, 3: 257, 4: 266, 5: 426,
+            6: 952, 7: 962, 8: 972, 9: 708,
+            10: 982, 11: 992, 12: 1002, 13: 766}
 # Field-coded macroblocks (PAFF field pictures, MBAFF field pairs) use the
 # ctxIdxOffset field column of Table 9-40 for the significance map; the
 # level and coded_block_flag contexts are shared with frame coding.
-SIG_BASE_FIELD = {0: 277, 1: 292, 2: 306, 3: 321, 4: 324, 5: 436}
-LAST_BASE_FIELD = {0: 338, 1: 353, 2: 367, 3: 382, 4: 385, 5: 451}
+SIG_BASE_FIELD = {0: 277, 1: 292, 2: 306, 3: 321, 4: 324, 5: 436,
+                  6: 776, 7: 791, 8: 805, 9: 675,
+                  10: 820, 11: 835, 12: 849, 13: 733}
+LAST_BASE_FIELD = {0: 338, 1: 353, 2: 367, 3: 382, 4: 385, 5: 451,
+                   6: 864, 7: 879, 8: 893, 9: 699,
+                   10: 908, 11: 923, 12: 937, 13: 757}
 # Table 9-43 field column for significant_coeff_flag of 8x8 blocks —
 # extracted from the system libavcodec rodata (adjacent to the frame row
 # of significant_coeff_flag_offset_8x8[2][63]), the same trusted route as
@@ -570,6 +586,12 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     def _cbf_luma_cell(self, cx: int, cy: int, cur_intra: bool) -> int:
         """condTermFlag for a neighboring luma 4x4 cell (9.3.3.1.1.9)."""
+        return self._cbf_comp_cell(0, cx, cy, cur_intra)
+
+    def _cbf_comp_cell(self, comp: int, cx: int, cy: int, cur_intra: bool) -> int:
+        """condTermFlag for a neighboring 4x4 cell of a luma-shaped
+        component grid: comp 0 = luma, 1/2 = Cb/Cr under ChromaArrayType 3
+        (9.3.3.1.1.9 with the same-component neighbor blocks)."""
         ft = self.ft
         if cx < 0 or cy < 0:
             return 1 if cur_intra else 0
@@ -578,7 +600,27 @@ class CabacSliceDecoder(SliceDecoderBase):
             return 1 if cur_intra else 0
         if ft.mb_class[naddr] == MB_I_PCM:
             return 1
-        return 1 if ft.luma_nnz[cy, cx] > 0 else 0
+        nnz = ft.luma_nnz if comp == 0 else ft.c444_nnz[comp - 1]
+        return 1 if nnz[cy, cx] > 0 else 0
+
+    def _cbf_8x8_nbr(self, comp: int, cx: int, cy: int, cur_intra: bool) -> int:
+        """condTermFlag for the neighbor of an 8x8 block's coded_block_flag
+        (ctxBlockCat 5/9/13, ChromaArrayType 3 only): the neighboring 8x8
+        trans block exists only when the neighbor macroblock itself is
+        transform-8x8 coded; otherwise condTermFlag is 0 (9.3.3.1.1.9,
+        verified bit-exactly against x264 High 4:4:4 streams)."""
+        ft = self.ft
+        if cx < 0 or cy < 0:
+            return 1 if cur_intra else 0
+        naddr = (cy >> 2) * ft.mb_w + (cx >> 2)
+        if not self._mb_available(naddr):
+            return 1 if cur_intra else 0
+        if ft.mb_class[naddr] == MB_I_PCM:
+            return 1
+        if not ft.transform_8x8[naddr]:
+            return 0
+        nnz = ft.luma_nnz if comp == 0 else ft.c444_nnz[comp - 1]
+        return 1 if nnz[cy, cx] > 0 else 0
 
     def _cbf_chroma_cell(self, comp: int, cx: int, cy: int, cur_intra: bool) -> int:
         ft = self.ft
@@ -630,7 +672,7 @@ class CabacSliceDecoder(SliceDecoderBase):
         num = n_pos
         i = 0
         while i < num - 1:
-            if cat == 5:
+            if cat in (5, 9, 13):  # 8x8 categories (luma / Cb / Cr)
                 s_inc = sig_8x8[i]
                 l_inc = LAST_8x8[i]
             elif cat == 3:
@@ -725,7 +767,8 @@ class CabacSliceDecoder(SliceDecoderBase):
                 ft.qp[addr] = self.qp_prev
                 self.last_qp_delta = 0
             self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-            self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+            self._parse_chroma_residual(addr, mbx, mby, cbp >> 4,
+                                        cbp_luma=cbp & 15, t8=t8)
         else:  # I_16x16
             ft.mb_class[addr] = MB_I_16X16
             k = mb_type - 1
@@ -745,7 +788,8 @@ class CabacSliceDecoder(SliceDecoderBase):
             if levels is not None:
                 ft.luma_dc[addr] = levels
             self._parse_luma_residual(addr, mbx, mby, cbp_luma, i16=True, t8=False)
-            self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
+            self._parse_chroma_residual(addr, mbx, mby, cbp_chroma,
+                                        cbp_luma=cbp_luma, i16=True)
 
     def _parse_pcm(self, addr: int) -> None:
         """I_PCM in CABAC: align, read raw bytes, re-init (9.3.1.2).
@@ -765,6 +809,9 @@ class CabacSliceDecoder(SliceDecoderBase):
             ch = ft.ch_mb_h
             cb = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
             cr = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
+        elif self.sps.chroma_array_type == 3:  # full-resolution chroma
+            cb = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
+            cr = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
         else:
             cb = cr = np.zeros((8, 8), np.uint8)
         ft.pcm_samples[addr] = (y, cb, cr)
@@ -773,6 +820,8 @@ class CabacSliceDecoder(SliceDecoderBase):
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
         cr_ = ft.ch_rows
         ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 16
+        if ft.c444_nnz is not None:
+            ft.c444_nnz[:, mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
         ft.cbf_dc[addr] = 1
         self.last_qp_delta = 0
         e.reinit()
@@ -994,30 +1043,55 @@ class CabacSliceDecoder(SliceDecoderBase):
             ft.qp[addr] = self.qp_prev
             self.last_qp_delta = 0
         self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4,
+                                    cbp_luma=cbp & 15, t8=t8)
 
     # ----------------------------------------------------------- residuals
 
-    def _parse_luma_residual(self, addr, mbx, mby, cbp_luma, *, i16, t8):
+    def _parse_luma_residual(self, addr, mbx, mby, cbp_luma, *, i16, t8,
+                             comp: int = 0):
+        """Luma-process residual for one component: comp 0 = luma; 1/2 =
+        Cb/Cr under ChromaArrayType 3 (ctxBlockCat 7-9 / 11-13)."""
         ft = self.ft
         cur_intra = ft.mb_class[addr] < 3
         fld = self._field_coded(addr)
         mbaff = self.hdr.mbaff_frame_flag
+        cf3 = self.sps.chroma_array_type == 3
+        if comp == 0:
+            nnz = ft.luma_nnz
+            ac = ft.luma_ac[addr]
+            cat_ac, cat_4x4, cat_8x8 = 1, 2, 5
+        else:
+            nnz = ft.c444_nnz[comp - 1]
+            ac = ft.c444_ac[addr, comp - 1]
+            cat_ac, cat_4x4, cat_8x8 = (7, 8, 9) if comp == 1 else (11, 12, 13)
         if t8:
-            l8 = ft.ensure_luma8()
+            l8 = ft.ensure_luma8()[addr] if comp == 0 else (
+                ft.ensure_c444_8x8()[addr, comp - 1]
+            )
             for b8 in range(4):
                 bx8, by8 = (b8 % 2) * 2, (b8 // 2) * 2
                 gx, gy = mbx * 4 + bx8, mby * 4 + by8
                 if not (cbp_luma & (1 << b8)):
-                    ft.luma_nnz[gy : gy + 2, gx : gx + 2] = 0
+                    nnz[gy : gy + 2, gx : gx + 2] = 0
                     continue
-                levels = self._residual_cabac(5, 64, None, fld)
+                # 7.3.5.3.3: coded_block_flag IS sent for 8x8 blocks when
+                # ChromaArrayType == 3 (ctx from the neighbor trans blocks)
+                inc = None
+                if cf3:
+                    inc = self._cbf_8x8_nbr(
+                        comp, gx - 1, gy, cur_intra
+                    ) + 2 * self._cbf_8x8_nbr(comp, gx, gy - 1, cur_intra)
+                levels = self._residual_cabac(cat_8x8, 64, inc, fld)
+                if levels is None:
+                    nnz[gy : gy + 2, gx : gx + 2] = 0
+                    continue
                 nz = sum(1 for v in levels if v)
-                l8[addr, b8] = levels
+                l8[b8] = levels
                 # replicate coded status to cells (nC/cbf/deblock lookups)
-                ft.luma_nnz[gy : gy + 2, gx : gx + 2] = min(nz, 16)
+                nnz[gy : gy + 2, gx : gx + 2] = min(nz, 16)
             return
-        cat = 1 if i16 else 2
+        cat = cat_ac if i16 else cat_4x4
         n_pos = 15 if i16 else 16
         for b8 in range(4):
             coded = cbp_luma & (1 << b8)
@@ -1026,7 +1100,7 @@ class CabacSliceDecoder(SliceDecoderBase):
                 bx, by = LUMA_BLK_XY[blk]
                 gx, gy = mbx * 4 + bx, mby * 4 + by
                 if not coded:
-                    ft.luma_nnz[gy, gx] = 0
+                    nnz[gy, gx] = 0
                     continue
                 if mbaff:
                     inc = self._cbf_cell_mbaff(
@@ -1035,26 +1109,48 @@ class CabacSliceDecoder(SliceDecoderBase):
                         addr, bx * 4, by * 4 - 1, None, cur_intra
                     )
                 else:
-                    inc = self._cbf_luma_cell(
-                        gx - 1, gy, cur_intra
-                    ) + 2 * self._cbf_luma_cell(gx, gy - 1, cur_intra)
+                    inc = self._cbf_comp_cell(
+                        comp, gx - 1, gy, cur_intra
+                    ) + 2 * self._cbf_comp_cell(comp, gx, gy - 1, cur_intra)
                 levels = self._residual_cabac(cat, n_pos, inc, fld)
                 if levels is None:
-                    ft.luma_nnz[gy, gx] = 0
+                    nnz[gy, gx] = 0
                     continue
                 nz = sum(1 for v in levels if v)
-                ft.luma_nnz[gy, gx] = nz
+                nnz[gy, gx] = nz
                 if i16:
-                    ft.luma_ac[addr, blk, 1:16] = levels
+                    ac[blk, 1:16] = levels
                 else:
-                    ft.luma_ac[addr, blk] = levels
+                    ac[blk] = levels
 
-    def _parse_chroma_residual(self, addr, mbx, mby, cbp_chroma):
+    def _parse_chroma_residual(self, addr, mbx, mby, cbp_chroma, *,
+                               cbp_luma: int = 0, i16: bool = False,
+                               t8: bool = False):
         if self.sps.chroma_array_type == 0:
             return
         ft = self.ft
         cur_intra = ft.mb_class[addr] < 3
         fld = self._field_coded(addr)
+        if self.sps.chroma_array_type == 3:
+            # 7.3.5.3.1: Cb and Cr are coded with the luma residual process,
+            # gated by the LUMA cbp bits (ctxBlockCat 6-13)
+            for comp in (1, 2):
+                if i16:
+                    la = self._nbr_mb(addr, -1, 0)
+                    ta = self._nbr_mb(addr, 0, -1)
+                    inc = self._cbf_dc(la, comp, cur_intra) + 2 * self._cbf_dc(
+                        ta, comp, cur_intra
+                    )
+                    levels = self._residual_cabac(
+                        6 if comp == 1 else 10, 16, inc, fld
+                    )
+                    ft.cbf_dc[addr, comp] = 0 if levels is None else 1
+                    if levels is not None:
+                        ft.c444_dc[addr, comp - 1] = levels
+                self._parse_luma_residual(
+                    addr, mbx, mby, cbp_luma, i16=i16, t8=t8, comp=comp
+                )
+            return
         mbaff = self.hdr.mbaff_frame_flag
         dc_n = ft.ch_dc_n
         if cbp_chroma & 3:

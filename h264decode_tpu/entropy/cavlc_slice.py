@@ -70,6 +70,24 @@ class CavlcSliceDecoder(SliceDecoderBase):
             self._luma_nnz_at(gx - 1, gy), self._luma_nnz_at(gx, gy - 1)
         )
 
+    def _c444_nnz_at(self, comp: int, gx: int, gy: int):
+        """4:4:4 Cb/Cr (comp 1/2): same-component neighbor TotalCoeff on the
+        luma-shaped per-component grid (spec 9.2.1 for ChromaArrayType 3)."""
+        if gx < 0 or gy < 0:
+            return None
+        naddr = (gy >> 2) * self.ft.mb_w + (gx >> 2)
+        if not self._mb_available(naddr):
+            return None
+        return int(self.ft.c444_nnz[comp - 1, gy, gx])
+
+    def comp444_nc(self, comp: int, gx: int, gy: int) -> int:
+        if comp == 0:
+            return self.luma_nc(gx, gy)
+        return nc_from_neighbors(
+            self._c444_nnz_at(comp, gx - 1, gy),
+            self._c444_nnz_at(comp, gx, gy - 1),
+        )
+
     def chroma_nc(self, comp: int, gx: int, gy: int) -> int:
         if self.hdr.mbaff_frame_flag:
             return self._nc_mbaff(gx, gy, comp=comp)
@@ -268,7 +286,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
             else:
                 ft.qp[addr] = self.qp_prev
             self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-            self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+            self._parse_chroma_residual(addr, mbx, mby, cbp >> 4,
+                                        cbp_luma=cbp & 15, t8=t8)
         else:  # I_16x16: mb_type 1..24, Table 7-11 derivation
             ft.mb_class[addr] = MB_I_16X16
             k = mb_type - 1
@@ -284,7 +303,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
             coeffs, _ = residual_block_cavlc(self._need_res_r(), 0, 15, 16, nc)
             ft.luma_dc[addr] = coeffs
             self._parse_luma_residual(addr, mbx, mby, cbp_luma, i16=True, t8=False)
-            self._parse_chroma_residual(addr, mbx, mby, cbp_chroma)
+            self._parse_chroma_residual(addr, mbx, mby, cbp_chroma,
+                                        cbp_luma=cbp_luma, i16=True)
         # non-NxN MBs leave the intra-mode grid at -1 ("predict DC from me")
 
     def _parse_si_mb(self, addr: int) -> None:
@@ -318,6 +338,9 @@ class CavlcSliceDecoder(SliceDecoderBase):
             ch = ft.ch_mb_h
             cb = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
             cr = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
+        elif self.sps.chroma_array_type == 3:  # full-resolution chroma
+            cb = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
+            cr = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
         else:
             cb = cr = np.zeros((8, 8), np.uint8)
         ft.pcm_samples[addr] = (y, cb, cr)
@@ -328,6 +351,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
         cr_ = ft.ch_rows
         ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 16
+        if ft.c444_nnz is not None:
+            ft.c444_nnz[:, mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
 
     def _parse_intra_nxn_modes(self, addr: int, mbx: int, mby: int, t8: bool) -> None:
         ft, r = self.ft, self.r
@@ -432,7 +457,8 @@ class CavlcSliceDecoder(SliceDecoderBase):
         else:
             ft.qp[addr] = self.qp_prev
         self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4,
+                                    cbp_luma=cbp & 15, t8=t8)
 
     # ------------------------------------------------------------ B slices
 
@@ -539,16 +565,20 @@ class CavlcSliceDecoder(SliceDecoderBase):
         else:
             ft.qp[addr] = self.qp_prev
         self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=t8)
-        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4,
+                                    cbp_luma=cbp & 15, t8=t8)
 
     # ----------------------------------------------------------- residuals
 
     def _parse_luma_residual(
-        self, addr: int, mbx: int, mby: int, cbp_luma: int, *, i16: bool, t8: bool
+        self, addr: int, mbx: int, mby: int, cbp_luma: int, *, i16: bool,
+        t8: bool, comp: int = 0
     ) -> None:
         """residual_luma(), spec 7.3.5.3.1. For CAVLC + transform_8x8 the
         8x8 block is sent as 4 interleaved 4x4 CAVLC blocks
-        (coeff k of partition i -> 8x8 scan position 4k+i, spec 8.5.6 note)."""
+        (coeff k of partition i -> 8x8 scan position 4k+i, spec 8.5.6 note).
+        `comp` 0 = luma; 1/2 = Cb/Cr under ChromaArrayType 3, which code
+        chroma with this same luma process per component."""
         ft = self.ft
         # residual levels are syntax category 3/4: partition B/C under data
         # partitioning (7.4.1); same reader as `r` for ordinary slices
@@ -557,7 +587,14 @@ class CavlcSliceDecoder(SliceDecoderBase):
         # max_num_coeff arg only selects the total_zeros table family (4x4)
         start = 1 if i16 else 0
         maxc = 16
-        l8 = ft.ensure_luma8() if t8 else None
+        if comp == 0:
+            nnz = ft.luma_nnz
+            ac = ft.luma_ac[addr]
+            l8 = ft.ensure_luma8()[addr] if t8 else None
+        else:
+            nnz = ft.c444_nnz[comp - 1]
+            ac = ft.c444_ac[addr, comp - 1]
+            l8 = ft.ensure_c444_8x8()[addr, comp - 1] if t8 else None
         for b8 in range(4):
             coded = cbp_luma & (1 << b8)
             for i4 in range(4):
@@ -565,21 +602,39 @@ class CavlcSliceDecoder(SliceDecoderBase):
                 bx, by = LUMA_BLK_XY[blk]
                 gx, gy = mbx * 4 + bx, mby * 4 + by
                 if not coded:
-                    ft.luma_nnz[gy, gx] = 0
+                    nnz[gy, gx] = 0
                     continue
-                nc = self.luma_nc(gx, gy)
+                nc = self.comp444_nc(comp, gx, gy)
                 coeffs, total = residual_block_cavlc(r, start, 15, maxc, nc)
-                ft.luma_nnz[gy, gx] = total
+                nnz[gy, gx] = total
                 if t8:
                     for k in range(16):
-                        l8[addr, b8, 4 * k + i4] = coeffs[k]
+                        l8[b8, 4 * k + i4] = coeffs[k]
                 else:
-                    ft.luma_ac[addr, blk] = coeffs
+                    ac[blk] = coeffs
 
-    def _parse_chroma_residual(self, addr: int, mbx: int, mby: int, cbp_chroma: int):
+    def _parse_chroma_residual(self, addr: int, mbx: int, mby: int, cbp_chroma: int,
+                               *, cbp_luma: int = 0, i16: bool = False,
+                               t8: bool = False):
         """residual chroma part of 7.3.5.3.3 (ChromaArrayType 1 and 2;
-        4:2:2 codes 8-coefficient DC blocks with the nC == -2 VLC)."""
+        4:2:2 codes 8-coefficient DC blocks with the nC == -2 VLC).
+        ChromaArrayType 3 instead routes each component through the
+        residual_luma process (7.3.5.3.1), gated by the LUMA cbp bits."""
         if self.sps.chroma_array_type == 0:
+            return
+        if self.sps.chroma_array_type == 3:
+            ft = self.ft
+            for comp in (1, 2):
+                if i16:
+                    # Intra16x16DCLevel per component, nC as luma4x4BlkIdx 0
+                    nc = self.comp444_nc(comp, mbx * 4, mby * 4)
+                    coeffs, _ = residual_block_cavlc(
+                        self._need_res_r(), 0, 15, 16, nc
+                    )
+                    ft.c444_dc[addr, comp - 1] = coeffs
+                self._parse_luma_residual(
+                    addr, mbx, mby, cbp_luma, i16=i16, t8=t8, comp=comp
+                )
             return
         ft = self.ft
         dc_n = ft.ch_dc_n

@@ -318,6 +318,8 @@ class SliceDecoderBase:
         ft.luma_nnz[by : by + 4, bx : bx + 4] = 0
         cr_ = ft.ch_rows
         ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 0
+        if ft.c444_nnz is not None:
+            ft.c444_nnz[:, by : by + 4, bx : bx + 4] = 0
 
     def _decode_b_skip(self, addr: int) -> None:
         """B_Skip macroblock: direct prediction, no residual."""
@@ -332,3 +334,5 @@ class SliceDecoderBase:
         ft.luma_nnz[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         cr_ = ft.ch_rows
         ft.chroma_nnz[:, mby * cr_ : (mby + 1) * cr_, mbx * 2 : mbx * 2 + 2] = 0
+        if ft.c444_nnz is not None:
+            ft.c444_nnz[:, mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0

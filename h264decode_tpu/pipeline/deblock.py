@@ -579,7 +579,26 @@ def deblock_frame(
             for k in range(4):
                 y[rows, x - 1 - k] = p[k]
                 y[rows, x + k] = q[k]
-            if edge in (0, 2):  # chroma vertical edges (x = 0/4 of 8-wide)
+            if cf == 3:
+                # ChromaArrayType 3: chromaStyleFilteringFlag = 0 (8.7.2) —
+                # full-resolution chroma filters with the LUMA process at
+                # the same edge positions, using each component's QPc
+                for plane, off in (
+                    (cb, pps.chroma_qp_index_offset),
+                    (cr, pps.second_chroma_qp_index_offset),
+                ):
+                    qpc_av = (
+                        chroma_qp(qp_p, off) + chroma_qp(qp_q, off) + 1
+                    ) >> 1
+                    ia = np.clip(qpc_av + a_off, 0, 51)
+                    ib = np.clip(qpc_av + b_off, 0, 51)
+                    p = np.stack([plane[rows, x - 1 - k] for k in range(4)])
+                    q = np.stack([plane[rows, x + k] for k in range(4)])
+                    p, q = _filter_luma_lines(p, q, bs, ia, ib)
+                    for k in range(4):
+                        plane[rows, x - 1 - k] = p[k]
+                        plane[rows, x + k] = q[k]
+            elif edge in (0, 2):  # chroma vertical edges (x = 0/4 of 8-wide)
                 cx = mbx * 8 + edge * 2
                 qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
                 qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)
@@ -625,7 +644,24 @@ def deblock_frame(
                 for k in range(4):
                     y[yy - 1 - k, cols] = p[k]
                     y[yy + k, cols] = q[k]
-            if cf == 2 or edge in (0, 2):
+            if cf == 3:
+                if edge in edges:
+                    for plane, off in (
+                        (cb, pps.chroma_qp_index_offset),
+                        (cr, pps.second_chroma_qp_index_offset),
+                    ):
+                        qpc_av = (
+                            chroma_qp(qp_p, off) + chroma_qp(qp_q, off) + 1
+                        ) >> 1
+                        ia = np.clip(qpc_av + a_off, 0, 51)
+                        ib = np.clip(qpc_av + b_off, 0, 51)
+                        p = np.stack([plane[yy - 1 - k, cols] for k in range(4)])
+                        q = np.stack([plane[yy + k, cols] for k in range(4)])
+                        p, q = _filter_luma_lines(p, q, bs, ia, ib)
+                        for k in range(4):
+                            plane[yy - 1 - k, cols] = p[k]
+                            plane[yy + k, cols] = q[k]
+            elif cf == 2 or edge in (0, 2):
                 cy = mby * ch + edge * (ch // 4)
                 qpc_p = chroma_qp(qp_p, pps.chroma_qp_index_offset)
                 qpc_q = chroma_qp(qp_q, pps.chroma_qp_index_offset)

@@ -98,8 +98,10 @@ def crop(plane: np.ndarray, sps: SPS, chroma: bool) -> np.ndarray:
         h = sps.height // ((sps.sub_height_c or 1) if chroma else 1)
         w = sps.width // ((sps.sub_width_c or 1) if chroma else 1)
         return plane[:h, :w]
-    sub_x = sps.sub_width_c if chroma else 1
-    sub_y = sps.sub_height_c if chroma else 1
+    # mono streams carry no SubWidthC/SubHeightC (spec: undefined); our
+    # chroma planes use the conventional 4:2:0 presentation there
+    sub_x = (sps.sub_width_c or 2) if chroma else 1
+    sub_y = (sps.sub_height_c or 2) if chroma else 1
     unit_x = sps.sub_width_c if sps.chroma_array_type in (1, 2) else 1
     unit_y = (sps.sub_height_c if sps.chroma_array_type in (1, 2) else 1) * (
         2 - int(sps.frame_mbs_only_flag)
@@ -376,12 +378,12 @@ class Decoder:
             sps.pic_height_in_map_units if field else sps.frame_height_in_mbs
         )
         cf = sps.chroma_array_type
-        if cf == 2 and (field or hdr0.mbaff_frame_flag):
-            raise NotImplementedError("interlaced 4:2:2 decoding")
+        if cf in (2, 3) and (field or hdr0.mbaff_frame_flag):
+            raise NotImplementedError("interlaced 4:2:2/4:4:4 decoding")
         ft = FrameTensors(
             mb_w=sps.pic_width_in_mbs,
             mb_h=mb_h_pic,
-            chroma_format=2 if cf == 2 else 1,
+            chroma_format=cf if cf in (2, 3) else 1,
         )
         ft.mbaff = bool(hdr0.mbaff_frame_flag)
         ft.field_pic = field

@@ -174,10 +174,13 @@ class DPB:
         bit-exactly once the refresh wave completes."""
         H = self.sps.frame_height_in_mbs * 16
         W = self.sps.pic_width_in_mbs * 16
+        cf = self.sps.chroma_array_type
+        ch = H if cf in (2, 3) else H // 2
+        cw = W if cf == 3 else W // 2
         p = Picture(
             y=np.full((H, W), 128, np.uint8),
-            cb=np.full((H // 2, W // 2), 128, np.uint8),
-            cr=np.full((H // 2, W // 2), 128, np.uint8),
+            cb=np.full((ch, cw), 128, np.uint8),
+            cr=np.full((ch, cw), 128, np.uint8),
             frame_num=(hdr.frame_num - 1) % max(1, self.sps.max_frame_num),
             poc=poc - 2,
             uid=uid,

@@ -55,11 +55,14 @@ class IntraFrameReconstructor:
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
         self.cf = sps.chroma_array_type
-        self.ch = 16 if self.cf == 2 else 8  # chroma MB height (MbHeightC)
-        ch_pic_h = self.H if self.cf == 2 else self.H // 2
+        # chroma MB geometry (MbHeightC x MbWidthC): 8x8 / 16x8 / 16x16
+        self.ch = 16 if self.cf in (2, 3) else 8
+        self.cw = 16 if self.cf == 3 else 8
+        ch_pic_h = self.H if self.cf in (2, 3) else self.H // 2
+        ch_pic_w = self.W if self.cf == 3 else self.W // 2
         self.y = np.zeros((self.H, self.W), np.uint8)
-        self.cb = np.zeros((ch_pic_h, self.W // 2), np.uint8)
-        self.cr = np.zeros((ch_pic_h, self.W // 2), np.uint8)
+        self.cb = np.zeros((ch_pic_h, ch_pic_w), np.uint8)
+        self.cr = np.zeros((ch_pic_h, ch_pic_w), np.uint8)
         # decoded 4x4 luma cells (drives spec 6.4 availability exactly under
         # raster decode order within a slice). For MBAFF pictures rows are
         # each spatial MB's LOCAL cell rows (same convention as the entropy
@@ -82,7 +85,13 @@ class IntraFrameReconstructor:
             for idx in range(6)
         }
         s8 = pps.effective_scaling_8x8(sps)
-        self.ls8 = {idx: [rr.level_scale_8x8(s8[idx], m) for m in range(6)] for idx in range(2)}
+        # 8x8 lists: 0/1 = Intra/Inter Y; 2/3 = Intra/Inter Cb and 4/5 =
+        # Intra/Inter Cr exist only for ChromaArrayType 3 streams
+        n8 = 6 if self.cf == 3 else 2
+        self.ls8 = {
+            idx: [rr.level_scale_8x8(s8[idx], m) for m in range(6)]
+            for idx in range(n8)
+        }
 
     # ---------------------------------------------------------- availability
 
@@ -246,10 +255,10 @@ class IntraFrameReconstructor:
                 self.cb[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cb
                 self.cr[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cr
             else:
-                ch = self.ch
+                ch, cw = self.ch, self.cw
                 self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
-                self.cb[mby * ch : (mby + 1) * ch, mbx * 8 : mbx * 8 + 8] = cb
-                self.cr[mby * ch : (mby + 1) * ch, mbx * 8 : mbx * 8 + 8] = cr
+                self.cb[mby * ch : (mby + 1) * ch, mbx * cw : (mbx + 1) * cw] = cb
+                self.cr[mby * ch : (mby + 1) * ch, mbx * cw : (mbx + 1) * cw] = cr
         elif cls == MB_I_NXN:
             if ft.transform_8x8[addr]:
                 self._recon_i8x8_luma(addr, mbx, mby)
@@ -297,20 +306,55 @@ class IntraFrameReconstructor:
             return pred + np.cumsum(res, axis=1)
         return pred + res
 
+    # ------------------------------------------------ per-component access
+    # ChromaArrayType 3 (4:4:4) codes Cb/Cr with the LUMA processes — same
+    # prediction modes, transforms and scans per component (spec 8.3/8.5).
+    # comp 0 = Y (always); 1/2 = Cb/Cr only when self.cf == 3.
+
+    def _comps(self):
+        return (0, 1, 2) if self.cf == 3 else (0,)
+
+    def _comp_qp(self, addr: int, comp: int) -> int:
+        qp = int(self.ft.qp[addr])
+        if comp == 0:
+            return qp
+        off = (
+            self.pps.chroma_qp_index_offset
+            if comp == 1
+            else self.pps.second_chroma_qp_index_offset
+        )
+        return rr.chroma_qp(qp, off)
+
+    def _comp_ac(self, addr: int, comp: int):
+        ft = self.ft
+        return ft.luma_ac[addr] if comp == 0 else ft.c444_ac[addr, comp - 1]
+
+    def _comp_dc(self, addr: int, comp: int):
+        ft = self.ft
+        return ft.luma_dc[addr] if comp == 0 else ft.c444_dc[addr, comp - 1]
+
+    def _comp_ac8(self, addr: int, comp: int):
+        ft = self.ft
+        if comp == 0:
+            return ft.luma8_ac[addr] if ft.luma8_ac is not None else None
+        return ft.c444_8x8[addr, comp - 1] if ft.c444_8x8 is not None else None
+
     # ------------------------------------------------------------- Intra 4x4
 
-    def _refs_4x4(self, addr, gx, gy):
+    def _refs_4x4(self, addr, gx, gy, plane=None):
         """Gather (left[4], top[4], topright[4], corner) for the 4x4 block at
         cell (gx, gy), applying the spec substitution rules."""
+        if plane is None:
+            plane = self.y
         x0, y0 = gx * 4, gy * 4
         have_l = self._cell_avail(gx - 1, gy, addr)
         have_t = self._cell_avail(gx, gy - 1, addr)
         have_tr = self._cell_avail(gx + 1, gy - 1, addr)
         have_c = self._cell_avail(gx - 1, gy - 1, addr)
-        left = self.y[y0 : y0 + 4, x0 - 1].astype(np.int32) if have_l else None
-        top = self.y[y0 - 1, x0 : x0 + 4].astype(np.int32) if have_t else None
+        left = plane[y0 : y0 + 4, x0 - 1].astype(np.int32) if have_l else None
+        top = plane[y0 - 1, x0 : x0 + 4].astype(np.int32) if have_t else None
         if have_tr:
-            tr = self.y[y0 - 1, x0 + 4 : x0 + 8].astype(np.int32)
+            tr = plane[y0 - 1, x0 + 4 : x0 + 8].astype(np.int32)
             if tr.shape[0] < 4:  # picture edge: substitute per 8.3.1.2
                 pad = np.full(4 - tr.shape[0], tr[-1] if tr.size else 0, np.int32)
                 tr = np.concatenate([tr, pad])
@@ -318,84 +362,103 @@ class IntraFrameReconstructor:
             tr = np.full(4, top[3], np.int32)
         else:
             tr = None
-        corner = int(self.y[y0 - 1, x0 - 1]) if have_c else None
+        corner = int(plane[y0 - 1, x0 - 1]) if have_c else None
         return left, top, tr, corner
 
     def _recon_i4x4_luma(self, addr, mbx, mby):
         ft = self.ft
-        qp = int(ft.qp[addr])
-        ls = self.ls4[0][qp % 6]  # list 0: Intra Y
+        comps = self._comps()
+        qp_ls = [
+            (q, self.ls4[(0, 1, 2)[c]][q % 6])  # lists 0/1/2: Intra Y/Cb/Cr
+            for c, q in ((c, self._comp_qp(addr, c)) for c in comps)
+        ]
         for blk in range(16):
             bx, by = LUMA_BLK_XY[blk]
             gx, gy = mbx * 4 + bx, mby * 4 + by
             mode = int(ft.intra4x4_modes[addr, blk])
-            if self._grid is not None:
-                left, top, tr, corner = self._refs_4x4_mbaff(addr, bx * 4, by * 4)
-            else:
-                left, top, tr, corner = self._refs_4x4(addr, gx, gy)
-            pred = rr.intra4x4_predict(mode, left, top, tr, corner)
-            c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
-            if self._bypass(addr):
-                out = self._dpcm(pred, c, mode)
-            else:
-                d = rr.dequant_4x4_ac(c, ls, qp)
-                out = pred + rr.idct_4x4(d)
-            blkpx = rr.clip1(out).astype(np.uint8)
-            if self._grid is not None:
-                self._put_block(addr, bx * 4, by * 4, blkpx)
-            else:
-                self.y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = blkpx
+            # components interleave per block so cell_done tracks the spec
+            # availability identically for all three planes (cf == 3)
+            for comp, (qp, ls) in zip(comps, qp_ls):
+                plane = self._plane_of(comp)
+                if self._grid is not None:
+                    left, top, tr, corner = self._refs_4x4_mbaff(
+                        addr, bx * 4, by * 4
+                    )
+                else:
+                    left, top, tr, corner = self._refs_4x4(addr, gx, gy, plane)
+                pred = rr.intra4x4_predict(mode, left, top, tr, corner)
+                c = self._dz4(addr, self._comp_ac(addr, comp)[blk].astype(np.int32))
+                if self._bypass(addr):
+                    out = self._dpcm(pred, c, mode)
+                else:
+                    d = rr.dequant_4x4_ac(c, ls, qp)
+                    out = pred + rr.idct_4x4(d)
+                blkpx = rr.clip1(out).astype(np.uint8)
+                if self._grid is not None:
+                    self._put_block(addr, bx * 4, by * 4, blkpx)
+                else:
+                    plane[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = blkpx
             self.cell_done[gy, gx] = True
 
     # ------------------------------------------------------------- Intra 8x8
 
     def _recon_i8x8_luma(self, addr, mbx, mby):
         ft = self.ft
-        qp = int(ft.qp[addr])
-        ls8 = self.ls8[0][qp % 6]  # 8x8 list 0: Intra Y
-        l8 = ft.luma8_ac
+        comps = self._comps()
+        qp_ls = [
+            # 8x8 lists 0/2/4: Intra Y/Cb/Cr (Inter at odd indices)
+            (q, self.ls8[2 * c][q % 6])
+            for c, q in ((c, self._comp_qp(addr, c)) for c in comps)
+        ]
         for b8 in range(4):
             bx, by = b8 % 2, b8 // 2
             gx, gy = mbx * 4 + bx * 2, mby * 4 + by * 2
             x0, y0 = gx * 4, gy * 4
             mode = int(ft.intra4x4_modes[addr, b8])
-            if self._grid is not None:
-                pred = self._intra8x8_pred_mbaff(addr, bx * 8, by * 8, mode)
-            else:
-                pred = self._intra8x8_pred(addr, gx, gy, mode)
-            scan = l8[addr, b8].astype(np.int32) if l8 is not None else np.zeros(64, np.int32)
-            c = np.zeros(64, np.int32)
-            from ..tensors.frame_tensors import ZIGZAG_8x8
-
-            c[self._s8(addr)] = scan
-            c = c.reshape(8, 8)
-            if self._bypass(addr):
-                out = self._dpcm(pred, c, mode)
-            else:
-                if qp >= 36:
-                    d = (c * ls8) << (qp // 6 - 6)
+            for comp, (qp, ls8) in zip(comps, qp_ls):
+                plane = self._plane_of(comp)
+                if self._grid is not None:
+                    pred = self._intra8x8_pred_mbaff(addr, bx * 8, by * 8, mode)
                 else:
-                    d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
-                out = pred + rr.idct_8x8(d)
-            blkpx = rr.clip1(out).astype(np.uint8)
-            if self._grid is not None:
-                self._put_block(addr, bx * 8, by * 8, blkpx)
-            else:
-                self.y[y0 : y0 + 8, x0 : x0 + 8] = blkpx
+                    pred = self._intra8x8_pred(addr, gx, gy, mode, plane)
+                ac8 = self._comp_ac8(addr, comp)
+                scan = (
+                    ac8[b8].astype(np.int32)
+                    if ac8 is not None
+                    else np.zeros(64, np.int32)
+                )
+                c = np.zeros(64, np.int32)
+                c[self._s8(addr)] = scan
+                c = c.reshape(8, 8)
+                if self._bypass(addr):
+                    out = self._dpcm(pred, c, mode)
+                else:
+                    if qp >= 36:
+                        d = (c * ls8) << (qp // 6 - 6)
+                    else:
+                        d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+                    out = pred + rr.idct_8x8(d)
+                blkpx = rr.clip1(out).astype(np.uint8)
+                if self._grid is not None:
+                    self._put_block(addr, bx * 8, by * 8, blkpx)
+                else:
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = blkpx
             self.cell_done[gy : gy + 2, gx : gx + 2] = True
 
-    def _intra8x8_pred(self, addr, gx, gy, mode):
+    def _intra8x8_pred(self, addr, gx, gy, mode, plane=None):
         """spec 8.3.2: reference sample gathering + filtering (8.3.2.2.1),
         then the 9 8x8 prediction modes."""
+        if plane is None:
+            plane = self.y
         x0, y0 = gx * 4, gy * 4
         have_l = self._cell_avail(gx - 1, gy, addr) and self._cell_avail(gx - 1, gy + 1, addr)
         have_t = self._cell_avail(gx, gy - 1, addr) and self._cell_avail(gx + 1, gy - 1, addr)
         have_tr = self._cell_avail(gx + 2, gy - 1, addr) and self._cell_avail(gx + 3, gy - 1, addr)
         have_c = self._cell_avail(gx - 1, gy - 1, addr)
-        left = self.y[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
-        top = self.y[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
+        left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
+        top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
         if have_tr:
-            tr = self.y[y0 - 1, x0 + 8 : x0 + 16].astype(np.int32)
+            tr = plane[y0 - 1, x0 + 8 : x0 + 16].astype(np.int32)
             if tr.shape[0] < 8:
                 pad = np.full(8 - tr.shape[0], tr[-1] if tr.size else 0, np.int32)
                 tr = np.concatenate([tr, pad])
@@ -403,7 +466,7 @@ class IntraFrameReconstructor:
             tr = np.full(8, top[7], np.int32)
         else:
             tr = None
-        corner = int(self.y[y0 - 1, x0 - 1]) if have_c else None
+        corner = int(plane[y0 - 1, x0 - 1]) if have_c else None
         from .intra8x8 import intra8x8_predict
 
         return intra8x8_predict(mode, left, top, tr, corner)
@@ -412,50 +475,53 @@ class IntraFrameReconstructor:
 
     def _recon_i16_luma(self, addr, mbx, mby):
         ft = self.ft
-        qp = int(ft.qp[addr])
-        ls = self.ls4[0][qp % 6]
         x0, y0 = mbx * 16, mby * 16
-        if self._grid is not None:
-            left, top, corner = self._refs_mbaff_line(addr, 16, 0, 0)
-        else:
-            have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
-            have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
-            left = self.y[y0 : y0 + 16, x0 - 1].astype(np.int32) if have_l else None
-            top = self.y[y0 - 1, x0 : x0 + 16].astype(np.int32) if have_t else None
-            corner = int(self.y[y0 - 1, x0 - 1]) if (have_l and have_t) else None
-        if not (left is not None and top is not None):
-            corner = None  # plane/corner use requires both edges
         mode16 = int(ft.intra16_mode[addr])
-        pred = rr.intra16x16_predict(mode16, left, top, corner)
-        dc_scan = ft.luma_dc[addr].astype(np.int32)
-        dc = self._dz4(addr, dc_scan)
-        mb = np.zeros((16, 16), np.int32)
-        if self._bypass(addr):
-            # 8.5.15: DC/AC levels are the raw residual samples
+        for comp in self._comps():
+            qp = self._comp_qp(addr, comp)
+            ls = self.ls4[(0, 1, 2)[comp]][qp % 6]
+            plane = self._plane_of(comp)
+            if self._grid is not None:
+                left, top, corner = self._refs_mbaff_line(addr, 16, 0, 0)
+            else:
+                have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
+                have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
+                left = plane[y0 : y0 + 16, x0 - 1].astype(np.int32) if have_l else None
+                top = plane[y0 - 1, x0 : x0 + 16].astype(np.int32) if have_t else None
+                corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
+            if not (left is not None and top is not None):
+                corner = None  # plane/corner use requires both edges
+            pred = rr.intra16x16_predict(mode16, left, top, corner)
+            ac = self._comp_ac(addr, comp)
+            dc_scan = self._comp_dc(addr, comp).astype(np.int32)
+            dc = self._dz4(addr, dc_scan)
+            mb = np.zeros((16, 16), np.int32)
+            if self._bypass(addr):
+                # 8.5.15: DC/AC levels are the raw residual samples
+                for blk in range(16):
+                    bx, by = LUMA_BLK_XY[blk]
+                    c = self._dz4(addr, ac[blk].astype(np.int32))
+                    c[0, 0] = dc[by, bx]
+                    mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
+                blkpx = rr.clip1(self._dpcm(pred, mb, mode16)).astype(np.uint8)
+                if self._grid is not None:
+                    self._put_block(addr, 0, 0, blkpx)
+                else:
+                    plane[y0 : y0 + 16, x0 : x0 + 16] = blkpx
+                continue
+            f = rr.hadamard_4x4(dc)
+            dcy = rr.luma_dc_dequant(f, int(ls[0, 0]), qp)
             for blk in range(16):
                 bx, by = LUMA_BLK_XY[blk]
-                c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
-                c[0, 0] = dc[by, bx]
-                mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
-            blkpx = rr.clip1(self._dpcm(pred, mb, mode16)).astype(np.uint8)
+                c = self._dz4(addr, ac[blk].astype(np.int32))
+                d = rr.dequant_4x4_ac(c, ls, qp)
+                d[0, 0] = dcy[by, bx]
+                mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
+            blkpx = rr.clip1(pred + mb).astype(np.uint8)
             if self._grid is not None:
                 self._put_block(addr, 0, 0, blkpx)
             else:
-                self.y[y0 : y0 + 16, x0 : x0 + 16] = blkpx
-            return
-        f = rr.hadamard_4x4(dc)
-        dcy = rr.luma_dc_dequant(f, int(ls[0, 0]), qp)
-        for blk in range(16):
-            bx, by = LUMA_BLK_XY[blk]
-            c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
-            d = rr.dequant_4x4_ac(c, ls, qp)
-            d[0, 0] = dcy[by, bx]
-            mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-        blkpx = rr.clip1(pred + mb).astype(np.uint8)
-        if self._grid is not None:
-            self._put_block(addr, 0, 0, blkpx)
-        else:
-            self.y[y0 : y0 + 16, x0 : x0 + 16] = blkpx
+                plane[y0 : y0 + 16, x0 : x0 + 16] = blkpx
 
     # ---------------------------------------------------------------- Inter
 
@@ -497,9 +563,12 @@ class IntraFrameReconstructor:
         )
         x0, y0 = mbx * 16, mby * 16
         pred_y = np.zeros((16, 16), np.int32)
-        pred_cb = np.zeros((self.ch, 8), np.int32)
-        pred_cr = np.zeros((self.ch, 8), np.int32)
+        pred_cb = np.zeros((self.ch, self.cw), np.int32)
+        pred_cr = np.zeros((self.ch, self.cw), np.int32)
         chroma = self.sps.chroma_array_type in (1, 2)
+        # 4:4:4: chroma MC uses the LUMA interpolation per component with
+        # unscaled MVs (spec 8.4.2.2.2 when ChromaArrayType == 3)
+        c444 = self.sps.chroma_array_type == 3
         # chroma vertical scale: 4:2:2 chroma rows are full-resolution, so
         # mvCLX[1] = 2 * mvLX[1] (8.4.1.4.1) and cell blocks are 2x4
         csy = self.ch // 8
@@ -534,6 +603,13 @@ class IntraFrameReconstructor:
                         ref.y, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
                     )
                     pcb = pcr = None
+                    if c444:
+                        pcb = luma_mc_block(
+                            ref.cb, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
+                        )
+                        pcr = luma_mc_block(
+                            ref.cr, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
+                        )
                     if chroma:
                         # spec 8.4.1.4.1: field MC from an opposite-parity
                         # reference field shifts the chroma vertical MV by
@@ -560,7 +636,7 @@ class IntraFrameReconstructor:
                         py = weight_uni(
                             py, e.luma_weight, e.luma_offset, pwt.luma_log2_weight_denom
                         )
-                        if chroma:
+                        if chroma or c444:
                             d = pwt.chroma_log2_weight_denom
                             pcb = weight_uni(pcb, e.chroma_weight[0], e.chroma_offset[0], d)
                             pcr = weight_uni(pcr, e.chroma_weight[1], e.chroma_offset[1], d)
@@ -573,7 +649,7 @@ class IntraFrameReconstructor:
                             y0p, y1p, e0.luma_weight, e1.luma_weight,
                             e0.luma_offset, e1.luma_offset, pwt.luma_log2_weight_denom,
                         )
-                        if chroma:
+                        if chroma or c444:
                             d = pwt.chroma_log2_weight_denom
                             pcb = weight_bi(cb0, cb1, e0.chroma_weight[0], e1.chroma_weight[0], e0.chroma_offset[0], e1.chroma_offset[0], d)
                             pcr = weight_bi(cr0, cr1, e0.chroma_weight[1], e1.chroma_weight[1], e0.chroma_offset[1], e1.chroma_offset[1], d)
@@ -585,16 +661,19 @@ class IntraFrameReconstructor:
                             )
                         w0, w1 = self._implicit_weights(p0, p1, cpoc)
                         py = weight_bi(y0p, y1p, w0, w1, 0, 0, 5)
-                        if chroma:
+                        if chroma or c444:
                             pcb = weight_bi(cb0, cb1, w0, w1, 0, 0, 5)
                             pcr = weight_bi(cr0, cr1, w0, w1, 0, 0, 5)
                     else:
                         py = (y0p + y1p + 1) >> 1
-                        if chroma:
+                        if chroma or c444:
                             pcb = (cb0 + cb1 + 1) >> 1
                             pcr = (cr0 + cr1 + 1) >> 1
                 pred_y[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = py
-                if chroma:
+                if c444:
+                    pred_cb[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = pcb
+                    pred_cr[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = pcr
+                elif chroma:
                     ch0 = cy * 2 * csy
                     pred_cb[ch0 : ch0 + 2 * csy, cx * 2 : cx * 2 + 2] = pcb
                     pred_cr[ch0 : ch0 + 2 * csy, cx * 2 : cx * 2 + 2] = pcr
@@ -679,25 +758,55 @@ class IntraFrameReconstructor:
 
     def _add_inter_residual(self, addr, mbx, mby, pred_y, pred_cb, pred_cr):
         ft = self.ft
-        qp = int(ft.qp[addr])
         x0, y0 = mbx * 16, mby * 16
-        res = np.zeros((16, 16), np.int32)
-        if self._bypass(addr):
-            from ..tensors.frame_tensors import ZIGZAG_8x8
-
-            if ft.transform_8x8[addr] and ft.luma8_ac is not None:
+        # luma-process residual per component (Y always; Cb/Cr when 4:4:4,
+        # spec 7.3.5.3.1 / 8.5: chroma uses the luma transform chain with
+        # its own QPc and Inter Cb/Cr scaling lists)
+        comp_preds = [(0, pred_y)]
+        if self.cf == 3:
+            comp_preds += [(1, pred_cb), (2, pred_cr)]
+        for comp, pred in comp_preds:
+            qp = self._comp_qp(addr, comp)
+            ac = self._comp_ac(addr, comp)
+            ac8 = self._comp_ac8(addr, comp)
+            res = np.zeros((16, 16), np.int32)
+            if self._bypass(addr):
+                if ft.transform_8x8[addr] and ac8 is not None:
+                    for b8 in range(4):
+                        c = np.zeros(64, np.int32)
+                        c[self._s8(addr)] = ac8[b8]
+                        bx, by = b8 % 2, b8 // 2
+                        res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c.reshape(8, 8)
+                else:
+                    for blk in range(16):
+                        bx, by = LUMA_BLK_XY[blk]
+                        res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = self._dz4(
+                            addr, ac[blk].astype(np.int32)
+                        )
+            elif ft.transform_8x8[addr] and ac8 is not None:
+                ls8 = self.ls8[2 * comp + 1][qp % 6]  # lists 1/3/5: Inter Y/Cb/Cr
                 for b8 in range(4):
-                    c = np.zeros(64, np.int32)
-                    c[self._s8(addr)] = ft.luma8_ac[addr, b8]
                     bx, by = b8 % 2, b8 // 2
-                    res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c.reshape(8, 8)
+                    c = np.zeros(64, np.int32)
+                    c[self._s8(addr)] = ac8[b8].astype(np.int32)
+                    c = c.reshape(8, 8)
+                    if qp >= 36:
+                        d = (c * ls8) << (qp // 6 - 6)
+                    else:
+                        d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+                    res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rr.idct_8x8(d)
             else:
+                ls = self.ls4[(3, 4, 5)[comp]][qp % 6]  # lists 3/4/5: Inter
                 for blk in range(16):
                     bx, by = LUMA_BLK_XY[blk]
-                    res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = self._dz4(
-                        addr, ft.luma_ac[addr, blk].astype(np.int32)
-                    )
-            self._put_mb(addr, mbx, mby, 0, rr.clip1(pred_y + res).astype(np.uint8))
+                    c = self._dz4(addr, ac[blk].astype(np.int32))
+                    d = rr.dequant_4x4_ac(c, ls, qp)
+                    res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
+            self._put_mb(addr, mbx, mby, comp, rr.clip1(pred + res).astype(np.uint8))
+        if self.sps.chroma_array_type not in (1, 2):
+            return
+        qp = int(ft.qp[addr])
+        if self._bypass(addr):
             if self.sps.chroma_array_type == 1:
                 for comp, (plane, pred) in enumerate(
                     ((self.cb, pred_cb), (self.cr, pred_cr))
@@ -711,30 +820,6 @@ class IntraFrameReconstructor:
                         mbres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                     self._put_mb(addr, mbx, mby, 1 + comp,
                                  rr.clip1(pred + mbres).astype(np.uint8), chroma=True)
-            return
-        if ft.transform_8x8[addr] and ft.luma8_ac is not None:
-            ls8 = self.ls8[1][qp % 6]  # 8x8 list 1: Inter Y
-            from ..tensors.frame_tensors import ZIGZAG_8x8
-
-            for b8 in range(4):
-                bx, by = b8 % 2, b8 // 2
-                c = np.zeros(64, np.int32)
-                c[self._s8(addr)] = ft.luma8_ac[addr, b8].astype(np.int32)
-                c = c.reshape(8, 8)
-                if qp >= 36:
-                    d = (c * ls8) << (qp // 6 - 6)
-                else:
-                    d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
-                res[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rr.idct_8x8(d)
-        else:
-            ls = self.ls4[3][qp % 6]  # list 3: Inter Y
-            for blk in range(16):
-                bx, by = LUMA_BLK_XY[blk]
-                c = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
-                d = rr.dequant_4x4_ac(c, ls, qp)
-                res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-        self._put_mb(addr, mbx, mby, 0, rr.clip1(pred_y + res).astype(np.uint8))
-        if self.sps.chroma_array_type == 0:
             return
         for comp, (plane, pred, qp_off, ls_idx) in enumerate(
             [
@@ -795,7 +880,9 @@ class IntraFrameReconstructor:
 
     def _recon_chroma(self, addr, mbx, mby):
         ft, pps = self.ft, self.pps
-        if self.sps.chroma_array_type == 0:
+        if self.sps.chroma_array_type not in (1, 2):
+            # mono: nothing; 4:4:4: Cb/Cr already reconstructed luma-style
+            # inside the per-component intra walkers
             return
         qp_y = int(ft.qp[addr])
         ch = self.ch

@@ -96,7 +96,8 @@ class FrameTensors:
     mb_w: int
     mb_h: int
     # ChromaArrayType geometry: 1 = 4:2:0 (default, also used for mono),
-    # 2 = 4:2:2 (8x16 chroma MBs: 8 AC blocks + 8-coeff DC per component)
+    # 2 = 4:2:2 (8x16 chroma MBs: 8 AC blocks + 8-coeff DC per component),
+    # 3 = 4:4:4 (chroma coded luma-style per component: c444_* arrays)
     chroma_format: int = 1
 
     mb_class: np.ndarray = None  # [nMB] int8, MB_* above
@@ -115,6 +116,13 @@ class FrameTensors:
     luma8_ac: np.ndarray = None  # [nMB,4,64] int16 (8x8 transform blocks), lazily allocated
     chroma_dc: np.ndarray = None  # [nMB,2,4] int16
     chroma_ac: np.ndarray = None  # [nMB,2,4,16] int16
+    # 4:4:4 (ChromaArrayType 3) chroma residuals, luma-shaped per component
+    # (spec 7.3.5.3.1: residual_luma invoked for Cb and Cr). Allocated only
+    # when chroma_format == 3; comp index 0 = Cb, 1 = Cr.
+    c444_dc: np.ndarray = None  # [nMB,2,16] int16 (I16x16 DC per component)
+    c444_ac: np.ndarray = None  # [nMB,2,16,16] int16
+    c444_8x8: np.ndarray = None  # [nMB,2,4,64] int16, lazily allocated
+    c444_nnz: np.ndarray = None  # [2, mb_h*4, mb_w*4] int8 per 4x4 block
 
     # inter
     mv: np.ndarray = None  # [nMB,2,16,2] int16: list, 4x4 blk (raster), (x,y) in 1/4 px
@@ -199,6 +207,15 @@ class FrameTensors:
             self.cbf_dc = np.zeros((n, 3), np.int8)
         if self.luma_nnz is None:
             self.luma_nnz = np.zeros((self.mb_h * 4, self.mb_w * 4), np.int8)
+        if self.chroma_format == 3:
+            if self.c444_dc is None:
+                self.c444_dc = np.zeros((n, 2, 16), np.int16)
+            if self.c444_ac is None:
+                self.c444_ac = np.zeros((n, 2, 16, 16), np.int16)
+            if self.c444_nnz is None:
+                self.c444_nnz = np.zeros(
+                    (2, self.mb_h * 4, self.mb_w * 4), np.int8
+                )
         if self.chroma_nnz is None:
             self.chroma_nnz = np.zeros(
                 (2, self.mb_h * self.ch_rows, self.mb_w * 2), np.int8
@@ -237,6 +254,11 @@ class FrameTensors:
         if self.luma8_ac is None:
             self.luma8_ac = np.zeros((self.n_mbs, 4, 64), np.int16)
         return self.luma8_ac
+
+    def ensure_c444_8x8(self):
+        if self.c444_8x8 is None:
+            self.c444_8x8 = np.zeros((self.n_mbs, 2, 4, 64), np.int16)
+        return self.c444_8x8
 
     def mb_xy(self, addr: int) -> tuple[int, int]:
         return addr % self.mb_w, addr // self.mb_w
