@@ -579,7 +579,9 @@ class CabacSliceDecoder(SliceDecoderBase):
             return 1
         nmby, nmbx = divmod(naddr, ft.mb_w)
         if chroma:
-            nnz = ft.chroma_nnz[comp, nmby * 2 + (yW >> 2), nmbx * 2 + (xW >> 2)]
+            nnz = ft.chroma_nnz[
+                comp, nmby * ft.ch_rows + (yW >> 2), nmbx * 2 + (xW >> 2)
+            ]
         else:
             nnz = ft.luma_nnz[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)]
         return 1 if nnz > 0 else 0

@@ -108,8 +108,9 @@ class CavlcSliceDecoder(SliceDecoderBase):
             x0, y0 = (gx & 3) * 4, (gy & 3) * 4
             chroma = False
         else:
-            addr = (gy >> 1) * ft.mb_w + (gx >> 1)
-            x0, y0 = (gx & 1) * 4, (gy & 1) * 4
+            cr_ = ft.ch_rows  # chroma 4x4-block rows per MB (2 / 4)
+            addr = (gy // cr_) * ft.mb_w + (gx >> 1)
+            x0, y0 = (gx & 1) * 4, (gy % cr_) * 4
             chroma = True
 
         def at(xN, yN):
@@ -120,7 +121,9 @@ class CavlcSliceDecoder(SliceDecoderBase):
             if comp is None:
                 return int(ft.luma_nnz[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)])
             return int(
-                ft.chroma_nnz[comp, nmby * 2 + (yW >> 2), nmbx * 2 + (xW >> 2)]
+                ft.chroma_nnz[
+                    comp, nmby * ft.ch_rows + (yW >> 2), nmbx * 2 + (xW >> 2)
+                ]
             )
 
         return nc_from_neighbors(at(x0 - 1, y0), at(x0, y0 - 1))

@@ -127,6 +127,7 @@ class SliceDecoderBase:
                 ft.mb_h,
                 field_at=self._field_at_for_nbr,
                 avail=self._mb_available,
+                ch_h=ft.ch_mb_h,
             )
         return g
 

@@ -268,6 +268,7 @@ def _deblock_mbaff_picture(
         ft.mb_w, ft.mb_h,
         field_at=lambda sp: bool(ft.mb_field[sp]),
         avail=lambda sp: True,
+        ch_h=ft.ch_mb_h,
     )
     w_mb, h_mb = ft.mb_w, ft.mb_h
 
@@ -321,13 +322,15 @@ def _deblock_mbaff_picture(
         for pc in range(w_mb)
         for tb in (0, 1)
     ]
+    cf2 = ft.chroma_format == 2  # 4:2:2: full-height chroma, 16-row MBs
+    ch = ft.ch_mb_h
     for addr in scan:
         if ft.disable_deblock[addr] == 1:
             continue
         mby, mbx = divmod(addr, w_mb)
         fld = bool(ft.mb_field[addr])
         rows = _mb_rows(ft, addr)
-        crows = _mb_rows(ft, addr, 8)
+        crows = _mb_rows(ft, addr, ch)
         qp_q = int(ft.qp[addr])
         a_off = int(ft.alpha_off[addr])
         b_off = int(ft.beta_off[addr])
@@ -371,17 +374,19 @@ def _deblock_mbaff_picture(
             if edge in (0, 2):
                 cx = mbx * 8 + edge * 2
                 # per-line chroma qp: derive per pair of luma lines
+                qline = qp_p_line if cf2 else qp_p_line[::2]
+                cbs_v = bs if cf2 else bs[::2]
                 for plane, off in ((cb, pps.chroma_qp_index_offset),
                                    (cr, pps.second_chroma_qp_index_offset)):
                     qpc_av = (
-                        np.array([chroma_qp(int(q_), off) for q_ in qp_p_line[::2]])
+                        np.array([chroma_qp(int(q_), off) for q_ in qline])
                         + chroma_qp(qp_q, off) + 1
                     ) >> 1
                     ia_c = np.clip(qpc_av + a_off, 0, 51)
                     ib_c = np.clip(qpc_av + b_off, 0, 51)
                     p = np.stack([plane[crows, cx - 1 - k] for k in range(2)])
                     q = np.stack([plane[crows, cx + k] for k in range(2)])
-                    p, q = _filter_chroma_lines(p, q, bs[::2], ia_c, ib_c)
+                    p, q = _filter_chroma_lines(p, q, cbs_v, ia_c, ib_c)
                     plane[crows, cx - 1] = p[0]
                     plane[crows, cx] = q[0]
 
@@ -443,7 +448,7 @@ def _deblock_mbaff_picture(
                         prow = [y0 + par - 2 * (k + 1) for k in range(4)]
                         qrow = [y0 + par + 2 * k for k in range(4)]
                         filter_luma_rows(prow, qrow, cols, bs, ia, ib)
-                        cy0 = mby * 8
+                        cy0 = mby * ch
                         filter_chroma_rows(
                             [cy0 + par - 2 * (k + 1) for k in range(2)],
                             [cy0 + par + 2 * k for k in range(2)],
@@ -489,8 +494,12 @@ def _deblock_mbaff_picture(
                             [crows[0] + (2 if fld else 1) * k for k in range(2)],
                             ccols, bs[::2], qp_p, qp_q, a_off, b_off,
                         )
-        # internal edges: both sides inside this MB (its own geometry)
-        for edge in edges[1:]:
+        # internal edges: both sides inside this MB (its own geometry).
+        # 4:2:2 chroma has a transform boundary every 4 chroma rows, so all
+        # three internal positions carry chroma filtering even when the 8x8
+        # luma transform suppresses luma edges 1/3 (mirrors deblock_frame)
+        ch_int = (1, 2, 3) if cf2 else (2,)
+        for edge in ([1, 2, 3] if cf2 else edges[1:]):
             yy0 = edge * 4
             bs = np.zeros(16, np.int32)
             for line in range(16):
@@ -500,13 +509,16 @@ def _deblock_mbaff_picture(
                 continue
             ia = np.clip(qp_q + a_off, 0, 51)
             ib = np.clip(qp_q + b_off, 0, 51)
-            filter_luma_rows(
-                rows[yy0 - 1 :: -1][:4], rows[yy0 : yy0 + 4], cols, bs, ia, ib
-            )
-            if edge == 2:
+            if edge in edges:  # luma transform boundary
+                filter_luma_rows(
+                    rows[yy0 - 1 :: -1][:4], rows[yy0 : yy0 + 4], cols, bs,
+                    ia, ib
+                )
+            if edge in ch_int:
+                c0 = (ch // 4) * edge
                 filter_chroma_rows(
-                    crows[3::-1][:2], crows[4:6], ccols, bs[::2],
-                    qp_q, qp_q, a_off, b_off,
+                    crows[c0 - 1 :: -1][:2], crows[c0 : c0 + 2], ccols,
+                    bs[::2], qp_q, qp_q, a_off, b_off,
                 )
     return y, cb, cr
 

@@ -77,6 +77,7 @@ class IntraFrameReconstructor:
                 ft.mb_w, ft.mb_h,
                 field_at=lambda sp: bool(ft.mb_field[sp]),
                 avail=lambda sp: True,  # availability checked by the caller
+                ch_h=ft.ch_mb_h,
             )
         # effective scaling lists
         s4 = pps.effective_scaling_4x4(sps)
@@ -157,13 +158,16 @@ class IntraFrameReconstructor:
         sh = 2 if not chroma else 2  # px -> 4x4 cell shift (8px MB = 2 cells)
         nmby, nmbx = divmod(naddr, ft.mb_w)
         if chroma:
-            cy, cx = nmby * 4 + (yW >> 2) * 2, nmbx * 4 + (xW >> 2) * 2
+            # map the chroma sample to its covering LUMA cell: vertical
+            # scale 2 at 4:2:0, 1:1 at 4:2:2 (full-height chroma)
+            ysc = 2 if self.cf == 1 else 1
+            cy, cx = nmby * 4 + (yW >> 2) * ysc, nmbx * 4 + (xW >> 2) * 2
         else:
             cy, cx = nmby * 4 + (yW >> sh), nmbx * 4 + (xW >> sh)
         if not self.cell_done[cy, cx]:
             return None
         x, y = sample_pos(naddr, bool(ft.mb_field[naddr]), ft.mb_w, xW, yW,
-                          chroma=chroma)
+                          chroma=chroma, ch_h=ft.ch_mb_h)
         return int(self._plane_of(plane_idx)[y, x])
 
     def _gather(self, addr, locs, plane_idx=0, chroma=False):
@@ -179,21 +183,25 @@ class IntraFrameReconstructor:
         h, w = block.shape
         row = addr // ft.mb_w
         mbx = addr % ft.mb_w
-        unit = 8 if chroma else 16
-        x = mbx * unit + x0
+        w_unit = 8 if chroma else 16
+        h_unit = self.ch if chroma else 16
+        x = mbx * w_unit + x0
         if not ft.mb_field[addr]:
-            yb = row * unit + y0
+            yb = row * h_unit + y0
             plane[yb : yb + h, x : x + w] = block
         else:
-            base = (row & ~1) * unit + (row & 1)
+            base = (row & ~1) * h_unit + (row & 1)
             rows = base + 2 * (y0 + np.arange(h))
             plane[rows, x : x + w] = block
 
-    def _refs_mbaff_line(self, addr, n, x0, y0, plane_idx=0, chroma=False):
-        """(left[n], top[n], corner) sample groups for a block at local
-        (x0, y0): group available only when every sample in it is."""
+    def _refs_mbaff_line(self, addr, n, x0, y0, plane_idx=0, chroma=False,
+                         n_left=None):
+        """(left[n_left or n], top[n], corner) sample groups for a block at
+        local (x0, y0): group available only when every sample in it is.
+        `n_left` differs from `n` for non-square chroma MBs (8x16 at 4:2:2)."""
         left = self._gather(
-            addr, [(x0 - 1, y0 + i) for i in range(n)], plane_idx, chroma
+            addr, [(x0 - 1, y0 + i) for i in range(n_left or n)], plane_idx,
+            chroma
         )
         top = self._gather(
             addr, [(x0 + i, y0 - 1) for i in range(n)], plane_idx, chroma
@@ -250,10 +258,11 @@ class IntraFrameReconstructor:
                 # strip at this MB's parity (spec 6.4.1 figure 6-8; parity =
                 # spatial row slot assigned by the MBAFF address mapping)
                 par = mby & 1
-                t16, t8 = (mby & ~1) * 16, (mby & ~1) * 8
+                ch = self.ch
+                t16, t8 = (mby & ~1) * 16, (mby & ~1) * ch
                 self.y[t16 + par : t16 + 32 : 2, mbx * 16 : mbx * 16 + 16] = y
-                self.cb[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cb
-                self.cr[t8 + par : t8 + 16 : 2, mbx * 8 : mbx * 8 + 8] = cr
+                self.cb[t8 + par : t8 + 2 * ch : 2, mbx * 8 : mbx * 8 + 8] = cb
+                self.cr[t8 + par : t8 + 2 * ch : 2, mbx * 8 : mbx * 8 + 8] = cr
             else:
                 ch, cw = self.ch, self.cw
                 self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
@@ -615,7 +624,9 @@ class IntraFrameReconstructor:
                         # reference field shifts the chroma vertical MV by
                         # +-2 (1/8-pel chroma units)
                         cvy = mvy * csy
-                        if mb_par >= 0 and ref.parity >= 0 and (
+                        # 8.4.1.4.1: the +-2 shift for opposite-parity field
+                        # references applies only to 4:2:0 chroma
+                        if self.cf == 1 and mb_par >= 0 and ref.parity >= 0 and (
                             ref.parity != mb_par
                         ):
                             cvy += 2 if mb_par == 1 else -2
@@ -900,7 +911,8 @@ class IntraFrameReconstructor:
             ls = self.ls4[ls_idx][qpc % 6]  # lists 1/2: Intra Cb/Cr
             if self._grid is not None:
                 left, top, corner = self._refs_mbaff_line(
-                    addr, 8, 0, 0, plane_idx=1 + comp, chroma=True
+                    addr, 8, 0, 0, plane_idx=1 + comp, chroma=True,
+                    n_left=ch
                 )
                 if left is None or top is None:
                     corner = None

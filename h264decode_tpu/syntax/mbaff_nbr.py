@@ -35,11 +35,12 @@ class MbaffGrid:
     same slice — spec 6.4.9 availability) are supplied by the caller.
     """
 
-    def __init__(self, mb_w: int, mb_h: int, field_at, avail):
+    def __init__(self, mb_w: int, mb_h: int, field_at, avail, ch_h: int = 8):
         self.mb_w = mb_w
         self.mb_h = mb_h  # spatial MB rows (frame height in MBs, even)
         self.field_at = field_at
         self.avail = avail
+        self.ch_h = ch_h  # MbHeightC: 8 (4:2:0) or 16 (4:2:2)
 
     # -------------------------------------------------------- pair helpers
 
@@ -62,7 +63,7 @@ class MbaffGrid:
         """spec 6.4.10.4: (current spatial MB, xN, yN) -> (spatial neighbor
         MB or -1, xW, yW). maxW/maxH are 16 luma, 8 chroma (4:2:0)."""
         maxW = 8 if chroma else 16
-        maxH = 8 if chroma else 16
+        maxH = self.ch_h if chroma else 16
         mb_w = self.mb_w
         row = sp // mb_w
         pr, pc = row // 2, sp % mb_w
@@ -195,15 +196,16 @@ class MbaffGrid:
 
 
 def sample_pos(sp: int, field: bool, mb_w: int, xW: int, yW: int,
-               chroma: bool = False) -> tuple[int, int]:
+               chroma: bool = False, ch_h: int = 8) -> tuple[int, int]:
     """(spatial MB, within-MB location) -> absolute plane coordinates.
 
     A frame MB's rows are consecutive; a field MB's rows interleave at its
-    parity within the pair's strip (32 luma / 16 chroma rows)."""
-    h = 8 if chroma else 16
+    parity within the pair's strip (32 luma rows; 2*MbHeightC chroma)."""
+    w = 8 if chroma else 16
+    h = (ch_h if chroma else 16)
     row = sp // mb_w
     col = sp % mb_w
-    x = col * h + xW
+    x = col * w + xW
     if not field:
         return x, row * h + yW
     base = (row & ~1) * h

@@ -244,7 +244,7 @@ class FrameTensors:
     @property
     def ch_mb_h(self) -> int:
         """Chroma MB height in samples (MbHeightC: 8 / 16)."""
-        return 16 if self.chroma_format == 2 else 8
+        return 16 if self.chroma_format in (2, 3) else 8
 
     @property
     def ch_blk_xy(self):

@@ -201,3 +201,41 @@ class TestDCProbes422:
     def test_dc_dequant_probe(self, qp, level):
         bs = _dc_probe_stream(0, level, qp_delta=qp - 26)
         assert_bit_exact(bs, apply_deblock=False)
+
+
+class TestMbaff422:
+    """Interlaced (MBAFF) 4:2:2: full-height chroma threads through the
+    6.4.10 neighbor mapper (MbHeightC 16), the pair-strip interleaving, the
+    per-component nC/cbf grids (4 chroma block rows per MB) and the MBAFF
+    deblocker (chroma boundaries every 4 rows, full-height vertical bS)."""
+
+    @pytest.mark.parametrize("cabac", [False, True])
+    def test_intra_nodeblock(self, frames_422_64, cabac):
+        bs = lavc.encode_x264(
+            frames_422_64[:1], qp=27, profile="high422", csp="yuv422p",
+            cabac=cabac, extra_x264="tff=1:no-deblock=1",
+        )
+        assert_bit_exact(bs, apply_deblock=False)
+
+    def test_intra_deblock(self, frames_422_64):
+        bs = lavc.encode_x264(
+            frames_422_64[:1], qp=27, profile="high422", csp="yuv422p",
+            cabac=False, extra_x264="tff=1",
+        )
+        assert_bit_exact(bs)
+
+    @pytest.mark.parametrize("cabac", [False, True])
+    def test_ipb(self, frames_422_64, cabac):
+        bs = lavc.encode_x264(
+            frames_422_64, qp=27, profile="high422", csp="yuv422p",
+            cabac=cabac, gop=5, bframes=2, extra_x264="tff=1",
+        )
+        assert_bit_exact(bs)
+
+    def test_ipb_qcif_weighted(self, frames_422_qcif):
+        bs = lavc.encode_x264(
+            frames_422_qcif, qp=30, profile="high422", csp="yuv422p",
+            cabac=True, gop=5, bframes=2,
+            extra_x264="tff=1:weightp=2:weightb=1",
+        )
+        assert_bit_exact(bs)
