@@ -605,6 +605,37 @@ class CabacSliceDecoder(SliceDecoderBase):
         nnz = ft.luma_nnz if comp == 0 else ft.c444_nnz[comp - 1]
         return 1 if nnz[cy, cx] > 0 else 0
 
+    def _cbf_cell_mbaff444(self, comp: int, addr: int, xN: int, yN: int,
+                           cur_intra: bool) -> int:
+        """9.3.3.1.1.9 condTermFlag for 4:4:4 Cb/Cr blocks in MBAFF slices:
+        luma-geometry 6.4.10 mapping over the per-component nnz grid."""
+        g = self._nbr_grid()
+        ft = self.ft
+        naddr, xW, yW = g.neighbor(addr, xN, yN, chroma=False)
+        if naddr < 0 or not self._mb_available(naddr):
+            return 1 if cur_intra else 0
+        if ft.mb_class[naddr] == MB_I_PCM:
+            return 1
+        nmby, nmbx = divmod(naddr, ft.mb_w)
+        nnz = ft.luma_nnz if comp == 0 else ft.c444_nnz[comp - 1]
+        return 1 if nnz[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)] > 0 else 0
+
+    def _cbf_8x8_nbr_mbaff(self, comp: int, addr: int, xN: int, yN: int,
+                           cur_intra: bool) -> int:
+        """As _cbf_8x8_nbr but with the 6.4.10 neighbor mapping (MBAFF)."""
+        g = self._nbr_grid()
+        ft = self.ft
+        naddr, xW, yW = g.neighbor(addr, xN, yN, chroma=False)
+        if naddr < 0 or not self._mb_available(naddr):
+            return 1 if cur_intra else 0
+        if ft.mb_class[naddr] == MB_I_PCM:
+            return 1
+        if not ft.transform_8x8[naddr]:
+            return 0
+        nmby, nmbx = divmod(naddr, ft.mb_w)
+        nnz = ft.luma_nnz if comp == 0 else ft.c444_nnz[comp - 1]
+        return 1 if nnz[nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)] > 0 else 0
+
     def _cbf_8x8_nbr(self, comp: int, cx: int, cy: int, cur_intra: bool) -> int:
         """condTermFlag for the neighbor of an 8x8 block's coded_block_flag
         (ctxBlockCat 5/9/13, ChromaArrayType 3 only): the neighboring 8x8
@@ -1080,7 +1111,13 @@ class CabacSliceDecoder(SliceDecoderBase):
                 # 7.3.5.3.3: coded_block_flag IS sent for 8x8 blocks when
                 # ChromaArrayType == 3 (ctx from the neighbor trans blocks)
                 inc = None
-                if cf3:
+                if cf3 and mbaff:
+                    inc = self._cbf_8x8_nbr_mbaff(
+                        comp, addr, bx8 * 4 - 1, by8 * 4, cur_intra
+                    ) + 2 * self._cbf_8x8_nbr_mbaff(
+                        comp, addr, bx8 * 4, by8 * 4 - 1, cur_intra
+                    )
+                elif cf3:
                     inc = self._cbf_8x8_nbr(
                         comp, gx - 1, gy, cur_intra
                     ) + 2 * self._cbf_8x8_nbr(comp, gx, gy - 1, cur_intra)
@@ -1104,7 +1141,13 @@ class CabacSliceDecoder(SliceDecoderBase):
                 if not coded:
                     nnz[gy, gx] = 0
                     continue
-                if mbaff:
+                if mbaff and comp:
+                    inc = self._cbf_cell_mbaff444(
+                        comp, addr, bx * 4 - 1, by * 4, cur_intra
+                    ) + 2 * self._cbf_cell_mbaff444(
+                        comp, addr, bx * 4, by * 4 - 1, cur_intra
+                    )
+                elif mbaff:
                     inc = self._cbf_cell_mbaff(
                         addr, bx * 4 - 1, by * 4, None, cur_intra
                     ) + 2 * self._cbf_cell_mbaff(

@@ -83,10 +83,32 @@ class CavlcSliceDecoder(SliceDecoderBase):
     def comp444_nc(self, comp: int, gx: int, gy: int) -> int:
         if comp == 0:
             return self.luma_nc(gx, gy)
+        if self.hdr.mbaff_frame_flag:
+            return self._nc_mbaff444(comp, gx, gy)
         return nc_from_neighbors(
             self._c444_nnz_at(comp, gx - 1, gy),
             self._c444_nnz_at(comp, gx, gy - 1),
         )
+
+    def _nc_mbaff444(self, comp: int, gx: int, gy: int) -> int:
+        """9.2.1 nC for 4:4:4 Cb/Cr in MBAFF slices: chroma blocks have
+        LUMA geometry, so the 6.4.10 mapping runs in luma coordinates and
+        indexes the per-component nnz grid."""
+        g = self._nbr_grid()
+        ft = self.ft
+        addr = (gy >> 2) * ft.mb_w + (gx >> 2)
+        x0, y0 = (gx & 3) * 4, (gy & 3) * 4
+
+        def at(xN, yN):
+            naddr, xW, yW = g.neighbor(addr, xN, yN, chroma=False)
+            if naddr < 0 or not self._mb_available(naddr):
+                return None
+            nmby, nmbx = divmod(naddr, ft.mb_w)
+            return int(
+                ft.c444_nnz[comp - 1, nmby * 4 + (yW >> 2), nmbx * 4 + (xW >> 2)]
+            )
+
+        return nc_from_neighbors(at(x0 - 1, y0), at(x0, y0 - 1))
 
     def chroma_nc(self, comp: int, gx: int, gy: int) -> int:
         if self.hdr.mbaff_frame_flag:

@@ -253,7 +253,8 @@ def _bs_pair(
 
 
 def _deblock_mbaff_picture(
-    ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+    ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray,
+    cr: np.ndarray, luma_only: bool = False,
 ):
     """spec 8.7 for an MBAFF picture containing field MB pairs. Per-MB slow
     path in pair decode order with explicit sample-row indexing: a field
@@ -293,6 +294,8 @@ def _deblock_mbaff_picture(
             y[qrow[k], cols] = q[k]
 
     def filter_chroma_cols(crows, cx, cbs, qp_p, qp_q, a_off, b_off):
+        if luma_only:
+            return
         for plane, off in ((cb, pps.chroma_qp_index_offset),
                            (cr, pps.second_chroma_qp_index_offset)):
             qpc = cqp(qp_p, qp_q, off)
@@ -305,6 +308,8 @@ def _deblock_mbaff_picture(
             plane[crows, cx] = q[0]
 
     def filter_chroma_rows(prow, qrow, ccols, cbs, qp_p, qp_q, a_off, b_off):
+        if luma_only:
+            return
         for plane, off in ((cb, pps.chroma_qp_index_offset),
                            (cr, pps.second_chroma_qp_index_offset)):
             qpc = cqp(qp_p, qp_q, off)
@@ -371,7 +376,7 @@ def _deblock_mbaff_picture(
             ia = np.clip(qp_av + a_off, 0, 51)
             ib = np.clip(qp_av + b_off, 0, 51)
             filter_luma_cols(rows, x, bs, ia, ib)
-            if edge in (0, 2):
+            if not luma_only and edge in (0, 2):
                 cx = mbx * 8 + edge * 2
                 # per-line chroma qp: derive per pair of luma lines
                 qline = qp_p_line if cf2 else qp_p_line[::2]
@@ -514,7 +519,7 @@ def _deblock_mbaff_picture(
                     rows[yy0 - 1 :: -1][:4], rows[yy0 : yy0 + 4], cols, bs,
                     ia, ib
                 )
-            if edge in ch_int:
+            if not luma_only and edge in ch_int:
                 c0 = (ch // 4) * edge
                 filter_chroma_rows(
                     crows[c0 - 1 :: -1][:2], crows[c0 : c0 + 2], ccols,
@@ -533,7 +538,26 @@ def deblock_frame(
         y = y.astype(np.int32)
         cb = cb.astype(np.int32)
         cr = cr.astype(np.int32)
-        y, cb, cr = _deblock_mbaff_picture(ft, sps, pps, y, cb, cr)
+        if ft.chroma_format == 3:
+            # ChromaArrayType 3: chroma filters exactly like luma (8.7.2
+            # chromaStyleFilteringFlag = 0) at luma geometry — run the luma
+            # pass once per plane, with per-MB QPc driving the thresholds
+            import copy
+
+            y, _, _ = _deblock_mbaff_picture(ft, sps, pps, y, cb, cr,
+                                             luma_only=True)
+            for plane, off in (
+                (cb, pps.chroma_qp_index_offset),
+                (cr, pps.second_chroma_qp_index_offset),
+            ):
+                ftc = copy.copy(ft)
+                ftc.qp = np.array(
+                    [chroma_qp(int(q), off) for q in ft.qp], np.int8
+                )
+                _deblock_mbaff_picture(ftc, sps, pps, plane, plane, plane,
+                                       luma_only=True)
+        else:
+            y, cb, cr = _deblock_mbaff_picture(ft, sps, pps, y, cb, cr)
         return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
     y = y.astype(np.int32)
     cb = cb.astype(np.int32)

@@ -217,24 +217,28 @@ class IntraFrameReconstructor:
         )
         return l, t, corner
 
-    def _refs_4x4_mbaff(self, addr, x0, y0):
-        left, top, corner = self._refs_mbaff_line(addr, 4, x0, y0)
+    def _refs_4x4_mbaff(self, addr, x0, y0, plane_idx=0):
+        left, top, corner = self._refs_mbaff_line(addr, 4, x0, y0, plane_idx)
         tr = None
         if top is not None:
-            trs = self._gather(addr, [(x0 + 4 + i, y0 - 1) for i in range(4)])
+            trs = self._gather(
+                addr, [(x0 + 4 + i, y0 - 1) for i in range(4)], plane_idx
+            )
             # 8.3.1.2: unavailable top-right samples substitute p[3,-1]
             tr = np.asarray(
                 [int(top[3]) if v is None else v for v in trs], np.int32
             )
         return left, top, tr, corner
 
-    def _intra8x8_pred_mbaff(self, addr, x0, y0, mode):
+    def _intra8x8_pred_mbaff(self, addr, x0, y0, mode, plane_idx=0):
         from .intra8x8 import intra8x8_predict
 
-        left, top, corner = self._refs_mbaff_line(addr, 8, x0, y0)
+        left, top, corner = self._refs_mbaff_line(addr, 8, x0, y0, plane_idx)
         tr = None
         if top is not None:
-            trs = self._gather(addr, [(x0 + 8 + i, y0 - 1) for i in range(8)])
+            trs = self._gather(
+                addr, [(x0 + 8 + i, y0 - 1) for i in range(8)], plane_idx
+            )
             tr = np.asarray(
                 [int(top[7]) if v is None else v for v in trs], np.int32
             )
@@ -258,11 +262,11 @@ class IntraFrameReconstructor:
                 # strip at this MB's parity (spec 6.4.1 figure 6-8; parity =
                 # spatial row slot assigned by the MBAFF address mapping)
                 par = mby & 1
-                ch = self.ch
+                ch, cw = self.ch, self.cw
                 t16, t8 = (mby & ~1) * 16, (mby & ~1) * ch
                 self.y[t16 + par : t16 + 32 : 2, mbx * 16 : mbx * 16 + 16] = y
-                self.cb[t8 + par : t8 + 2 * ch : 2, mbx * 8 : mbx * 8 + 8] = cb
-                self.cr[t8 + par : t8 + 2 * ch : 2, mbx * 8 : mbx * 8 + 8] = cr
+                self.cb[t8 + par : t8 + 2 * ch : 2, mbx * cw : (mbx + 1) * cw] = cb
+                self.cr[t8 + par : t8 + 2 * ch : 2, mbx * cw : (mbx + 1) * cw] = cr
             else:
                 ch, cw = self.ch, self.cw
                 self.y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y
@@ -391,7 +395,7 @@ class IntraFrameReconstructor:
                 plane = self._plane_of(comp)
                 if self._grid is not None:
                     left, top, tr, corner = self._refs_4x4_mbaff(
-                        addr, bx * 4, by * 4
+                        addr, bx * 4, by * 4, comp
                     )
                 else:
                     left, top, tr, corner = self._refs_4x4(addr, gx, gy, plane)
@@ -404,7 +408,7 @@ class IntraFrameReconstructor:
                     out = pred + rr.idct_4x4(d)
                 blkpx = rr.clip1(out).astype(np.uint8)
                 if self._grid is not None:
-                    self._put_block(addr, bx * 4, by * 4, blkpx)
+                    self._put_block(addr, bx * 4, by * 4, blkpx, comp)
                 else:
                     plane[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = blkpx
             self.cell_done[gy, gx] = True
@@ -427,7 +431,9 @@ class IntraFrameReconstructor:
             for comp, (qp, ls8) in zip(comps, qp_ls):
                 plane = self._plane_of(comp)
                 if self._grid is not None:
-                    pred = self._intra8x8_pred_mbaff(addr, bx * 8, by * 8, mode)
+                    pred = self._intra8x8_pred_mbaff(
+                        addr, bx * 8, by * 8, mode, comp
+                    )
                 else:
                     pred = self._intra8x8_pred(addr, gx, gy, mode, plane)
                 ac8 = self._comp_ac8(addr, comp)
@@ -449,7 +455,7 @@ class IntraFrameReconstructor:
                     out = pred + rr.idct_8x8(d)
                 blkpx = rr.clip1(out).astype(np.uint8)
                 if self._grid is not None:
-                    self._put_block(addr, bx * 8, by * 8, blkpx)
+                    self._put_block(addr, bx * 8, by * 8, blkpx, comp)
                 else:
                     plane[y0 : y0 + 8, x0 : x0 + 8] = blkpx
             self.cell_done[gy : gy + 2, gx : gx + 2] = True
@@ -491,7 +497,7 @@ class IntraFrameReconstructor:
             ls = self.ls4[(0, 1, 2)[comp]][qp % 6]
             plane = self._plane_of(comp)
             if self._grid is not None:
-                left, top, corner = self._refs_mbaff_line(addr, 16, 0, 0)
+                left, top, corner = self._refs_mbaff_line(addr, 16, 0, 0, comp)
             else:
                 have_l = self._mb_avail_intra(addr - 1, addr) and mbx > 0
                 have_t = self._mb_avail_intra(addr - ft.mb_w, addr) and mby > 0
@@ -514,7 +520,7 @@ class IntraFrameReconstructor:
                     mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                 blkpx = rr.clip1(self._dpcm(pred, mb, mode16)).astype(np.uint8)
                 if self._grid is not None:
-                    self._put_block(addr, 0, 0, blkpx)
+                    self._put_block(addr, 0, 0, blkpx, comp)
                 else:
                     plane[y0 : y0 + 16, x0 : x0 + 16] = blkpx
                 continue
@@ -528,7 +534,7 @@ class IntraFrameReconstructor:
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
             blkpx = rr.clip1(pred + mb).astype(np.uint8)
             if self._grid is not None:
-                self._put_block(addr, 0, 0, blkpx)
+                self._put_block(addr, 0, 0, blkpx, comp)
             else:
                 plane[y0 : y0 + 16, x0 : x0 + 16] = blkpx
 

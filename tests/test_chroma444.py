@@ -133,3 +133,29 @@ class TestLossless444:
         for g, f in zip(golden, frames_444):
             assert np.array_equal(g.y, f[0])  # sanity: truly lossless
         assert_bit_exact(bs)
+
+
+class TestMbaff444:
+    """Interlaced (MBAFF) 4:4:4: per-component luma-geometry neighbor
+    mapping (6.4.10 with chroma planes at luma dimensions), component-
+    interleaved MBAFF intra, 8x8 cbf neighbors through the pair mapper, and
+    a per-plane luma-style MBAFF deblock pass driven by QPc."""
+
+    @pytest.mark.parametrize("cabac", [False, True])
+    def test_intra_nodeblock(self, frames_444, cabac):
+        assert_bit_exact(
+            enc(frames_444[:1], qp=27, cabac=cabac,
+                extra_x264="tff=1:no-deblock=1"),
+            apply_deblock=False,
+        )
+
+    def test_intra_deblock(self, frames_444):
+        assert_bit_exact(enc(frames_444[:1], qp=27, cabac=False,
+                             extra_x264="tff=1"))
+
+    @pytest.mark.parametrize("cabac", [False, True])
+    def test_ipb(self, frames_444, cabac):
+        assert_bit_exact(
+            enc(frames_444, qp=27, cabac=cabac, gop=5, bframes=2,
+                extra_x264="tff=1")
+        )
