@@ -378,11 +378,6 @@ class Decoder:
             sps.pic_height_in_map_units if field else sps.frame_height_in_mbs
         )
         cf = sps.chroma_array_type
-        if cf in (2, 3) and field:
-            # MBAFF 4:2:2 / 4:4:4 are fully supported (tests/test_chroma*);
-            # PAFF field pictures at those formats remain gated (no encoder
-            # on this system emits them — x264 is MBAFF-only)
-            raise NotImplementedError("PAFF 4:2:2/4:4:4 decoding")
         ft = FrameTensors(
             mb_w=sps.pic_width_in_mbs,
             mb_h=mb_h_pic,

@@ -108,17 +108,32 @@ def write_sps(
     #                               map units, i.e. FIELD height in MBs)
     mbaff: bool = False,  # MBAFF: mb_h is the FRAME height in MBs (even);
     #                       map units are MB pairs (7.4.2.1.1)
+    chroma_format_idc: int = 1,  # != 1 selects a High-family profile SPS
+    #                              (7.3.2.1.1 chroma/bit-depth block)
 ) -> bytes:
     if mbaff:
         assert mb_h % 2 == 0, "MBAFF frame height must be an even MB count"
         frame_mbs_only = False
         mb_h //= 2  # pic_height_in_map_units counts pairs
     w = BitWriter()
-    # Baseline forbids interlaced coding tools; PAFF streams declare Main
-    w.u(8, 66 if frame_mbs_only else 77)
+    if chroma_format_idc != 1:
+        # High 4:2:2 (122) / High 4:4:4 Predictive (244)
+        profile = 122 if chroma_format_idc == 2 else 244
+    else:
+        # Baseline forbids interlaced coding tools; PAFF streams declare Main
+        profile = 66 if frame_mbs_only else 77
+    w.u(8, profile)
     w.u(8, 0)  # constraint flags + reserved
     w.u(8, 30)  # level_idc
     w.ue(0)  # seq_parameter_set_id
+    if chroma_format_idc != 1:
+        w.ue(chroma_format_idc)
+        if chroma_format_idc == 3:
+            w.flag(False)  # separate_colour_plane_flag
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.flag(False)  # qpprime_y_zero_transform_bypass_flag
+        w.flag(False)  # seq_scaling_matrix_present_flag
     w.ue(log2_max_frame_num - 4)
     w.ue(poc_type)
     if poc_type == 0:
@@ -284,7 +299,8 @@ def _slice_header(
 
 def pcm_mb(w: BitWriter, y16: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
            in_p_slice: bool):
-    """macroblock_layer() for one I_PCM MB (spec 7.3.5)."""
+    """macroblock_layer() for one I_PCM MB (spec 7.3.5). Chroma sample
+    counts follow the planes' shapes (8x8 / 16x8 / 16x16 per format)."""
     w.ue(30 if in_p_slice else 25)  # mb_type: I_PCM (+5 in P slices)
     w.align_zero()  # pcm_alignment_zero_bit
     w.bytes_raw(y16.astype(np.uint8).tobytes())
@@ -292,13 +308,15 @@ def pcm_mb(w: BitWriter, y16: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
     w.bytes_raw(cr8.astype(np.uint8).tobytes())
 
 
-def pcm_frame_planes(mb_w: int, mb_h: int, seed: int):
+def pcm_frame_planes(mb_w: int, mb_h: int, seed: int, chroma_format: int = 1):
     """Deterministic per-MB PCM pattern (address-dependent, catches any
     traversal misordering)."""
     rng = np.random.default_rng(seed)
+    ch = mb_h * (16 if chroma_format in (2, 3) else 8)
+    cw = mb_w * (16 if chroma_format == 3 else 8)
     y = rng.integers(0, 256, (mb_h * 16, mb_w * 16), dtype=np.uint8)
-    cb = rng.integers(0, 256, (mb_h * 8, mb_w * 8), dtype=np.uint8)
-    cr = rng.integers(0, 256, (mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+    cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
     return y, cb, cr
 
 
@@ -334,6 +352,9 @@ def pcm_slice(
         field=field, interlaced_sps=interlaced_sps,
     )
     in_p = slice_type % 5 == 0
+    mb_h_pix = y.shape[0] // 16 if y.shape[0] else 1
+    chh = cb.shape[0] // max(1, y.shape[0] // 16)  # chroma MB height
+    chw = cb.shape[1] // mb_w  # chroma MB width
     for addr in mb_addrs:
         mby, mbx = divmod(addr, mb_w)
         if in_p:
@@ -341,8 +362,8 @@ def pcm_slice(
         pcm_mb(
             w,
             y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16],
-            cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8],
-            cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8],
+            cb[mby * chh : (mby + 1) * chh, mbx * chw : (mbx + 1) * chw],
+            cr[mby * chh : (mby + 1) * chh, mbx * chw : (mbx + 1) * chw],
             in_p,
         )
     w.trailing_bits()

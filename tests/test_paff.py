@@ -182,3 +182,33 @@ def test_paff_p_field_residuals(deblock):
         deblock=deblock,
     )
     _decode_both(data)
+
+
+class TestPaffChromaFormats:
+    """PAFF field pictures at 4:2:2 and 4:4:4 (synthetic streams: I_PCM
+    field pairs + all-skip P fields — x264 emits no PAFF at all, and none
+    of the formats' residual tools differ per field beyond what the MBAFF
+    422/444 golden matrices already pin). Exercises field pairing/POC/
+    weaving and full-plane field MC at the wider chroma geometries."""
+
+    @pytest.mark.parametrize("cf", [2, 3])
+    def test_pcm_pair_and_pskip_fields(self, cf):
+        sps = write_sps(MB_W, MB_H_FIELD, frame_mbs_only=False,
+                        chroma_format_idc=cf)
+        top = pcm_frame_planes(MB_W, MB_H_FIELD, seed=1, chroma_format=cf)
+        bot = pcm_frame_planes(MB_W, MB_H_FIELD, seed=2, chroma_format=cf)
+        data = (
+            pcm_slice(top, list(range(N_MBS)), MB_W, frame_num=0, idr=False,
+                      ref_idc=1, poc_lsb=0, field=0, interlaced_sps=True)
+            + pcm_slice(bot, list(range(N_MBS)), MB_W, frame_num=0, idr=False,
+                        ref_idc=1, poc_lsb=1, field=1, interlaced_sps=True)
+            + pskip_frame(N_MBS, frame_num=1, poc_lsb=2, field=0,
+                          interlaced_sps=True)
+            + pskip_frame(N_MBS, frame_num=1, poc_lsb=3, field=1,
+                          interlaced_sps=True)
+        )
+        frames = _decode_both(sps + write_pps() + data)
+        assert len(frames) == 2
+        # P-skip fields copy the same-parity reference field: frame 2 == 1
+        for a, b in zip(frames[0].planes(), frames[1].planes()):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
