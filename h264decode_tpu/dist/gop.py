@@ -130,8 +130,10 @@ class GopParallelDecoder:
 
     def submit(self, slot: int, raw: dict, geom) -> tuple:
         with self._cv:
-            self._waiting[slot] = raw
-            self._geom_req = geom
+            # geometry rides with the submission (per-slot, not a shared
+            # last-writer-wins field): _run_batches asserts every slot in a
+            # batch agrees before applying one geometry to the whole stack
+            self._waiting[slot] = (raw, geom)
             self._cv.notify_all()
             while slot not in self._results and not self._errors:
                 self._cv.wait()
@@ -168,11 +170,25 @@ class GopParallelDecoder:
                     self._cv.wait()
                 if self._errors:
                     return
-                raws = dict(self._waiting)
+                raws = {g: r for g, (r, _) in self._waiting.items()}
+                geoms = {g: gm for g, (_, gm) in self._waiting.items()}
                 self._waiting.clear()
                 for g in raws:
                     self._remaining[g] -= 1
-                geom = self._geom_req if raws else self._geom_last
+                if raws:
+                    uniq = set(geoms.values())
+                    if len(uniq) != 1:
+                        e = RuntimeError(
+                            "gop slots disagree on frame geometry within a "
+                            f"lockstep batch: {geoms} — a mid-stream SPS "
+                            "geometry change is not batchable"
+                        )
+                        self._errors.append(e)
+                        self._cv.notify_all()
+                        raise e
+                    geom = uniq.pop()
+                else:
+                    geom = self._geom_last
                 self._geom_last = geom
             try:
                 outs = self._step_batch(raws, geom)

@@ -15,7 +15,7 @@ from ctypes import POINTER, c_int8, c_int16, c_int32, c_int64, c_uint8, c_void_p
 
 import numpy as np
 
-_LIB_PATH = os.path.join(
+_LIB_PATH = os.environ.get("H264_NATIVE_LIB") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
     "libh264entropy.so",

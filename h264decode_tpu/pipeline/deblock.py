@@ -254,7 +254,7 @@ def _bs_pair(
 
 def _deblock_mbaff_picture(
     ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray,
-    cr: np.ndarray, luma_only: bool = False,
+    cr: np.ndarray, luma_only: bool = False, qp_arr: np.ndarray | None = None,
 ):
     """spec 8.7 for an MBAFF picture containing field MB pairs. Per-MB slow
     path in pair decode order with explicit sample-row indexing: a field
@@ -265,6 +265,10 @@ def _deblock_mbaff_picture(
     (/root/reference/h264/slice.go)."""
     from ..syntax.mbaff_nbr import MbaffGrid
 
+    # qp_arr overrides ft.qp for threshold derivation only (the 4:4:4
+    # chroma-as-luma pass re-runs this with per-MB QPc values)
+    if qp_arr is None:
+        qp_arr = ft.qp
     grid = MbaffGrid(
         ft.mb_w, ft.mb_h,
         field_at=lambda sp: bool(ft.mb_field[sp]),
@@ -336,7 +340,7 @@ def _deblock_mbaff_picture(
         fld = bool(ft.mb_field[addr])
         rows = _mb_rows(ft, addr)
         crows = _mb_rows(ft, addr, ch)
-        qp_q = int(ft.qp[addr])
+        qp_q = int(qp_arr[addr])
         a_off = int(ft.alpha_off[addr])
         b_off = int(ft.beta_off[addr])
         t8 = bool(ft.transform_8x8[addr])
@@ -369,7 +373,7 @@ def _deblock_mbaff_picture(
                     px, py = nmbx * 4 + (xW >> 2), nmby * 4 + (yW >> 2)
                 skip_all = False
                 bs[line] = _bs_pair(ft, addr_p, px, py, addr, qx, qy, True, edge == 0)
-                qp_p_line[line] = ft.qp[addr_p]
+                qp_p_line[line] = qp_arr[addr_p]
             if skip_all or not bs.any():
                 continue
             qp_av = (qp_p_line + qp_q + 1) >> 1
@@ -412,7 +416,7 @@ def _deblock_mbaff_picture(
                         False, True,
                     )
                 if bs.any():
-                    qp_p = int(ft.qp[addr_p])
+                    qp_p = int(qp_arr[addr_p])
                     qp_av = (qp_p + qp_q + 1) >> 1
                     ia = np.clip(qp_av + a_off, 0, 51)
                     ib = np.clip(qp_av + b_off, 0, 51)
@@ -445,7 +449,7 @@ def _deblock_mbaff_picture(
                             )
                         if not bs.any():
                             continue
-                        qp_p = int(ft.qp[addr_p])
+                        qp_p = int(qp_arr[addr_p])
                         qp_av = (qp_p + qp_q + 1) >> 1
                         ia = np.clip(qp_av + a_off, 0, 51)
                         ib = np.clip(qp_av + b_off, 0, 51)
@@ -482,7 +486,7 @@ def _deblock_mbaff_picture(
                                 False, True,
                             )
                     if bs.any():  # NOT continue: internal edges still follow
-                        qp_p = int(ft.qp[addr_p])
+                        qp_p = int(qp_arr[addr_p])
                         qp_av = (qp_p + qp_q + 1) >> 1
                         ia = np.clip(qp_av + a_off, 0, 51)
                         ib = np.clip(qp_av + b_off, 0, 51)
@@ -542,20 +546,17 @@ def deblock_frame(
             # ChromaArrayType 3: chroma filters exactly like luma (8.7.2
             # chromaStyleFilteringFlag = 0) at luma geometry — run the luma
             # pass once per plane, with per-MB QPc driving the thresholds
-            import copy
-
             y, _, _ = _deblock_mbaff_picture(ft, sps, pps, y, cb, cr,
                                              luma_only=True)
             for plane, off in (
                 (cb, pps.chroma_qp_index_offset),
                 (cr, pps.second_chroma_qp_index_offset),
             ):
-                ftc = copy.copy(ft)
-                ftc.qp = np.array(
+                qpc = np.array(
                     [chroma_qp(int(q), off) for q in ft.qp], np.int8
                 )
-                _deblock_mbaff_picture(ftc, sps, pps, plane, plane, plane,
-                                       luma_only=True)
+                _deblock_mbaff_picture(ft, sps, pps, plane, plane, plane,
+                                       luma_only=True, qp_arr=qpc)
         else:
             y, cb, cr = _deblock_mbaff_picture(ft, sps, pps, y, cb, cr)
         return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)

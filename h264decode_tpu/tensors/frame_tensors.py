@@ -216,6 +216,11 @@ class FrameTensors:
                 self.c444_nnz = np.zeros(
                     (2, self.mb_h * 4, self.mb_w * 4), np.int8
                 )
+        # NOTE: for chroma_format 3 the c444_* grids above are the
+        # authoritative chroma storage; chroma_dc/chroma_ac/chroma_nnz are
+        # still allocated (generic skip/PCM paths touch them) but their
+        # contents are DEAD for 4:4:4 — reconstruction and deblocking read
+        # only c444_*.
         if self.chroma_nnz is None:
             self.chroma_nnz = np.zeros(
                 (2, self.mb_h * self.ch_rows, self.mb_w * 2), np.int8

@@ -484,13 +484,17 @@ static void skip_mv(Ctx* t, int bx, int by, int* px, int* py) {
   predict_mv(t, 0, 0, bx, by, 4, 4, 0, 0, px, py);
 }
 
-static void mb_prelude(Ctx* t, int addr) {
+static int mb_prelude(Ctx* t, int addr) {
   FrameBuffers* f = t->f;
+  // decode_order has capacity n (one entry per MB of the frame); corrupt
+  // streams with overlapping slices would otherwise run it off the end
+  if (*f->n_decoded >= t->n) return -1;
   f->slice_id[addr] = t->p->slice_id;
   f->decode_order[(*f->n_decoded)++] = addr;
   f->disable_deblock[addr] = (int8_t)t->p->disable_deblock;
   f->alpha_off[addr] = (int8_t)t->p->alpha_off;
   f->beta_off[addr] = (int8_t)t->p->beta_off;
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -634,8 +638,8 @@ static void clear_nnz_mb(Ctx* t, int addr, int val) {
             (int8_t)val;
 }
 
-static void decode_p_skip(Ctx* t, int addr) {
-  mb_prelude(t, addr);
+static int decode_p_skip(Ctx* t, int addr) {
+  if (mb_prelude(t, addr) < 0) return -1;
   FrameBuffers* f = t->f;
   f->mb_class[addr] = MB_P_SKIP;
   f->qp[addr] = (int8_t)t->qp_prev;
@@ -651,10 +655,11 @@ static void decode_p_skip(Ctx* t, int addr) {
     }
   store_part(t, addr, 0, 0, 4, 4, mvx, mvy, 0, 0);
   clear_nnz_mb(t, addr, 0);
+  return 0;
 }
 
-static void decode_b_skip(Ctx* t, int addr) {
-  mb_prelude(t, addr);
+static int decode_b_skip(Ctx* t, int addr) {
+  if (mb_prelude(t, addr) < 0) return -1;
   FrameBuffers* f = t->f;
   f->mb_class[addr] = MB_B_SKIP;
   f->qp[addr] = (int8_t)t->qp_prev;
@@ -663,6 +668,7 @@ static void decode_b_skip(Ctx* t, int addr) {
   derive_direct(t, (addr % t->mb_w) * 4, (addr / t->mb_w) * 4, cells);
   store_direct(t, addr, cells, -1);
   clear_nnz_mb(t, addr, 0);
+  return 0;
 }
 
 #include "entropy_cavlc.inc"

@@ -352,7 +352,6 @@ def pcm_slice(
         field=field, interlaced_sps=interlaced_sps,
     )
     in_p = slice_type % 5 == 0
-    mb_h_pix = y.shape[0] // 16 if y.shape[0] else 1
     chh = cb.shape[0] // max(1, y.shape[0] // 16)  # chroma MB height
     chw = cb.shape[1] // mb_w  # chroma MB width
     for addr in mb_addrs:
