@@ -79,6 +79,9 @@ class _SliceParams(ctypes.Structure):
         ("col_short_term", c_int32),
         ("col_poc", c_int32),
         ("n_col", c_int32),
+        ("field_pic", c_int32),
+        ("sp_slice", c_int32),
+        ("is_si", c_int32),
         ("ref_uids0", c_void_p),
         ("ref_uids1", c_void_p),
         ("l0_pocs", c_void_p),
@@ -96,6 +99,7 @@ _FB_FIELDS = [
     "alpha_off", "beta_off", "cbf_dc", "luma_nnz", "chroma_nnz",
     "g_mv", "g_ref", "g_refctx", "g_absmvd", "mode_grid",
     "decode_order", "n_decoded", "pcm_y", "pcm_cb", "pcm_cr",
+    "sp_slice_mb", "c444_dc", "c444_ac", "c444_8x8", "c444_nnz",
 ]
 
 
@@ -117,18 +121,25 @@ class NativeFrameState:
         self.modes = intra_mode_grid
         n = ft.n_mbs
         ft.ensure_luma8()
+        if ft.chroma_format == 3:
+            ft.ensure_c444_8x8()
+        # PCM chroma extents by format (MbHeightC x chroma MB width)
+        self._pcm_ch = ft.ch_mb_h
+        self._pcm_cw = 16 if ft.chroma_format == 3 else 8
         # side buffers the engine writes into; reusable across frames via
         # `pool` (keyed by geometry) because finish() copies PCM regions out
         # per frame and only ever reads regions the engine just wrote
-        key = (ft.mb_h, ft.mb_w)
+        key = (ft.mb_h, ft.mb_w, ft.chroma_format)
         bufs = pool.get(key) if pool is not None else None
         if bufs is None:
             bufs = (
                 np.zeros(n, np.int32),
                 np.zeros(1, np.int32),
                 np.zeros((ft.mb_h * 16, ft.mb_w * 16), np.uint8),
-                np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8),
-                np.zeros((ft.mb_h * 8, ft.mb_w * 8), np.uint8),
+                np.zeros((ft.mb_h * self._pcm_ch, ft.mb_w * self._pcm_cw),
+                         np.uint8),
+                np.zeros((ft.mb_h * self._pcm_ch, ft.mb_w * self._pcm_cw),
+                         np.uint8),
             )
             if pool is not None:
                 pool[key] = bufs
@@ -168,6 +179,12 @@ class NativeFrameState:
         fb.pcm_y = _ptr(self.pcm_y)
         fb.pcm_cb = _ptr(self.pcm_cb)
         fb.pcm_cr = _ptr(self.pcm_cr)
+        fb.sp_slice_mb = _ptr(ft.sp_slice_mb)
+        if ft.chroma_format == 3:
+            fb.c444_dc = _ptr(ft.c444_dc)
+            fb.c444_ac = _ptr(ft.c444_ac)
+            fb.c444_8x8 = _ptr(ft.c444_8x8)
+            fb.c444_nnz = _ptr(ft.c444_nnz)
         self.fb = fb
         self._keepalive = []
 
@@ -179,22 +196,27 @@ class NativeFrameState:
         self.n_decoded[0] = 0
         from ..tensors.frame_tensors import MB_I_PCM
 
+        ch, cw = self._pcm_ch, self._pcm_cw
+        mono = np.zeros((8, 8), np.uint8)
         for addr in np.nonzero(ft.mb_class == MB_I_PCM)[0]:
             mbx, mby = ft.mb_xy(int(addr))
-            ft.pcm_samples[int(addr)] = (
-                self.pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16].copy(),
-                self.pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].copy(),
-                self.pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].copy(),
-            )
+            y = self.pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16].copy()
+            if getattr(self, "_mono", False):
+                cb, cr = mono, mono
+            else:
+                cb = self.pcm_cb[mby * ch : (mby + 1) * ch,
+                                 mbx * cw : (mbx + 1) * cw].copy()
+                cr = self.pcm_cr[mby * ch : (mby + 1) * ch,
+                                 mbx * cw : (mbx + 1) * cw].copy()
+            ft.pcm_samples[int(addr)] = (y, cb, cr)
 
 
 def supported(sps, pps, hdr) -> bool:
     return (
         pps.num_slice_groups == 1
-        and sps.frame_mbs_only_flag
-        and sps.chroma_array_type in (0, 1)
-        and not hdr.is_sp
-        and not hdr.is_si
+        and not hdr.mbaff_frame_flag  # 6.4.10 pair walk: Python engine
+        # CABAC SI prefix binarization is ungated in the Python engine too
+        and not (hdr.is_si and pps.entropy_coding_mode_flag)
         and not getattr(hdr, "dp_readers", None)  # data partitioning
     )
 
@@ -214,6 +236,10 @@ def decode_slice_native(
     p = _SliceParams()
     p.cabac = int(pps.entropy_coding_mode_flag)
     p.slice_type = {0: 0, 1: 1, 2: 2, 3: 0, 4: 2}[hdr.type]
+    p.field_pic = int(hdr.field_pic_flag)
+    p.sp_slice = int(hdr.is_sp or hdr.is_si)
+    p.is_si = int(hdr.is_si)
+    state._mono = sps.chroma_array_type == 0
     p.slice_qp = hdr.slice_qp(pps)
     p.cabac_init_idc = hdr.cabac_init_idc
     p.first_mb = hdr.first_mb_in_slice

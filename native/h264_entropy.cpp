@@ -250,7 +250,7 @@ struct SliceParams {
   int32_t n_ref0, n_ref1;
   int32_t transform8x8_mode;
   int32_t constrained_intra;
-  int32_t chroma_format;   // ChromaArrayType (1 supported)
+  int32_t chroma_format;   // ChromaArrayType 0..3
   int32_t direct_8x8_inference;
   int32_t spatial_direct;
   int32_t disable_deblock;
@@ -260,6 +260,9 @@ struct SliceParams {
   int32_t col_short_term;
   int32_t col_poc;
   int32_t n_col;          // 1 if colocated grids provided
+  int32_t field_pic;      // PAFF field picture: CABAC field ctx columns
+  int32_t sp_slice;       // SP or SI slice: mark sp_slice_mb (deblock bS)
+  int32_t is_si;          // SI slice (CAVLC Table 7-12 mb_type semantics)
   const int32_t* ref_uids0;  // [n_ref0]
   const int32_t* ref_uids1;
   const int32_t* l0_pocs;
@@ -302,13 +305,19 @@ struct FrameBuffers {
   int32_t* decode_order;  // [n]
   int32_t* n_decoded;     // scalar out
   uint8_t* pcm_y;     // [mb_h*16][mb_w*16]
-  uint8_t* pcm_cb;    // [mb_h*8][mb_w*8]
+  uint8_t* pcm_cb;    // [mb_h*ch_mb_h][mb_w*ch_w]
   uint8_t* pcm_cr;
+  uint8_t* sp_slice_mb;  // [n] bool
+  // ChromaArrayType 3: per-component luma-geometry chroma residuals
+  int16_t* c444_dc;   // [n][2][16]
+  int16_t* c444_ac;   // [n][2][16][16]
+  int16_t* c444_8x8;  // [n][2][4][64]
+  int8_t* c444_nnz;   // [2][H4][W4]
 };
 
 // MB classes (tensors/frame_tensors.py)
 enum { MB_I_NXN = 0, MB_I_16X16 = 1, MB_I_PCM = 2, MB_P = 3, MB_P_SKIP = 4,
-       MB_B = 5, MB_B_SKIP = 6, MB_B_DIRECT = 7 };
+       MB_B = 5, MB_B_SKIP = 6, MB_B_DIRECT = 7, MB_SI = 8 };
 enum { UNAVAIL = -2, NO_LIST = -1 };
 
 struct Ctx {
@@ -317,6 +326,10 @@ struct Ctx {
   BitReader r;
   Cabac c;
   int mb_w, mb_h, n, H4, W4, H2, W2;
+  // chroma geometry by format: 4x4-block rows per MB (2 / 4 at 4:2:2),
+  // DC coeff count (4 / 8), AC block count (4 / 8), PCM sample extents
+  int cf, ch_rows, ch_dc_n, ch_blks, ch_mb_h, ch_w;
+  int field_pic;
   int qp_prev;
   int last_qp_delta;
   int is_cabac;
@@ -494,6 +507,7 @@ static int mb_prelude(Ctx* t, int addr) {
   f->disable_deblock[addr] = (int8_t)t->p->disable_deblock;
   f->alpha_off[addr] = (int8_t)t->p->alpha_off;
   f->beta_off[addr] = (int8_t)t->p->beta_off;
+  f->sp_slice_mb[addr] = (uint8_t)t->p->sp_slice;
   return 0;
 }
 
@@ -631,11 +645,18 @@ static void clear_nnz_mb(Ctx* t, int addr, int val) {
   for (int y = 0; y < 4; y++)
     for (int x = 0; x < 4; x++)
       t->f->luma_nnz[(mby * 4 + y) * t->W4 + mbx * 4 + x] = (int8_t)val;
+  int cr = t->ch_rows;
   for (int comp = 0; comp < 2; comp++)
-    for (int y = 0; y < 2; y++)
+    for (int y = 0; y < cr; y++)
       for (int x = 0; x < 2; x++)
-        t->f->chroma_nnz[(comp * t->H2 + mby * 2 + y) * t->W2 + mbx * 2 + x] =
+        t->f->chroma_nnz[(comp * t->H2 + mby * cr + y) * t->W2 + mbx * 2 + x] =
             (int8_t)val;
+  if (t->cf == 3)
+    for (int comp = 0; comp < 2; comp++)
+      for (int y = 0; y < 4; y++)
+        for (int x = 0; x < 4; x++)
+          t->f->c444_nnz[(comp * t->H4 + mby * 4 + y) * t->W4 + mbx * 4 + x] =
+              (int8_t)val;
 }
 
 static int decode_p_skip(Ctx* t, int addr) {
@@ -688,7 +709,14 @@ int decode_slice(const uint8_t* rbsp, int64_t rbsp_len, int64_t start_bit,
   t.n = p->mb_w * p->mb_h;
   t.H4 = p->mb_h * 4;
   t.W4 = p->mb_w * 4;
-  t.H2 = p->mb_h * 2;
+  t.cf = p->chroma_format;
+  t.ch_rows = t.cf == 2 ? 4 : 2;
+  t.ch_dc_n = t.cf == 2 ? 8 : 4;
+  t.ch_blks = t.cf == 2 ? 8 : 4;
+  t.ch_mb_h = (t.cf == 2 || t.cf == 3) ? 16 : 8;
+  t.ch_w = t.cf == 3 ? 16 : 8;
+  t.field_pic = p->field_pic;
+  t.H2 = p->mb_h * t.ch_rows;
   t.W2 = p->mb_w * 2;
   t.qp_prev = p->slice_qp;
   t.last_qp_delta = 0;

@@ -30,8 +30,10 @@ def main():
     orig = tp.frame_step
 
     def spy(buf, ry, rcb, rcr, dyn, mb_h, mb_w, n_refs, flags, meta):
+        # snapshot the rings to host: the real call donates them
         captured.append(
-            dict(buf=np.asarray(buf), ry=ry, rcb=rcb, rcr=rcr, dyn=dyn,
+            dict(buf=np.asarray(buf), ry=np.asarray(ry), rcb=np.asarray(rcb),
+                 rcr=np.asarray(rcr), dyn=dyn,
                  mb_h=mb_h, mb_w=mb_w, n_refs=n_refs, flags=flags, meta=meta)
         )
         return orig(buf, ry, rcb, rcr, dyn, mb_h, mb_w, n_refs, flags, meta)
@@ -144,15 +146,17 @@ def main():
     # use frame 1 (a typical inter frame) and frame 0 (the I frame)
     for fi in [0, min(1, len(captured) - 1), min(3, len(captured) - 1)]:
         c = captured[fi]
+        ry = jax.device_put(c["ry"])
+        rcb = jax.device_put(c["rcb"])
+        rcr = jax.device_put(c["rcr"])
+        buf = jax.device_put(c["buf"])
         print(f"--- frame {fi} flags={c['flags']}", file=sys.stderr)
         for s in stages:
-            dt = timeit(fns[s], jax.device_put(c["buf"]), c["ry"], c["rcb"],
-                        c["rcr"], c["dyn"], c["mb_h"], c["mb_w"],
-                        c["n_refs"], c["flags"], c["meta"])
+            dt = timeit(fns[s], buf, ry, rcb, rcr, c["dyn"], c["mb_h"],
+                        c["mb_w"], c["n_refs"], c["flags"], c["meta"])
             print(f"  {s:10s}: {dt*1e3:8.2f} ms", file=sys.stderr)
-        dt = timeit(fns["step_nodonate"], jax.device_put(c["buf"]), c["ry"],
-                    c["rcb"], c["rcr"], c["dyn"], c["mb_h"], c["mb_w"],
-                    c["n_refs"], c["flags"], c["meta"])
+        dt = timeit(fns["step_nodonate"], buf, ry, rcb, rcr, c["dyn"],
+                    c["mb_h"], c["mb_w"], c["n_refs"], c["flags"], c["meta"])
         print(f"  fullstep  : {dt*1e3:8.2f} ms (incl. ring update)", file=sys.stderr)
 
 
