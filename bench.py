@@ -59,10 +59,75 @@ def make_stream(h, w, n_frames):
     return bs
 
 
+def bench_mesh(size, h, w, n_frames, mesh_spec):
+    """Multi-chip throughput: decode a multi-GOP stream with the GOP+row
+    sharded pipeline over a ("gop"=G, "row"=R) device mesh (BENCH_MESH=GxR).
+    Produces the N-host/chip scaling number of BASELINE.md the day the
+    hardware has G*R chips; on a 1-chip machine only 1x1 runs."""
+    import jax
+
+    from h264decode_tpu.dist.gop import GopParallelDecoder
+    from h264decode_tpu.dist.mesh import make_mesh
+    from h264decode_tpu.golden import lavc
+
+    G, R = (int(x) for x in mesh_spec.lower().split("x"))
+    if G * R > len(jax.devices()):
+        print(
+            json.dumps(
+                {
+                    "metric": f"{size}_mesh{G}x{R}_fps",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"needs {G * R} devices, have {len(jax.devices())}",
+                }
+            )
+        )
+        return
+    mesh = make_mesh(G, R)
+    # MB rows must divide by the row shards: round the height up
+    h = ((h + 16 * R - 1) // (16 * R)) * (16 * R)
+    # one closed GOP per gop slot (plus one spare round) so DP is real
+    bs = make_stream(h, w, n_frames)
+    dec = GopParallelDecoder(mesh)
+    frames = dec.decode_stream(bs)  # warm-up + compile
+    t0 = time.time()
+    dec2 = GopParallelDecoder(mesh)
+    frames = dec2.decode_stream(bs)
+    dt = time.time() - t0
+    fps = len(frames) / dt
+    golden = lavc.decode_annexb(bs)
+    bit_exact = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for g, o in zip(golden, frames)
+        for a, b in zip(g.planes(), o.planes())
+    )
+    assert bit_exact, "sharded decode differs from libavcodec"
+    print(
+        json.dumps(
+            {
+                "metric": f"{size}_main_cabac_fps_mesh{G}x{R}",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 60.0, 5),
+            }
+        )
+    )
+    print(
+        f"# mesh {G}x{R}: {len(frames)} frames in {dt:.2f}s -> {fps:.2f} fps "
+        f"(bit-exact: {bit_exact})",
+        file=sys.stderr,
+    )
+
+
 def main():
     size = os.environ.get("BENCH_SIZE", "1080p")
     h, w = {"1080p": (1080, 1920), "720p": (720, 1280), "qcif": (144, 176)}[size]
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    mesh_spec = os.environ.get("BENCH_MESH")
+    if mesh_spec:
+        bench_mesh(size, h, w, n_frames, mesh_spec)
+        return
     bs = make_stream(h, w, n_frames)
 
     from h264decode_tpu.pipeline.tpu_pipeline import TpuDecoder
