@@ -82,6 +82,9 @@ class _SliceParams(ctypes.Structure):
         ("field_pic", c_int32),
         ("sp_slice", c_int32),
         ("is_si", c_int32),
+        ("mbaff", c_int32),
+        ("col_top_poc", c_int32),
+        ("col_bottom_poc", c_int32),
         ("ref_uids0", c_void_p),
         ("ref_uids1", c_void_p),
         ("l0_pocs", c_void_p),
@@ -89,6 +92,7 @@ class _SliceParams(ctypes.Structure):
         ("col_mv", c_void_p),
         ("col_ref_idx", c_void_p),
         ("col_ref_uid", c_void_p),
+        ("col_mb_field", c_void_p),
     ]
 
 
@@ -100,6 +104,7 @@ _FB_FIELDS = [
     "g_mv", "g_ref", "g_refctx", "g_absmvd", "mode_grid",
     "decode_order", "n_decoded", "pcm_y", "pcm_cb", "pcm_cr",
     "sp_slice_mb", "c444_dc", "c444_ac", "c444_8x8", "c444_nnz",
+    "mb_field", "ref_parity",
 ]
 
 
@@ -180,6 +185,8 @@ class NativeFrameState:
         fb.pcm_cb = _ptr(self.pcm_cb)
         fb.pcm_cr = _ptr(self.pcm_cr)
         fb.sp_slice_mb = _ptr(ft.sp_slice_mb)
+        fb.mb_field = _ptr(ft.mb_field)
+        fb.ref_parity = _ptr(ft.ref_parity)
         if ft.chroma_format == 3:
             fb.c444_dc = _ptr(ft.c444_dc)
             fb.c444_ac = _ptr(ft.c444_ac)
@@ -214,7 +221,6 @@ class NativeFrameState:
 def supported(sps, pps, hdr) -> bool:
     return (
         pps.num_slice_groups == 1
-        and not hdr.mbaff_frame_flag  # 6.4.10 pair walk: Python engine
         # CABAC SI prefix binarization is ungated in the Python engine too
         and not (hdr.is_si and pps.entropy_coding_mode_flag)
         and not getattr(hdr, "dp_readers", None)  # data partitioning
@@ -239,6 +245,7 @@ def decode_slice_native(
     p.field_pic = int(hdr.field_pic_flag)
     p.sp_slice = int(hdr.is_sp or hdr.is_si)
     p.is_si = int(hdr.is_si)
+    p.mbaff = int(hdr.mbaff_frame_flag)
     state._mono = sps.chroma_array_type == 0
     p.slice_qp = hdr.slice_qp(pps)
     p.cabac_init_idc = hdr.cabac_init_idc
@@ -266,7 +273,15 @@ def decode_slice_native(
         p.cur_poc = direct_ctx.cur_poc
         p.col_short_term = int(direct_ctx.col_is_short_term)
         p.col_poc = direct_ctx.col_poc
+        p.col_top_poc = int(direct_ctx.col_top_poc or 0)
+        p.col_bottom_poc = int(direct_ctx.col_bottom_poc or 0)
         p.spatial_direct = int(direct_ctx.spatial)
+        if direct_ctx.col_mb_field is not None:
+            cmf = np.ascontiguousarray(
+                direct_ctx.col_mb_field.astype(np.uint8)
+            )
+            ka.append(cmf)
+            p.col_mb_field = c_void_p(cmf.ctypes.data)
         l0_pocs = np.asarray(direct_ctx.l0_pocs or [0], np.int32)
         l0_lt = np.asarray(
             [1 if x else 0 for x in (direct_ctx.l0_long_term or [0])], np.uint8

@@ -199,13 +199,25 @@ static inline int cb_bypass(Cabac* c) {
   return 0;
 }
 
+#ifdef H264_DEBUG_TRACE
+#include <cstdio>
+#endif
+
 static inline int cb_term(Cabac* c) {
   c->range -= 2;
-  if (c->offset >= c->range) return 1;
+  if (c->offset >= c->range) {
+#ifdef H264_DEBUG_TRACE
+    fprintf(stderr, "C term -> 1 range=%d offset=%d\n", c->range, c->offset);
+#endif
+    return 1;
+  }
   while (c->range < 256) {
     c->range <<= 1;
     c->offset = (c->offset << 1) | cb_bit(c);
   }
+#ifdef H264_DEBUG_TRACE
+  fprintf(stderr, "C term -> 0 range=%d offset=%d\n", c->range, c->offset);
+#endif
   return 0;
 }
 
@@ -220,6 +232,10 @@ static inline void cb_flush(Cabac* c) {
 static inline void cb_reinit(Cabac* c) {
   c->range = 510;
   c->offset = br_u(c->r, 9);
+#ifdef H264_DEBUG_TRACE
+  fprintf(stderr, "C reinit pos=%lld range=%d offset=%d\n",
+          (long long)c->r->pos, c->range, c->offset);
+#endif
 }
 
 static inline int cb_ueg_suffix(Cabac* c, int k) {
@@ -263,6 +279,9 @@ struct SliceParams {
   int32_t field_pic;      // PAFF field picture: CABAC field ctx columns
   int32_t sp_slice;       // SP or SI slice: mark sp_slice_mb (deblock bS)
   int32_t is_si;          // SI slice (CAVLC Table 7-12 mb_type semantics)
+  int32_t mbaff;          // MBAFF frame: pair walk + 6.4.10 neighbors
+  int32_t col_top_poc;    // colocated picture field POCs (8.4.1.2.1 AFRM)
+  int32_t col_bottom_poc;
   const int32_t* ref_uids0;  // [n_ref0]
   const int32_t* ref_uids1;
   const int32_t* l0_pocs;
@@ -270,6 +289,7 @@ struct SliceParams {
   const int32_t* col_mv;      // [H4*W4*2]
   const int8_t* col_ref_idx;  // [H4*W4]
   const int32_t* col_ref_uid; // [H4*W4]
+  const uint8_t* col_mb_field;  // [n] colocated picture per-MB field flags
 };
 
 struct FrameBuffers {
@@ -313,6 +333,8 @@ struct FrameBuffers {
   int16_t* c444_ac;   // [n][2][16][16]
   int16_t* c444_8x8;  // [n][2][4][64]
   int8_t* c444_nnz;   // [2][H4][W4]
+  uint8_t* mb_field;  // [n] bool (MBAFF per-MB field flag)
+  int8_t* ref_parity; // [n][2][4] referenced field parity (-1 = frame)
 };
 
 // MB classes (tensors/frame_tensors.py)
@@ -330,6 +352,12 @@ struct Ctx {
   // DC coeff count (4 / 8), AC block count (4 / 8), PCM sample extents
   int cf, ch_rows, ch_dc_n, ch_blks, ch_mb_h, ch_w;
   int field_pic;
+  // MBAFF walk state: the current MB (spatial addr + field flag + top-left
+  // cell), and the pair whose mb_field_decoding_flag is not yet decoded
+  // (mb_skip_flag precedes it; neighbor derivation uses 7.4.4 inference)
+  int mbaff, cur_addr, cur_field, cur_cx0, cur_cy0;
+  int cur_pair_top_unknown;  // spatial addr of that pair's top MB, or -1
+  int any_field;             // any field pair decoded so far (this frame)
   int qp_prev;
   int last_qp_delta;
   int is_cabac;
@@ -346,12 +374,198 @@ static inline bool mb_avail(Ctx* t, int naddr) {
   return naddr >= 0 && naddr < t->n && t->f->slice_id[naddr] == t->p->slice_id;
 }
 
+// ---------------------------------------------------------------------------
+// MBAFF: 6.4.10 neighbouring-location derivation + pair helpers
+// (C++ twin of syntax/mbaff_nbr.py MbaffGrid and slice_base.py pair logic)
+// ---------------------------------------------------------------------------
+
+static inline int infer_pair_field(Ctx* t, int top_sp) {
+  // 7.4.4: flag of a fully-skipped pair = left pair's, else above pair's
+  int mb_w = t->mb_w;
+  int mby = top_sp / mb_w, mbx = top_sp % mb_w;
+  if (mbx > 0 && mb_avail(t, top_sp - 1)) return t->f->mb_field[top_sp - 1];
+  if (mby >= 2 && mb_avail(t, top_sp - 2 * mb_w))
+    return t->f->mb_field[top_sp - 2 * mb_w];
+  return 0;
+}
+
+static inline int nbr_field_at(Ctx* t, int sp) {
+  // mb_field for 6.4.10 with the 7.4.4 inference while the current pair's
+  // flag is still undecoded (mb_skip_flag precedes it)
+  int pair_top = ((sp / t->mb_w) & 1) ? sp - t->mb_w : sp;
+  if (t->cur_pair_top_unknown == pair_top) return infer_pair_field(t, pair_top);
+  return t->f->mb_field[sp];
+}
+
+static inline void set_pair_field(Ctx* t, int top_sp, int flag) {
+  t->f->mb_field[top_sp] = (uint8_t)flag;
+  t->f->mb_field[top_sp + t->mb_w] = (uint8_t)flag;
+  if (flag) t->any_field = 1;
+}
+
+static inline int pair_avail(Ctx* t, int pr, int pc) {
+  if (pr < 0 || pc < 0 || pc >= t->mb_w || 2 * pr >= t->mb_h) return 0;
+  return mb_avail(t, (2 * pr) * t->mb_w + pc);
+}
+
+// (sp, xN, yN) -> neighbor spatial MB + within-MB (xW, yW); -1 when
+// unavailable. maxW/maxH are 16 luma, 8 x MbHeightC chroma.
+static int mbaff_neighbor(Ctx* t, int sp, int xN, int yN, int chroma,
+                          int* nb, int* xW, int* yW) {
+  int maxW = chroma ? 8 : 16;
+  int maxH = chroma ? t->ch_mb_h : 16;
+  int mb_w = t->mb_w;
+  int row = sp / mb_w;
+  int pr = row / 2, pc = sp % mb_w;
+  int is_bottom = row & 1;
+  int cur_field = nbr_field_at(t, sp);
+  *nb = -1; *xW = 0; *yW = 0;
+
+  if (xN >= 0 && xN < maxW && yN >= 0 && yN < maxH) {
+    *nb = sp; *xW = xN; *yW = yN; return 0;
+  }
+  if (xN >= 2 * maxW || xN < -maxW || yN >= maxH) return 0;
+  if (xN >= maxW && yN >= 0) return 0;
+  if (xN >= maxW) {
+    // C position (above-right, yN < 0)
+    int xw = xN - maxW;
+    if (!cur_field && is_bottom) {
+      if (!pair_avail(t, pr, pc + 1)) return 0;
+      int rtop = (2 * pr) * mb_w + pc + 1;
+      if (!nbr_field_at(t, rtop)) { *nb = rtop; *xW = xw; *yW = maxH + yN; return 0; }
+      *nb = rtop + mb_w; *xW = xw; *yW = (2 * maxH + yN) >> 1; return 0;
+    }
+    if (cur_field && is_bottom) {
+      if (!pair_avail(t, pr - 1, pc + 1)) return 0;
+      int ctop = (2 * (pr - 1)) * mb_w + pc + 1;
+      if (nbr_field_at(t, ctop)) { *nb = ctop + mb_w; *xW = xw; *yW = maxH + yN; return 0; }
+      *nb = ctop + mb_w; *xW = xw; *yW = maxH + 2 * yN + 1; return 0;
+    }
+    if (!pair_avail(t, pr - 1, pc + 1)) return 0;
+    int ctop = (2 * (pr - 1)) * mb_w + pc + 1;
+    int nf = nbr_field_at(t, ctop);
+    if (!cur_field) { *nb = ctop + mb_w; *xW = xw; *yW = maxH + yN; return 0; }
+    if (nf) { *nb = ctop; *xW = xw; *yW = maxH + yN; return 0; }
+    *nb = ctop + mb_w; *xW = xw; *yW = maxH + 2 * yN; return 0;
+  }
+  if (yN >= 0) {
+    // left neighbor (xN < 0): same absolute sample row in the left pair
+    if (pc == 0 || !pair_avail(t, pr, pc - 1)) return 0;
+    int ltop = (2 * pr) * mb_w + pc - 1;
+    int nf = nbr_field_at(t, ltop);
+    int xw = xN + maxW;
+    if (cur_field == nf) { *nb = ltop + mb_w * is_bottom; *xW = xw; *yW = yN; return 0; }
+    if (cur_field) {  // field MB, frame left pair
+      int abs_row = 2 * yN + is_bottom;
+      *nb = ltop + mb_w * (abs_row >= maxH); *xW = xw; *yW = abs_row % maxH;
+      return 0;
+    }
+    int abs_row = maxH * is_bottom + yN;  // frame MB, field left pair
+    *nb = ltop + mb_w * (abs_row & 1); *xW = xw; *yW = abs_row >> 1;
+    return 0;
+  }
+  if (xN < 0) {
+    // D position (-1, yN<0): above-left
+    if (!cur_field && is_bottom) {
+      if (pc == 0 || !pair_avail(t, pr, pc - 1)) return 0;
+      int ltop = (2 * pr) * mb_w + pc - 1;
+      int nf = nbr_field_at(t, ltop);
+      if (!nf) { *nb = ltop; *xW = xN + maxW; *yW = maxH + yN; return 0; }
+      *nb = ltop + mb_w; *xW = xN + maxW; *yW = (maxH + yN) >> 1; return 0;
+    }
+    if (cur_field && is_bottom) {
+      if (pc == 0 || !pair_avail(t, pr - 1, pc - 1)) return 0;
+      int dtop = (2 * (pr - 1)) * mb_w + pc - 1;
+      if (nbr_field_at(t, dtop)) { *nb = dtop + mb_w; *xW = xN + maxW; *yW = maxH + yN; return 0; }
+      *nb = dtop + mb_w; *xW = xN + maxW; *yW = maxH + 2 * yN + 1; return 0;
+    }
+    if (pc == 0 || !pair_avail(t, pr - 1, pc - 1)) return 0;
+    int dtop = (2 * (pr - 1)) * mb_w + pc - 1;
+    int nf = nbr_field_at(t, dtop);
+    if (!cur_field) { *nb = dtop + mb_w; *xW = xN + maxW; *yW = maxH + yN; return 0; }
+    if (nf) { *nb = dtop; *xW = xN + maxW; *yW = maxH + yN; return 0; }
+    *nb = dtop + mb_w; *xW = xN + maxW; *yW = maxH + 2 * yN; return 0;
+  }
+  // above neighbor proper (0 <= xN < maxW, yN < 0)
+  if (!cur_field) {
+    if (is_bottom) { *nb = sp - mb_w; *xW = xN; *yW = maxH + yN; return 0; }
+    if (!pair_avail(t, pr - 1, pc)) return 0;
+    int btop = (2 * (pr - 1)) * mb_w + pc;
+    *nb = btop + mb_w; *xW = xN; *yW = maxH + yN; return 0;
+  }
+  if (!pair_avail(t, pr - 1, pc)) return 0;
+  int btop = (2 * (pr - 1)) * mb_w + pc;
+  int nf = nbr_field_at(t, btop);
+  if (nf) { *nb = btop + mb_w * is_bottom; *xW = xN; *yW = maxH + yN; return 0; }
+  if (is_bottom) { *nb = btop + mb_w; *xW = xN; *yW = maxH + 2 * yN + 1; return 0; }
+  *nb = btop + mb_w; *xW = xN; *yW = maxH + 2 * yN; return 0;
+}
+
+static inline int mbaff_spatial(Ctx* t, int addr_m) {
+  // MBAFF decode address -> spatial raster MB address (slice_base.py)
+  int pair = addr_m >> 1, bottom = addr_m & 1;
+  int pr = pair / t->mb_w, pc = pair % t->mb_w;
+  return (2 * pr + bottom) * t->mb_w + pc;
+}
+
+static inline void begin_mb(Ctx* t, int addr) {
+  // current-MB state for the MBAFF neighbor/motion derivations
+  if (!t->mbaff) return;
+  t->cur_addr = addr;
+  t->cur_field = t->f->mb_field[addr];
+  t->cur_cx0 = (addr % t->mb_w) * 4;
+  t->cur_cy0 = (addr / t->mb_w) * 4;
+}
+
+// MBAFF: (cx, cy) spatial-local cell relative to the current MB ->
+// (naddr, gcx, gcy) of the neighboring cell; -1 when unavailable
+static inline int resolve_cell(Ctx* t, int cx, int cy,
+                               int* naddr, int* gcx, int* gcy) {
+  int px = (cx - t->cur_cx0) * 4;
+  int py = (cy - t->cur_cy0) * 4;
+  if (px < 0) px += 3;
+  if (py < 0) py += 3;
+  int nb, xW, yW;
+  mbaff_neighbor(t, t->cur_addr, px, py, 0, &nb, &xW, &yW);
+  if (nb < 0 || t->f->slice_id[nb] != t->p->slice_id) return -1;
+  *naddr = nb;
+  *gcx = (nb % t->mb_w) * 4 + (xW >> 2);
+  *gcy = (nb / t->mb_w) * 4 + (yW >> 2);
+  return 0;
+}
+
+// 8.4.1.3.2 unit conversion when neighbor and current differ in frame/
+// field coding: field refs double per frame, vertical MVs halve per field
+static inline void convert_mv_ref(Ctx* t, int naddr, int* mvy, int* ref) {
+  int nf = t->f->mb_field[naddr];
+  if (nf == t->cur_field || *ref < 0) return;
+  if (t->cur_field) {  // neighbor is a frame MB
+    int vy = *mvy;
+    *mvy = vy >= 0 ? vy / 2 : -((-vy) / 2);
+    *ref = *ref * 2;
+  } else {
+    *mvy = *mvy * 2;
+    *ref = *ref >> 1;
+  }
+}
+
 static inline int nbr_mb(Ctx* t, int addr, int dx, int dy) {
+  if (t->mbaff) {
+    int nb, xW, yW;
+    mbaff_neighbor(t, addr, dx ? -1 : 0, dy ? -1 : 0, 0, &nb, &xW, &yW);
+    return (nb >= 0 && mb_avail(t, nb)) ? nb : -1;
+  }
   int mbx = addr % t->mb_w, mby = addr / t->mb_w;
   int nx = mbx + dx, ny = mby + dy;
   if (nx < 0 || ny < 0 || nx >= t->mb_w) return -1;
   int naddr = ny * t->mb_w + nx;
   return mb_avail(t, naddr) ? naddr : -1;
+}
+
+static inline bool cip_barred(Ctx* t, int naddr) {
+  // constrained_intra_pred bars inter neighbors; SI MBs stay usable
+  int cls = t->f->mb_class[naddr];
+  return t->p->constrained_intra && cls >= 3 && cls != MB_SI;
 }
 
 static int pred_intra_mode(Ctx* t, int gx, int gy) {
@@ -362,8 +576,25 @@ static int pred_intra_mode(Ctx* t, int gx, int gy) {
     if (nx < 0 || ny < 0) { modes[i] = -1; continue; }
     int naddr = (ny >> 2) * t->mb_w + (nx >> 2);
     if (!mb_avail(t, naddr)) { modes[i] = -1; continue; }
-    if (t->p->constrained_intra && t->f->mb_class[naddr] >= 3) { modes[i] = -1; continue; }
+    if (cip_barred(t, naddr)) { modes[i] = -1; continue; }
     int m = t->f->mode_grid[ny * t->W4 + nx];
+    modes[i] = m < 0 ? 2 : m;
+  }
+  int pred = modes[0] < modes[1] ? modes[0] : modes[1];
+  return pred < 0 ? 2 : pred;
+}
+
+// 8.3.1.1 for MBAFF slices: neighbors via 6.4.10 at MB-local (x0, y0)
+static int pred_intra_mode_mbaff(Ctx* t, int addr, int x0, int y0) {
+  int modes[2];
+  int coords[2][2] = {{x0 - 1, y0}, {x0, y0 - 1}};
+  for (int i = 0; i < 2; i++) {
+    int nb, xW, yW;
+    mbaff_neighbor(t, addr, coords[i][0], coords[i][1], 0, &nb, &xW, &yW);
+    if (nb < 0 || !mb_avail(t, nb) || cip_barred(t, nb)) { modes[i] = -1; continue; }
+    int gx = (nb % t->mb_w) * 4 + (xW >> 2);
+    int gy = (nb / t->mb_w) * 4 + (yW >> 2);
+    int m = t->f->mode_grid[gy * t->W4 + gx];
     modes[i] = m < 0 ? 2 : m;
   }
   int pred = modes[0] < modes[1] ? modes[0] : modes[1];
@@ -386,13 +617,26 @@ static void store_part(Ctx* t, int addr, int dx, int dy, int w, int h,
       f->mv[((addr * 2 + lst) * 16 + blk) * 2 + 0] = (int16_t)mvx;
       f->mv[((addr * 2 + lst) * 16 + blk) * 2 + 1] = (int16_t)mvy;
     }
+  // field MBs (MBAFF) carry FIELD ref indices (8.4.2.1: index 2k = same
+  // parity of frame-list entry k); resolve the frame uid + parity here
+  int fld = t->mbaff && f->mb_field[addr];
+  int uid, parity;
+  if (fld && ref >= 0) {
+    int mb_par = (addr / t->mb_w) & 1;
+    int frame_ref = ref >> 1;
+    parity = (ref & 1) == 0 ? mb_par : 1 - mb_par;
+    uid = frame_ref < n_uids ? uids[frame_ref] : -1;
+  } else {
+    parity = -1;
+    uid = (ref >= 0 && ref < n_uids) ? uids[ref] : -1;
+  }
   for (int py = dy / 2; py < (dy + h + 1) / 2; py++)
     for (int px = dx / 2; px < (dx + w + 1) / 2; px++) {
       int part = py * 2 + px;
       f->ref_idx[(addr * 2 + lst) * 4 + part] = (int8_t)ref;
       f->pred_flags[(addr * 2 + lst) * 4 + part] = ref >= 0 ? 1 : 0;
-      f->ref_pic[(addr * 2 + lst) * 4 + part] =
-          (ref >= 0 && ref < n_uids) ? uids[ref] : -1;
+      f->ref_pic[(addr * 2 + lst) * 4 + part] = uid;
+      f->ref_parity[(addr * 2 + lst) * 4 + part] = (int8_t)parity;
     }
 }
 
@@ -436,6 +680,22 @@ static void set_intra_cells(Ctx* t, int addr) {
 // mv_pred.py: cell lookup with availability semantics
 static inline void cell(Ctx* t, int lst, int cx, int cy, int* mvx, int* mvy,
                         int* ref) {
+  if (t->mbaff) {
+    // (cx, cy) interpreted relative to the current MB, routed through the
+    // Table 6-4 mapper with 8.4.1.3.2 unit conversion (mv_pred.py)
+    int naddr, gcx, gcy;
+    if (resolve_cell(t, cx, cy, &naddr, &gcx, &gcy) < 0) {
+      *mvx = *mvy = 0; *ref = UNAVAIL; return;
+    }
+    int idx = (lst * t->H4 + gcy) * t->W4 + gcx;
+    int r = t->f->g_ref[idx];
+    if (r == UNAVAIL) { *mvx = *mvy = 0; *ref = UNAVAIL; return; }
+    *mvx = t->f->g_mv[idx * 2];
+    *mvy = t->f->g_mv[idx * 2 + 1];
+    *ref = r;
+    convert_mv_ref(t, naddr, mvy, ref);
+    return;
+  }
   if (cx < 0 || cy < 0 || cx >= t->W4 || cy >= t->H4) {
     *mvx = *mvy = 0; *ref = UNAVAIL; return;
   }
@@ -502,6 +762,7 @@ static int mb_prelude(Ctx* t, int addr) {
   // decode_order has capacity n (one entry per MB of the frame); corrupt
   // streams with overlapping slices would otherwise run it off the end
   if (*f->n_decoded >= t->n) return -1;
+  begin_mb(t, addr);
   f->slice_id[addr] = t->p->slice_id;
   f->decode_order[(*f->n_decoded)++] = addr;
   f->disable_deblock[addr] = (int8_t)t->p->disable_deblock;
@@ -524,7 +785,61 @@ struct DirectCell { int mv0x, mv0y, ref0, mv1x, mv1y, ref1; };
 
 static const int kInferCorner[4][2] = {{0, 0}, {3, 0}, {0, 3}, {3, 3}};
 
-static void derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
+// (refIdxCol, mvCol) of the colocated cell — the 8.4.1.2.1 AFRM frame/
+// field crossings: col grids are in the col picture's own spatial-local
+// layout and per-MB units; vertMvScale converts Frm<->Fld vertical units
+// (direct.py _col_motion). Returns -1 when no colocated data exists.
+static int col_motion(Ctx* t, int ccx, int ccy,
+                      int* cref, int* cmvx, int* cmvy) {
+  const SliceParams* p = t->p;
+  if (!p->n_col) return -1;
+  int mb_w = t->mb_w;
+  if (!t->mbaff || p->col_mb_field == nullptr) {
+    *cref = p->col_ref_idx[ccy * t->W4 + ccx];
+    *cmvx = p->col_mv[(ccy * t->W4 + ccx) * 2];
+    *cmvy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
+    return 0;
+  }
+  int addr = (ccy / 4) * mb_w + (ccx / 4);
+  int row = addr / mb_w;
+  int pr = row / 2, par = row & 1;
+  int ly = ccy - row * 4;
+  int cur_fld = t->f->mb_field[addr];
+  int pair_top = 2 * pr * mb_w + (addr % mb_w);
+  int col_pair_fld = p->col_mb_field[pair_top];
+  if (cur_fld == col_pair_fld) {
+    *cref = p->col_ref_idx[ccy * t->W4 + ccx];
+    *cmvx = p->col_mv[(ccy * t->W4 + ccx) * 2];
+    *cmvy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
+    return 0;
+  }
+  if (cur_fld) {
+    // current FIELD, colocated FRAME pair (Frm_To_Fld): strip row
+    // 8*ly + par selects the top/bottom frame MB; vertical halves
+    int sr = 8 * ly + par;
+    int col_addr = pair_top + (sr >= 16 ? mb_w : 0);
+    int gy = (col_addr / mb_w) * 4 + ((sr % 16) >> 2);
+    *cref = p->col_ref_idx[gy * t->W4 + ccx];
+    *cmvx = p->col_mv[(gy * t->W4 + ccx) * 2];
+    int vy = p->col_mv[(gy * t->W4 + ccx) * 2 + 1];
+    *cmvy = vy >= 0 ? vy / 2 : -((-vy) / 2);
+    return 0;
+  }
+  // current FRAME, colocated FIELD pair (Fld_To_Frm): the field whose POC
+  // is closer to the current picture; vertical doubles
+  int db = p->col_bottom_poc - p->cur_poc;
+  int dt = p->col_top_poc - p->cur_poc;
+  int par_sel = (db < 0 ? -db : db) < (dt < 0 ? -dt : dt) ? 1 : 0;
+  int sr = 16 * par + 4 * ly;
+  int col_addr = pair_top + (par_sel ? mb_w : 0);
+  int gy = (col_addr / mb_w) * 4 + ((sr >> 1) >> 2);
+  *cref = p->col_ref_idx[gy * t->W4 + ccx];
+  *cmvx = p->col_mv[(gy * t->W4 + ccx) * 2];
+  *cmvy = p->col_mv[(gy * t->W4 + ccx) * 2 + 1] * 2;
+  return 0;
+}
+
+static int derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
   const SliceParams* p = t->p;
   if (p->spatial_direct) {
     int refs[2], mvs[2][2];
@@ -557,10 +872,10 @@ static void derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
           }
           bool col_zero = false;
           if (!direct_zero && p->n_col && p->col_short_term) {
-            int cref = p->col_ref_idx[ccy * t->W4 + ccx];
-            int cmvx = p->col_mv[(ccy * t->W4 + ccx) * 2];
-            int cmvy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
-            col_zero = (cref == 0 && cmvx >= -1 && cmvx <= 1 && cmvy >= -1 && cmvy <= 1);
+            int cref, cmvx, cmvy;
+            if (col_motion(t, ccx, ccy, &cref, &cmvx, &cmvy) == 0)
+              col_zero = (cref == 0 && cmvx >= -1 && cmvx <= 1 &&
+                          cmvy >= -1 && cmvy <= 1);
           }
           DirectCell* dc = &out[(cy - by0) * 4 + (cx - bx0)];
           dc->ref0 = dc->ref1 = -1;
@@ -575,8 +890,12 @@ static void derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
           }
         }
     }
+    return 0;
   } else {
-    // temporal direct (8.4.1.2.3)
+    // temporal direct (8.4.1.2.3). Field POC pairing + Fld/Frm vector
+    // scaling is not wired (direct.py gates identically); encoders use
+    // spatial direct for interlaced content
+    if (t->mbaff && t->any_field) return -1;
     for (int q = 0; q < 4; q++) {
       int qx = bx0 + (q % 2) * 2, qy = by0 + (q / 2) * 2;
       for (int sy = 0; sy < 2; sy++)
@@ -620,6 +939,7 @@ static void derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
         }
     }
   }
+  return 0;
 }
 
 static void store_direct(Ctx* t, int addr, DirectCell cells[16], int quad) {
@@ -686,7 +1006,8 @@ static int decode_b_skip(Ctx* t, int addr) {
   f->qp[addr] = (int8_t)t->qp_prev;
   f->cbp[addr] = 0;
   DirectCell cells[16];
-  derive_direct(t, (addr % t->mb_w) * 4, (addr / t->mb_w) * 4, cells);
+  if (derive_direct(t, (addr % t->mb_w) * 4, (addr / t->mb_w) * 4, cells) < 0)
+    return -1;
   store_direct(t, addr, cells, -1);
   clear_nnz_mb(t, addr, 0);
   return 0;
@@ -716,6 +1037,17 @@ int decode_slice(const uint8_t* rbsp, int64_t rbsp_len, int64_t start_bit,
   t.ch_mb_h = (t.cf == 2 || t.cf == 3) ? 16 : 8;
   t.ch_w = t.cf == 3 ? 16 : 8;
   t.field_pic = p->field_pic;
+  t.mbaff = p->mbaff;
+  t.cur_addr = -1;
+  t.cur_field = 0;
+  t.cur_cx0 = t.cur_cy0 = 0;
+  t.cur_pair_top_unknown = -1;
+  t.any_field = 0;
+  if (p->mbaff) {
+    // a later slice of the same frame sees earlier pairs' field flags
+    for (int i = 0; i < p->mb_w * p->mb_h; i++)
+      if (t.f->mb_field[i]) { t.any_field = 1; break; }
+  }
   t.H2 = p->mb_h * t.ch_rows;
   t.W2 = p->mb_w * 2;
   t.qp_prev = p->slice_qp;
