@@ -103,10 +103,6 @@ class CabacSliceDecoder(SliceDecoderBase):
             hdr.cabac_init_idc,
         )
         self.last_qp_delta = 0
-        if hdr.is_si:
-            # SI is CAVLC-coded in practice (Extended profile tools); the
-            # CABAC SI prefix binarization (Table 9-27 note) is ungated here
-            raise NotImplementedError("CABAC-coded SI slices")
         is_inter = not (hdr.is_i or hdr.is_si)
         if hdr.mbaff_frame_flag:
             return self._decode_mbaff(is_inter)
@@ -751,10 +747,55 @@ class CabacSliceDecoder(SliceDecoderBase):
 
     # --------------------------------------------------------- macroblock
 
+    def _decode_si_prefix(self, addr: int) -> int:
+        """mb_type prefix in SI slices (Table 9-39 ctxIdxOffset 0,
+        9.3.3.1.1.3): condTermFlagN = 0 when mbN is unavailable or itself
+        SI; bin 0 = SI macroblock, 1 = Table 7-11 suffix at offset 1."""
+
+        def not_si(naddr):
+            from ..tensors.frame_tensors import MB_SI
+
+            return naddr >= 0 and self.ft.mb_class[naddr] != MB_SI
+
+        inc = self._cond_pair(addr, not_si)
+        return self.e.decision(0 + inc)
+
+    def _parse_si_mb(self, addr: int) -> None:
+        """SI macroblock (Table 7-12 mb_type 0), CABAC-coded: Intra_4x4
+        prediction syntax; reconstruction runs the 8.6.2 chain."""
+        from ..tensors.frame_tensors import MB_SI
+
+        ft = self.ft
+        mbx, mby = ft.mb_xy(addr)
+        ft.mb_class[addr] = MB_SI
+        self._parse_intra_nxn_modes(addr, mbx, mby, False)
+        if self.sps.chroma_array_type in (1, 2):
+            ft.chroma_mode[addr] = self._decode_intra_chroma_mode(addr)
+        cbp = self._decode_cbp(addr)
+        ft.cbp[addr] = cbp
+        if cbp:
+            ft.qp[addr] = self._update_qp(self._decode_qp_delta())
+        else:
+            ft.qp[addr] = self.qp_prev
+            self.last_qp_delta = 0
+        self._parse_luma_residual(addr, mbx, mby, cbp & 15, i16=False, t8=False)
+        self._parse_chroma_residual(addr, mbx, mby, cbp >> 4,
+                                    cbp_luma=cbp & 15)
+
     def parse_macroblock(self, addr: int) -> None:
         ft = self.ft
         self._mb_prelude(addr)
-        if self.hdr.is_i or self.hdr.is_si:
+        if self.hdr.is_si:
+            if not self._decode_si_prefix(addr):
+                self._parse_si_mb(addr)
+            else:
+                # suffix: Table 7-11 at offset 1 with the I-slice contexts
+                mb_type = self._decode_i_mb_type(addr, 3, True)
+                self._parse_i_mb(addr, mb_type)
+            if self.motion is not None:
+                mbx, mby = ft.mb_xy(addr)
+                self.motion.set_intra(mbx * 4, mby * 4)
+        elif self.hdr.is_i:
             mb_type = self._decode_i_mb_type(addr, 3, True)
             self._parse_i_mb(addr, mb_type)
             if self.motion is not None:

@@ -88,31 +88,43 @@ def luma_mc(
 ) -> jnp.ndarray:
     """Per-pixel luma prediction [H, W] int32 for one reference list.
 
-    TPU cost model: general N-d gathers dominate, so this does exactly two
-    flat 1-D gathers per pixel (the Table 8-12 sample pair) instead of the
-    naive eight, with linear indices into the flattened plane stack."""
+    TPU cost model: exactly two flat 1-D gathers per pixel (the Table 8-12
+    sample pair) with linear indices into the flattened plane stack. The
+    Table 8-12 lookup runs at CELL resolution (the frac class is per-MV,
+    16x fewer elements), and the index arithmetic is fenced off from the
+    gathers with an optimization_barrier: letting XLA fuse the index
+    computation into the gather loop scalarizes it (~40x slower at 1080p,
+    measured — tools/perf_probe.py ablations)."""
     # reference geometry from the plane stack itself (may exceed the output
     # band in the row-sharded path, where refs are all-gathered)
     RH = planes.shape[-2] - 2 * PAD
     RW = planes.shape[-1] - 2 * PAD
     Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
     flat = planes.reshape(-1)
-    mvp = jnp.repeat(jnp.repeat(mv, 4, axis=0), 4, axis=1)  # [H, W, 2]
-    sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 4, axis=0), 4, axis=1)
+
+    def px4(a):
+        return jnp.repeat(jnp.repeat(a, 4, axis=0), 4, axis=1)
+
+    # cell-resolution Table 8-12 entries and plane bases
+    frac = (mv[..., 0] & 3) + 4 * (mv[..., 1] & 3)  # [H4, W4]
+    t = jnp.asarray(_QPEL_TAB)[frac]  # [H4, W4, 7]
+    base_c = jnp.maximum(slot, 0) * (4 * Hp * Wp)
+    mvx, mvy = px4(mv[..., 0]), px4(mv[..., 1])
     yy, xx = jnp.mgrid[0:H, 0:W]
     # clamp into the padded canvas (flat margins make this exact)
-    xi = jnp.clip(xx + (mvp[..., 0] >> 2), -PAD, RW - 1 + PAD) + PAD
-    yi = jnp.clip(yy + (mvp[..., 1] >> 2), -PAD, RH - 1 + PAD) + PAD
-    frac = (mvp[..., 0] & 3) + 4 * (mvp[..., 1] & 3)
-    t = jnp.asarray(_QPEL_TAB)[frac]  # [H, W, 7]
-    base = sl * (4 * Hp * Wp)
-    x1 = jnp.minimum(xi + t[..., 2], Wp - 1)
-    y1 = jnp.minimum(yi + t[..., 1], Hp - 1)
-    x2 = jnp.minimum(xi + t[..., 5], Wp - 1)
-    y2 = jnp.minimum(yi + t[..., 4], Hp - 1)
-    s1 = flat[base + t[..., 0] * (Hp * Wp) + y1 * Wp + x1].astype(jnp.int32)
-    s2 = flat[base + t[..., 3] * (Hp * Wp) + y2 * Wp + x2].astype(jnp.int32)
-    return jnp.where(t[..., 6] == 1, s1, (s1 + s2 + 1) >> 1)
+    xi = jnp.clip(xx + (mvx >> 2), -PAD, RW - 1 + PAD) + PAD
+    yi = jnp.clip(yy + (mvy >> 2), -PAD, RH - 1 + PAD) + PAD
+    x1 = jnp.minimum(xi + px4(t[..., 2]), Wp - 1)
+    y1 = jnp.minimum(yi + px4(t[..., 1]), Hp - 1)
+    x2 = jnp.minimum(xi + px4(t[..., 5]), Wp - 1)
+    y2 = jnp.minimum(yi + px4(t[..., 4]), Hp - 1)
+    idx1 = px4(base_c + t[..., 0] * (Hp * Wp)) + y1 * Wp + x1
+    idx2 = px4(base_c + t[..., 3] * (Hp * Wp)) + y2 * Wp + x2
+    single = px4(t[..., 6])
+    idx1, idx2, single = jax.lax.optimization_barrier((idx1, idx2, single))
+    s1 = jnp.take(flat, idx1).astype(jnp.int32)
+    s2 = jnp.take(flat, idx2).astype(jnp.int32)
+    return jnp.where(single == 1, s1, (s1 + s2 + 1) >> 1)
 
 
 def chroma_mc(
@@ -137,14 +149,20 @@ def chroma_mc(
     yi = jnp.clip(yi, -PAD, RH - 1 + PAD) + PAD
     xi1 = jnp.minimum(xi + 1, RW - 1 + 2 * PAD)
     yi1 = jnp.minimum(yi + 1, RH - 1 + 2 * PAD)
-    # flat 1-D gathers (cheaper than N-d gathers on TPU; see luma_mc)
+    # flat 1-D gathers (cheaper than N-d gathers on TPU; see luma_mc), with
+    # the index math fenced off so XLA cannot scalarize it into the gather
     Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
     flat = refs.reshape(-1)
     base = sl * (Hp * Wp)
-    A = flat[base + yi * Wp + xi].astype(jnp.int32)
-    B = flat[base + yi * Wp + xi1].astype(jnp.int32)
-    C = flat[base + yi1 * Wp + xi].astype(jnp.int32)
-    D = flat[base + yi1 * Wp + xi1].astype(jnp.int32)
+    iA = base + yi * Wp + xi
+    iB = base + yi * Wp + xi1
+    iC = base + yi1 * Wp + xi
+    iD = base + yi1 * Wp + xi1
+    iA, iB, iC, iD = jax.lax.optimization_barrier((iA, iB, iC, iD))
+    A = jnp.take(flat, iA).astype(jnp.int32)
+    B = jnp.take(flat, iB).astype(jnp.int32)
+    C = jnp.take(flat, iC).astype(jnp.int32)
+    D = jnp.take(flat, iD).astype(jnp.int32)
     return (
         (8 - fx) * (8 - fy) * A + fx * (8 - fy) * B + (8 - fx) * fy * C + fx * fy * D + 32
     ) >> 6

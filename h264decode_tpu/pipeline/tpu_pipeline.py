@@ -91,67 +91,6 @@ def _on_tpu() -> bool:
     return _ON_TPU
 
 
-class _HostPack:
-    """Coalesce every per-frame host tensor into ONE device transfer.
-
-    The device link here is latency-bound (each jnp.asarray costs a full
-    round trip); ~30 small per-frame uploads collapse into a single uint8
-    buffer plus a static unpack recipe (offset/dtype/shape per tensor) that
-    frame_step slices/bitcasts on device for free."""
-
-    _KIND = {
-        np.dtype(np.bool_): "b1",
-        np.dtype(np.uint8): "u1",
-        np.dtype(np.int8): "i1",
-        np.dtype(np.int16): "i2",
-        np.dtype(np.int32): "i4",
-    }
-
-    def __init__(self):
-        self._parts: list[np.ndarray] = []
-        self._meta: list[tuple] = []
-        self._off = 0
-
-    def add(self, name: str, arr: np.ndarray):
-        arr = np.ascontiguousarray(arr)
-        raw = arr.reshape(-1).view(np.uint8)
-        pad = (-self._off) % 4
-        if pad:
-            self._parts.append(np.zeros(pad, np.uint8))
-            self._off += pad
-        self._meta.append(
-            (name, self._KIND[arr.dtype], arr.shape, self._off, raw.nbytes)
-        )
-        self._parts.append(raw)
-        self._off += raw.nbytes
-
-    def finish(self):
-        pad = (-self._off) % 4
-        if pad:
-            self._parts.append(np.zeros(pad, np.uint8))
-        buf = np.concatenate(self._parts) if self._parts else np.zeros(4, np.uint8)
-        return buf, tuple(self._meta)
-
-
-def _unpack(buf, meta: tuple) -> dict:
-    """Device-side inverse of _HostPack (slices + bitcasts, fused by XLA)."""
-    out = {}
-    for name, kind, shape, off, nbytes in meta:
-        seg = jax.lax.slice(buf, (off,), (off + nbytes,))
-        if kind == "b1":
-            arr = seg != 0
-        elif kind == "u1":
-            arr = seg
-        elif kind == "i1":
-            arr = jax.lax.bitcast_convert_type(seg, jnp.int8)
-        elif kind == "i2":
-            arr = jax.lax.bitcast_convert_type(seg.reshape(-1, 2), jnp.int16)
-        else:
-            arr = jax.lax.bitcast_convert_type(seg.reshape(-1, 4), jnp.int32)
-        out[name] = arr.reshape(shape)
-    return out
-
-
 def _weight_cells(inp: dict, mb_h: int, mb_w: int):
     """Per-4x4-cell weighted-prediction parameters, gathered on device from
     the tiny per-slice tables the host packs every frame (identity defaults
@@ -365,21 +304,14 @@ def _densify_residuals(inp: dict, n: int, has_l8: bool):
         )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), donate_argnums=(1, 2, 3))
-def frame_step(buf, ring_y, ring_cb, ring_cr, dyn: dict,
-               mb_h: int, mb_w: int, n_refs: int, flags: tuple, meta: tuple):
-    """The whole per-frame device program: unpack -> reconstruct ->
-    deblock -> half-pel planes -> in-place DPB ring update -> packed output.
-
-    flags = (has_l8, has_pcm, apply_deblock, sparse). The ring buffers are
-    donated: the DPB's reference planes live on device for the whole stream,
-    and the only per-frame transfers are the packed input buffer
-    (host->device; residual coefficients ship SPARSE for typical inter
-    frames — only coded blocks' levels plus indices) and the packed output
-    plane (device->host, fetched asynchronously)."""
+def _prepare_inp(wire: dict, dyn: dict, ring_y, ring_cb, ring_cr,
+                 mb_h: int, mb_w: int, flags: tuple) -> dict:
+    """Expand the narrow wire tensors into the _frame_core input contract:
+    bit-packed flags -> booleans, nibble-packed intra modes, sparse residual
+    densify, 8x8-granular MV expansion, ring binding."""
     has_l8, has_pcm, apply_db, sparse = flags
     inp = dict(dyn)
-    inp.update(_unpack(buf, meta))
+    inp.update(wire)
     f8 = inp.pop("flags8")
     m4n = inp.pop("modes4n")
     inp["modes4"] = (
@@ -416,6 +348,26 @@ def frame_step(buf, ring_y, ring_cb, ring_cr, dyn: dict,
     inp["ref_luma"] = ring_y
     inp["ref_cb"] = ring_cb
     inp["ref_cr"] = ring_cr
+    return inp
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
+               mb_h: int, mb_w: int, n_refs: int, flags: tuple):
+    """The whole per-frame device program: reconstruct -> deblock ->
+    half-pel planes -> DPB ring update -> packed output.
+
+    flags = (has_l8, has_pcm, apply_deblock, sparse). The DPB's reference
+    planes live on device for the whole stream as a ring that is re-fed
+    (NOT donated: on this machine's axon runtime a donated ring costs
+    ~310 ms/frame of hidden buffer traffic vs 0.3 ms without — measured by
+    tools/perf_probe.py). The per-frame host tensors arrive as `wire`, a
+    dict of narrow-dtype arrays shipped in ONE batched jax.device_put
+    (residual coefficients ship SPARSE for typical inter frames — only
+    coded blocks' levels plus indices); the packed output plane leaves
+    device->host asynchronously."""
+    has_l8, has_pcm, apply_db, sparse = flags
+    inp = _prepare_inp(wire, dyn, ring_y, ring_cb, ring_cr, mb_h, mb_w, flags)
     y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
     if apply_db:
         y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w)
@@ -937,28 +889,29 @@ class TpuDecoder(Decoder):
                 sparse = False
                 break
             sp_idx[key] = idx
-        pk = _HostPack()
+        wire: dict[str, np.ndarray] = {}
 
         def narrow(a):
             # coefficient levels overwhelmingly fit int8; ship the narrow
-            # dtype when the whole tensor does (meta carries the dtype, so
-            # the rare wide frame simply takes the int16 compile variant)
+            # dtype when the whole tensor does (the dtype is part of the
+            # jit signature, so the rare wide frame simply takes the int16
+            # compile variant)
             if a.dtype == np.int16 and a.size and abs(int(a.max(initial=0))) < 128 \
                     and abs(int(a.min(initial=0))) < 128:
                 return a.astype(np.int8)
             return a
 
-        pk.add("chroma_dc", narrow(ft.chroma_dc))
+        wire["chroma_dc"] = narrow(ft.chroma_dc)
         if sparse:
             for key, (flat, cap) in sp.items():
                 idx = sp_idx[key]
                 pad = cap - len(idx)
-                pk.add(key + "_idx", np.pad(idx, (0, pad)))
-                pk.add(key + "_lev", narrow(np.pad(flat[idx], ((0, pad), (0, 0)))))
+                wire[key + "_idx"] = np.pad(idx, (0, pad))
+                wire[key + "_lev"] = narrow(np.pad(flat[idx], ((0, pad), (0, 0))))
         else:
-            pk.add("luma_ac", narrow(ft.luma_ac))
-            pk.add("chroma_ac", narrow(ft.chroma_ac))
-            pk.add("luma_dc", narrow(ft.luma_dc))
+            wire["luma_ac"] = narrow(ft.luma_ac)
+            wire["chroma_ac"] = narrow(ft.chroma_ac)
+            wire["luma_dc"] = narrow(ft.luma_dc)
         # MVs ship at 8x8 granularity when no MB uses sub-8x8 partitions
         # (the overwhelmingly common case); expanded back on device
         mv16 = ft.mv.reshape(n, 2, 2, 2, 2, 2, 2)
@@ -966,15 +919,14 @@ class TpuDecoder(Decoder):
         mv8 = bool((mv16 == mv8c).all())
         # MVs fit quarter-pel int16 (level limits); halves the wire size
         if mv8:
-            pk.add(
-                "mv8_parts",
-                np.ascontiguousarray(mv8c).reshape(n, 2, 4, 2).astype(np.int16),
+            wire["mv8_parts"] = (
+                np.ascontiguousarray(mv8c).reshape(n, 2, 4, 2).astype(np.int16)
             )
         else:
-            pk.add("mv_parts", ft.mv.astype(np.int16))
-        pk.add("qp", ft.qp)
+            wire["mv_parts"] = ft.mv.astype(np.int16)
+        wire["qp"] = ft.qp
         # seven per-MB booleans ride one byte (device unpacks by bit)
-        flags8 = (
+        wire["flags8"] = (
             (ft.mb_class == MB_I_16X16).astype(np.uint8)
             | (ft.transform_8x8.astype(np.uint8) << 1)
             | ((ft.mb_class < 3).astype(np.uint8) << 2)
@@ -983,36 +935,34 @@ class TpuDecoder(Decoder):
             | (avtr.reshape(-1).astype(np.uint8) << 5)
             | (avtl.reshape(-1).astype(np.uint8) << 6)
         )
-        pk.add("flags8", flags8)
-        pk.add("slot_parts", slot_parts)
-        pk.add("kind", kind.astype(np.int8))
+        wire["slot_parts"] = slot_parts
+        wire["kind"] = kind.astype(np.int8)
         # intra NxN modes (-1..8) nibble-pack two per byte
         m4 = (ft.intra4x4_modes.astype(np.int16) + 1).astype(np.uint8)
-        pk.add("modes4n", m4[:, 0::2] | (m4[:, 1::2] << 4))
-        pk.add("i16mode", ft.intra16_mode)
-        pk.add("cmode", ft.chroma_mode)
-        pk.add("slice_mb", ft.slice_id.astype(np.int16))
-        pk.add("ridx_parts", ft.ref_idx)
+        wire["modes4n"] = m4[:, 0::2] | (m4[:, 1::2] << 4)
+        wire["i16mode"] = ft.intra16_mode
+        wire["cmode"] = ft.chroma_mode
+        wire["slice_mb"] = ft.slice_id.astype(np.int16)
+        wire["ridx_parts"] = ft.ref_idx
         for k, v in wt.items():
-            pk.add(k, v)
-        pk.add("slot_idx", np.asarray([cur_slot], np.int32))
+            wire[k] = v
+        wire["slot_idx"] = np.asarray([cur_slot], np.int32)
         if has_l8 and not sparse:
-            pk.add("luma8_ac", narrow(ft.luma8_ac))
+            wire["luma8_ac"] = narrow(ft.luma8_ac)
         if has_pcm:
-            pk.add("pcm_y", pcm_y)
-            pk.add("pcm_cb", pcm_cb)
-            pk.add("pcm_cr", pcm_cr)
+            wire["pcm_y"] = pcm_y
+            wire["pcm_cb"] = pcm_cb
+            wire["pcm_cr"] = pcm_cr
         if self.apply_deblock:
-            pk.add("mb_cls", ft.mb_class)
-            pk.add("disable", ft.disable_deblock)
-            pk.add("aoff", ft.alpha_off)
-            pk.add("boff", ft.beta_off)
-            pk.add("nnz_bits", np.packbits((ft.luma_nnz > 0).reshape(-1)))
+            wire["mb_cls"] = ft.mb_class
+            wire["disable"] = ft.disable_deblock
+            wire["aoff"] = ft.alpha_off
+            wire["boff"] = ft.beta_off
+            wire["nnz_bits"] = np.packbits((ft.luma_nnz > 0).reshape(-1))
             # bS picture identity rides the already-shipped slot_parts
-        buf_np, meta = pk.finish()
         if m is not None:
-            m.count("bytes_up", buf_np.nbytes)
-        buf = jax.device_put(buf_np)
+            m.count("bytes_up", sum(v.nbytes for v in wire.values()))
+        buf = jax.device_put(wire)  # ONE batched host->device transfer
         # scaling-list tables are per-(SPS, PPS) constants: upload once
         ls_key = (id(sps), id(pps))
         if getattr(self, "_ls_key", None) != ls_key:
@@ -1049,11 +999,11 @@ class TpuDecoder(Decoder):
         if m is not None:
             with m.timer("dispatch"):
                 ry, rcb, rcr, packed = frame_step(
-                    buf, *self._ring, dyn, mb_h, mb_w, n_refs, flags, meta
+                    buf, *self._ring, dyn, mb_h, mb_w, n_refs, flags
                 )
         else:
             ry, rcb, rcr, packed = frame_step(
-                buf, *self._ring, dyn, mb_h, mb_w, n_refs, flags, meta
+                buf, *self._ring, dyn, mb_h, mb_w, n_refs, flags
             )
         self._ring = [ry, rcb, rcr]
         # start the device->host copy now; it overlaps later frames' entropy

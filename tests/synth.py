@@ -580,6 +580,62 @@ def cabac_mbaff_pcm_slice(
     return nal(5 if idr else 1, ref_idc, bytes(out))
 
 
+def cabac_si_slice(
+    mb_w: int,
+    mb_h: int,
+    *,
+    frame_num: int = 0,
+    idr: bool = False,
+    poc_lsb: int = 0,
+    ref_idc: int = 3,
+    qs_delta: int = 0,
+    qp: int = 26,
+) -> bytes:
+    """CABAC SI slice: every MB an SI macroblock (Table 7-12 mb_type 0) with
+    predicted Intra_4x4 modes, DC chroma mode and cbp 0 — exercises the
+    Table 9-39 SI mb_type prefix (ctxIdxOffset 0, 9.3.3.1.1.3) and the
+    9.3.1.1 I-table context init for SI slices. Content-identical to
+    si_slice(), so the CAVLC decode is the pixel oracle."""
+    from tests.test_cabac import SpecCabacEncoder
+
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=9, frame_num=frame_num, idr=idr,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, qs_delta=qs_delta, cabac=True,
+    )
+    w.align_one()  # cabac_alignment_one_bit
+    out = bytearray(w.rbsp())
+    enc = SpecCabacEncoder(qp, True, 0)
+    n_mbs = mb_w * mb_h
+    for addr in range(n_mbs):
+        mbx, mby = addr % mb_w, addr // mb_w
+        # SI prefix, ctx 0 + condTermFlags (neighbors are all SI -> 0)
+        enc.decision(0, 0)
+        for _blk in range(16):
+            enc.decision(68, 1)  # prev_intra4x4_pred_mode_flag: predicted
+        # intra_chroma_pred_mode 0 (DC): neighbors all mode 0 -> inc 0
+        enc.decision(64, 0)
+        # coded_block_pattern 0 (9.3.3.1.1.4); unavailable neighbor luma
+        # nibble counts as coded (0x0F), decoded SI MBs carry cbp 0
+        cbp_a = 0x0F if mbx == 0 else 0
+        cbp_b = 0x0F if mby == 0 else 0
+        cbp = 0
+        ctx = (0 if cbp_a & 0x02 else 1) + 2 * (0 if cbp_b & 0x04 else 1)
+        enc.decision(73 + ctx, 0)
+        ctx = (0 if cbp & 0x01 else 1) + 2 * (0 if cbp_b & 0x08 else 1)
+        enc.decision(73 + ctx, 0)
+        ctx = (0 if cbp_a & 0x08 else 1) + 2 * (0 if cbp & 0x01 else 1)
+        enc.decision(73 + ctx, 0)
+        ctx = (0 if cbp & 0x04 else 1) + 2 * (0 if cbp & 0x02 else 1)
+        enc.decision(73 + ctx, 0)
+        ca, cb = (cbp_a >> 4) & 3, (cbp_b >> 4) & 3
+        ctx = (1 if ca > 0 else 0) + 2 * (1 if cb > 0 else 0)
+        enc.decision(77 + ctx, 0)
+        enc.terminate(1 if addr == n_mbs - 1 else 0)  # end_of_slice_flag
+    out += enc.tobytes()
+    return nal(5 if idr else 1, ref_idc, bytes(out))
+
+
 # ---------------------------------------------------------------------------
 # SP / SI switching slices (spec 7.3.3 SP fields, 7.3.5 Table 7-12)
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ import pytest
 
 from h264decode_tpu.pipeline.decoder import Decoder
 from tests.synth import (
+    cabac_si_slice,
     pcm_frame_planes,
     pcm_slice,
     si_slice,
@@ -328,3 +329,25 @@ def test_si_slice():
                 plane[y0:y0 + 8, x0:x0 + 8] = _sp_chroma8(pred, qpc, qsc, True)
     assert np.array_equal(np.asarray(frames[0].cb), cb)
     assert np.array_equal(np.asarray(frames[0].cr), cr)
+
+
+def test_si_slice_cabac():
+    """CABAC-coded SI picture (Table 9-39 SI mb_type prefix): content-
+    identical to the CAVLC SI stream, so the established CAVLC decode is
+    the pixel oracle for the CABAC entropy path."""
+    qs_delta = 2
+    cavlc = (
+        write_sps(MB_W, MB_H)
+        + write_pps()
+        + si_slice(N_MBS, idr=True, qs_delta=qs_delta)
+    )
+    cabac = (
+        write_sps(MB_W, MB_H)
+        + write_pps(cabac=True)
+        + cabac_si_slice(MB_W, MB_H, idr=True, qs_delta=qs_delta)
+    )
+    ref = Decoder().decode_stream(cavlc)
+    got = Decoder().decode_stream(cabac)
+    assert len(ref) == len(got) == 1
+    for rp, gp in zip(ref[0].planes(), got[0].planes()):
+        assert np.array_equal(np.asarray(rp), np.asarray(gp))
