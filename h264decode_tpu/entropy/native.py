@@ -4,7 +4,7 @@ Drop-in replacement for the Python CavlcSliceDecoder/CabacSliceDecoder on the
 hot path: decodes a whole slice's macroblocks directly into the FrameTensors
 buffers. Validated bit-exactly against the Python reference by the test
 suite; any stream shape the native engine does not support (FMO slice
-groups, 4:2:2) silently falls back to Python.
+groups, data partitioning, CABAC SI) silently falls back to Python.
 """
 
 from __future__ import annotations
@@ -221,7 +221,7 @@ class NativeFrameState:
 def supported(sps, pps, hdr) -> bool:
     return (
         pps.num_slice_groups == 1
-        # CABAC SI prefix binarization is ungated in the Python engine too
+        # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
         and not (hdr.is_si and pps.entropy_coding_mode_flag)
         and not getattr(hdr, "dp_readers", None)  # data partitioning
     )
