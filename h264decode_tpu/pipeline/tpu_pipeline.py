@@ -677,9 +677,12 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
-        if sps.chroma_array_type != 1:
-            # mono / High 4:2:2 / 4:4:4: the device wire format/kernels are
-            # 4:2:0-shaped; reconstruct on the numpy oracle path (bit-exact)
+        if sps.chroma_array_type not in (0, 1):
+            # High 4:2:2 / 4:4:4: the device wire format/kernels are
+            # 4:2:0-shaped; reconstruct on the numpy oracle path (bit-exact).
+            # Monochrome RUNS the 4:2:0 device pipeline: no chroma is coded,
+            # so the chroma planes converge to the conventional mid-gray
+            # (DC-of-nothing = 128; MC of 128 refs + zero residual = 128)
             return Decoder._submit_reconstruct(
                 self, ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
@@ -855,11 +858,17 @@ class TpuDecoder(Decoder):
             pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
             pcm_cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
             pcm_cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+            mono = sps.chroma_array_type == 0
             for addr, (py, pcb, pcr) in ft.pcm_samples.items():
                 mbx, mby = ft.mb_xy(addr)
                 pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
-                pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcb
-                pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcr
+                # mono PCM carries no chroma: present the mid-gray fill
+                pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    128 if mono else pcb
+                )
+                pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    128 if mono else pcr
+                )
 
         # one packed upload: the device link is latency-bound, so every
         # per-frame host tensor ships in a single uint8 buffer (narrow

@@ -46,3 +46,15 @@ class TestTpuPipeline:
             bframes=2, extra_x264="8x8dct=1:partitions=all:ref=3:weightp=2",
         )
         assert_tpu_bit_exact(bs)
+
+
+def test_monochrome_device_pipeline():
+    """Monochrome streams run the 4:2:0 device pipeline (no chroma coded;
+    the chroma planes converge to the mid-gray convention)."""
+    from tests.test_mono import make_gray_frames
+
+    bs = lavc.encode_x264(
+        make_gray_frames(5, 64, 96), qp=26, profile="high", cabac=True,
+        bframes=1, preset="fast", gop=4, csp="gray",
+    )
+    assert_tpu_bit_exact(bs)
