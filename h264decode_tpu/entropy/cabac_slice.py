@@ -878,14 +878,18 @@ class CabacSliceDecoder(SliceDecoderBase):
         e, r = self.e, self.r
         ft.mb_class[addr] = MB_I_PCM
         r.align()
-        y = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
+        bdl = self.sps.bit_depth_luma
+        bdc = self.sps.bit_depth_chroma
+        ydt = np.uint16 if bdl > 8 else np.uint8
+        cdt = np.uint16 if bdc > 8 else np.uint8
+        y = np.array([r.u(bdl) for _ in range(256)], ydt).reshape(16, 16)
         if self.sps.chroma_array_type in (1, 2):
             ch = ft.ch_mb_h
-            cb = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
-            cr = np.array([r.u(8) for _ in range(ch * 8)], np.uint8).reshape(ch, 8)
+            cb = np.array([r.u(bdc) for _ in range(ch * 8)], cdt).reshape(ch, 8)
+            cr = np.array([r.u(bdc) for _ in range(ch * 8)], cdt).reshape(ch, 8)
         elif self.sps.chroma_array_type == 3:  # full-resolution chroma
-            cb = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
-            cr = np.array([r.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
+            cb = np.array([r.u(bdc) for _ in range(256)], cdt).reshape(16, 16)
+            cr = np.array([r.u(bdc) for _ in range(256)], cdt).reshape(16, 16)
         else:
             cb = cr = np.zeros((8, 8), np.uint8)
         ft.pcm_samples[addr] = (y, cb, cr)

@@ -221,6 +221,8 @@ class NativeFrameState:
 def supported(sps, pps, hdr) -> bool:
     return (
         pps.num_slice_groups == 1
+        and sps.bit_depth_luma == 8
+        and sps.bit_depth_chroma == 8
         # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
         and not (hdr.is_si and pps.entropy_coding_mode_flag)
         and not getattr(hdr, "dp_readers", None)  # data partitioning

@@ -93,6 +93,8 @@ class SliceDecoderBase:
         # shared per frame, gated by availability
         self.modes = intra_mode_grid
         self.qp_prev = hdr.slice_qp(pps)
+        # spec 7-37: QP wraps over [-QpBdOffsetY, 51] for high bit depths
+        self.qp_bd_offset = 6 * (sps.bit_depth_luma - 8)
         self.chroma12 = sps.chroma_array_type in (1, 2)
         # data partitioning (7.4.1: syntax categories 2/3/4): category-2
         # elements read from `r` (partition A or the whole slice); residual
@@ -188,8 +190,12 @@ class SliceDecoderBase:
         return 2 if pred < 0 else pred
 
     def _update_qp(self, delta: int) -> int:
-        # spec 7-37 (8-bit): QPy = (prev + delta + 52) % 52
-        self.qp_prev = (self.qp_prev + delta + 52) % 52
+        # spec 7-37: QPy = ((prev + delta + 52 + 2*QpBdOffsetY)
+        #                   % (52 + QpBdOffsetY)) - QpBdOffsetY
+        off = self.qp_bd_offset
+        self.qp_prev = (
+            (self.qp_prev + delta + 52 + 2 * off) % (52 + off)
+        ) - off
         return self.qp_prev
 
     # ------------------------------------------------------------------ MBAFF

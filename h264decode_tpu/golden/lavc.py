@@ -35,11 +35,17 @@ AV_PIX_FMT_YUV420P = 0
 AV_PIX_FMT_YUV422P = 4
 AV_PIX_FMT_YUV444P = 5
 AV_PIX_FMT_GRAY8 = 8
-# pixel format -> (chroma width shift, chroma height shift)
+AV_PIX_FMT_YUV420P10LE = 62
+AV_PIX_FMT_YUV422P10LE = 64
+AV_PIX_FMT_YUV444P10LE = 68
+# pixel format -> (chroma width shift, chroma height shift, bytes/sample)
 _PIX_FMT_SHIFTS = {
-    AV_PIX_FMT_YUV420P: (1, 1),
-    AV_PIX_FMT_YUV422P: (1, 0),
-    AV_PIX_FMT_YUV444P: (0, 0),
+    AV_PIX_FMT_YUV420P: (1, 1, 1),
+    AV_PIX_FMT_YUV422P: (1, 0, 1),
+    AV_PIX_FMT_YUV444P: (0, 0, 1),
+    AV_PIX_FMT_YUV420P10LE: (1, 1, 2),
+    AV_PIX_FMT_YUV422P10LE: (1, 0, 2),
+    AV_PIX_FMT_YUV444P10LE: (0, 0, 2),
 }
 AV_OPT_SEARCH_CHILDREN = 1  # search priv_data (e.g. x264 options) too
 AVERROR_EAGAIN = -11
@@ -143,10 +149,14 @@ class YUVFrame:
         return (self.y, self.cb, self.cr)
 
 
-def _copy_plane(frame: AVFrame, idx: int, h: int, w: int) -> np.ndarray:
+def _copy_plane(frame: AVFrame, idx: int, h: int, w: int,
+                bps: int = 1) -> np.ndarray:
     ls = frame.linesize[idx]
     buf = ctypes.cast(frame.data[idx], POINTER(c_uint8 * (ls * h))).contents
-    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, ls)
+    if bps == 2:  # 10-bit little-endian samples
+        arr = np.frombuffer(buf, dtype=np.uint16).reshape(h, ls // 2)
+    else:
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, ls)
     return arr[:, :w].copy()
 
 
@@ -161,12 +171,12 @@ def _frame_to_yuv(frame: AVFrame) -> YUVFrame:
     shifts = _PIX_FMT_SHIFTS.get(frame.format)
     if shifts is None:
         raise ValueError(f"unsupported planar YUV format={frame.format}")
-    sw, sh = shifts
+    sw, sh, bps = shifts
     h, w = frame.height, frame.width
     return YUVFrame(
-        y=_copy_plane(frame, 0, h, w),
-        cb=_copy_plane(frame, 1, h >> sh, w >> sw),
-        cr=_copy_plane(frame, 2, h >> sh, w >> sw),
+        y=_copy_plane(frame, 0, h, w, bps),
+        cb=_copy_plane(frame, 1, h >> sh, w >> sw, bps),
+        cr=_copy_plane(frame, 2, h >> sh, w >> sw, bps),
     )
 
 
@@ -314,6 +324,9 @@ def encode_x264(
         "yuv422p": AV_PIX_FMT_YUV422P,
         "yuv444p": AV_PIX_FMT_YUV444P,
         "gray": AV_PIX_FMT_GRAY8,
+        "yuv420p10le": AV_PIX_FMT_YUV420P10LE,
+        "yuv422p10le": AV_PIX_FMT_YUV422P10LE,
+        "yuv444p10le": AV_PIX_FMT_YUV444P10LE,
     }[csp]
     if _av_frame_get_buffer(frame, 32) < 0:
         raise RuntimeError("av_frame_get_buffer failed")
@@ -343,7 +356,10 @@ def encode_x264(
                 ph, pw = plane.shape
                 ls = fr.linesize[idx]
                 dst = ctypes.cast(fr.data[idx], POINTER(c_uint8 * (ls * ph))).contents
-                view = np.frombuffer(dst, dtype=np.uint8).reshape(ph, ls)
+                if plane.dtype == np.uint16:  # 10-bit LE samples
+                    view = np.frombuffer(dst, dtype=np.uint16).reshape(ph, ls // 2)
+                else:
+                    view = np.frombuffer(dst, dtype=np.uint8).reshape(ph, ls)
                 view[:, :pw] = plane
             # pts via raw offsetof hack: pts is right after data/linesize/extended_data/
             # width/height/nb_samples/format... safer: AVFrame option-less; use opt api

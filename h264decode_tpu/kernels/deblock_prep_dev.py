@@ -55,6 +55,9 @@ def deblock_prep_device(
     qp_offsets,   # (cb_off, cr_off)
     mb_h: int,
     mb_w: int,
+    slot_cells=None,  # optional precomputed [2, H4, W4] ref slots: skips the
+                      # device-side _part_to_cells transpose (measured ~18 ms
+                      # per [mb_h, mb_w, 4, 4] relayout at 1080p)
 ) -> dict:
     H4, W4 = mb_h * 4, mb_w * 4
     cls = _mb_to_cells(mb_cls, mb_h, mb_w)
@@ -70,7 +73,10 @@ def deblock_prep_device(
     nnz8 = jnp.repeat(jnp.repeat(blk8, 2, 0), 2, 1)
     coded = jnp.where(t8, nnz8, nz)
 
-    r = [_part_to_cells(ref_pic[:, lst, :], mb_h, mb_w) for lst in range(2)]
+    if slot_cells is not None:
+        r = [slot_cells[0], slot_cells[1]]
+    else:
+        r = [_part_to_cells(ref_pic[:, lst, :], mb_h, mb_w) for lst in range(2)]
     u = [r[0] >= 0, r[1] >= 0]
     mx = [mv[0, ..., 0], mv[1, ..., 0]]
     my = [mv[0, ..., 1], mv[1, ..., 1]]

@@ -346,8 +346,9 @@ class Decoder:
             # monochrome (chroma_format_idc 0): no chroma is coded; present
             # the conventional mid-gray fill (what libavcodec emits when a
             # mono stream is viewed as 4:2:0) so refs/MC stay consistent
-            cb = np.full_like(cb, 128)
-            cr = np.full_like(cr, 128)
+            mid = 1 << (sps.bit_depth_chroma - 1)
+            cb = np.full_like(cb, mid)
+            cr = np.full_like(cr, mid)
         if self.apply_deblock:
             y, cb, cr = deblock_frame(ft, sps, pps, y, cb, cr)
         return y, cb, cr

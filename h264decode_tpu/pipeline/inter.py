@@ -26,11 +26,12 @@ def _filt6_v(w: np.ndarray) -> np.ndarray:
 
 
 def luma_mc_block(
-    ref: np.ndarray, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int
+    ref: np.ndarray, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int,
+    mx: int = 255,
 ) -> np.ndarray:
     """Predict a w x h luma block at (x0, y0) with quarter-pel MV, spec
     8.4.2.2.1. `ref` is the unpadded reference plane; coordinates are
-    edge-clamped (Clip3 on sample positions)."""
+    edge-clamped (Clip3 on sample positions). `mx` = (1 << BitDepth) - 1."""
     H, W = ref.shape
     xi = x0 + (mvx >> 2)
     yi = y0 + (mvy >> 2)
@@ -46,18 +47,18 @@ def luma_mc_block(
         return G
     # b: horizontal half-pel at integer rows; raw (un-normalised) for j
     b_raw_full = _filt6_h(win)  # [h+5, w]
-    b = np.clip((b_raw_full[2 : 2 + h] + 16) >> 5, 0, 255)
+    b = np.clip((b_raw_full[2 : 2 + h] + 16) >> 5, 0, mx)
     # h: vertical half-pel at integer columns
     h_raw_full = _filt6_v(win)  # [h, w+5]
-    hh = np.clip((h_raw_full[:, 2 : 2 + w] + 16) >> 5, 0, 255)
+    hh = np.clip((h_raw_full[:, 2 : 2 + w] + 16) >> 5, 0, mx)
     # j: half-half via vertical filter over raw b
     j_raw = _filt6_v(b_raw_full)  # [h, w]
-    jj = np.clip((j_raw + 512) >> 10, 0, 255)
+    jj = np.clip((j_raw + 512) >> 10, 0, mx)
     # shifted integer/half samples used by quarter positions
     G1 = win[2 : 2 + h, 3 : 3 + w]  # G at x+1
     Gv = win[3 : 3 + h + 1, 2 : 2 + w][:h]  # G at y+1
-    m = np.clip((h_raw_full[:, 3 : 3 + w] + 16) >> 5, 0, 255)  # h at x+1
-    s = np.clip((b_raw_full[3 : 3 + h + 1][:h] + 16) >> 5, 0, 255)  # b at y+1
+    m = np.clip((h_raw_full[:, 3 : 3 + w] + 16) >> 5, 0, mx)  # h at x+1
+    s = np.clip((b_raw_full[3 : 3 + h + 1][:h] + 16) >> 5, 0, mx)  # b at y+1
 
     def avg(a, b_):
         return (a + b_ + 1) >> 1
@@ -105,18 +106,21 @@ def chroma_mc_block(
     ) >> 6
 
 
-def weight_uni(pred: np.ndarray, w: int, o: int, log_wd: int) -> np.ndarray:
-    """Explicit unidirectional weighted prediction, spec 8.4.2.3.2."""
+def weight_uni(pred: np.ndarray, w: int, o: int, log_wd: int,
+               mx: int = 255) -> np.ndarray:
+    """Explicit unidirectional weighted prediction, spec 8.4.2.3.2 (the
+    caller pre-scales `o` by 1 << (BitDepth - 8))."""
     if log_wd >= 1:
         v = ((pred * w + (1 << (log_wd - 1))) >> log_wd) + o
     else:
         v = pred * w + o
-    return np.clip(v, 0, 255)
+    return np.clip(v, 0, mx)
 
 
 def weight_bi(
-    p0: np.ndarray, p1: np.ndarray, w0: int, w1: int, o0: int, o1: int, log_wd: int
+    p0: np.ndarray, p1: np.ndarray, w0: int, w1: int, o0: int, o1: int,
+    log_wd: int, mx: int = 255
 ) -> np.ndarray:
     """Bidirectional weighted prediction, spec 8.4.2.3.2."""
     v = ((p0 * w0 + p1 * w1 + (1 << log_wd)) >> (log_wd + 1)) + ((o0 + o1 + 1) >> 1)
-    return np.clip(v, 0, 255)
+    return np.clip(v, 0, mx)

@@ -43,7 +43,7 @@ def _filter_refs(left, top16, corner):
     return fl, ft, fc
 
 
-def intra8x8_predict(mode: int, left, top, topright, corner) -> np.ndarray:
+def intra8x8_predict(mode: int, left, top, topright, corner, mid: int = 128) -> np.ndarray:
     """left: 8 or None; top: 8 or None; topright: 8 (substituted if needed,
     None only when top is None); corner scalar or None. Returns [8,8] int32."""
     top16 = None
@@ -65,7 +65,7 @@ def intra8x8_predict(mode: int, left, top, topright, corner) -> np.ndarray:
         elif l is not None:
             dc = (int(np.sum(l)) + 4) >> 3
         else:
-            dc = 128
+            dc = mid
         p[:, :] = dc
     elif mode == 3:  # Diagonal Down-Left
         for y in range(8):

@@ -55,14 +55,23 @@ class IntraFrameReconstructor:
         self.W = ft.mb_w * 16
         self.H = ft.mb_h * 16
         self.cf = sps.chroma_array_type
+        # bit-depth contract (High 10): clip ceiling, DC default, the
+        # QpBdOffset added to QP before every dequant (spec 8.5: qP = QP'),
+        # and the pixel dtype
+        self.bd = sps.bit_depth_luma
+        self.mx = (1 << self.bd) - 1
+        self.mid = 1 << (self.bd - 1)
+        self.qp_off = 6 * (self.bd - 8)  # QpBdOffsetY
+        self.qp_off_c = 6 * (sps.bit_depth_chroma - 8)
+        self.pxdtype = np.uint16 if self.bd > 8 else np.uint8
         # chroma MB geometry (MbHeightC x MbWidthC): 8x8 / 16x8 / 16x16
         self.ch = 16 if self.cf in (2, 3) else 8
         self.cw = 16 if self.cf == 3 else 8
         ch_pic_h = self.H if self.cf in (2, 3) else self.H // 2
         ch_pic_w = self.W if self.cf == 3 else self.W // 2
-        self.y = np.zeros((self.H, self.W), np.uint8)
-        self.cb = np.zeros((ch_pic_h, ch_pic_w), np.uint8)
-        self.cr = np.zeros((ch_pic_h, ch_pic_w), np.uint8)
+        self.y = np.zeros((self.H, self.W), self.pxdtype)
+        self.cb = np.zeros((ch_pic_h, ch_pic_w), self.pxdtype)
+        self.cr = np.zeros((ch_pic_h, ch_pic_w), self.pxdtype)
         # decoded 4x4 luma cells (drives spec 6.4 availability exactly under
         # raster decode order within a slice). For MBAFF pictures rows are
         # each spatial MB's LOCAL cell rows (same convention as the entropy
@@ -242,7 +251,7 @@ class IntraFrameReconstructor:
             tr = np.asarray(
                 [int(top[7]) if v is None else v for v in trs], np.int32
             )
-        return intra8x8_predict(mode, left, top, tr, corner)
+        return intra8x8_predict(mode, left, top, tr, corner, self.mid)
 
     # ------------------------------------------------------------- main walk
 
@@ -306,7 +315,10 @@ class IntraFrameReconstructor:
     def _bypass(self, addr) -> bool:
         """TransformBypassModeFlag (spec 8.5.15): lossless coding when the
         SPS enables qpprime_y_zero_transform_bypass and the MB's QP' is 0."""
-        return self.bypass_enabled and int(self.ft.qp[addr]) == 0
+        return (
+            self.bypass_enabled
+            and int(self.ft.qp[addr]) + self.qp_off == 0
+        )
 
     @staticmethod
     def _dpcm(pred, res, mode):
@@ -328,15 +340,16 @@ class IntraFrameReconstructor:
         return (0, 1, 2) if self.cf == 3 else (0,)
 
     def _comp_qp(self, addr: int, comp: int) -> int:
+        """EFFECTIVE per-component QP' (incl. QpBdOffset) for dequant."""
         qp = int(self.ft.qp[addr])
         if comp == 0:
-            return qp
+            return qp + self.qp_off
         off = (
             self.pps.chroma_qp_index_offset
             if comp == 1
             else self.pps.second_chroma_qp_index_offset
         )
-        return rr.chroma_qp(qp, off)
+        return rr.chroma_qp(qp, off, self.qp_off_c)
 
     def _comp_ac(self, addr: int, comp: int):
         ft = self.ft
@@ -399,14 +412,14 @@ class IntraFrameReconstructor:
                     )
                 else:
                     left, top, tr, corner = self._refs_4x4(addr, gx, gy, plane)
-                pred = rr.intra4x4_predict(mode, left, top, tr, corner)
+                pred = rr.intra4x4_predict(mode, left, top, tr, corner, self.mid)
                 c = self._dz4(addr, self._comp_ac(addr, comp)[blk].astype(np.int32))
                 if self._bypass(addr):
                     out = self._dpcm(pred, c, mode)
                 else:
                     d = rr.dequant_4x4_ac(c, ls, qp)
                     out = pred + rr.idct_4x4(d)
-                blkpx = rr.clip1(out).astype(np.uint8)
+                blkpx = rr.clip1(out, self.mx).astype(self.pxdtype)
                 if self._grid is not None:
                     self._put_block(addr, bx * 4, by * 4, blkpx, comp)
                 else:
@@ -453,7 +466,7 @@ class IntraFrameReconstructor:
                     else:
                         d = (c * ls8 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
                     out = pred + rr.idct_8x8(d)
-                blkpx = rr.clip1(out).astype(np.uint8)
+                blkpx = rr.clip1(out, self.mx).astype(self.pxdtype)
                 if self._grid is not None:
                     self._put_block(addr, bx * 8, by * 8, blkpx, comp)
                 else:
@@ -484,7 +497,7 @@ class IntraFrameReconstructor:
         corner = int(plane[y0 - 1, x0 - 1]) if have_c else None
         from .intra8x8 import intra8x8_predict
 
-        return intra8x8_predict(mode, left, top, tr, corner)
+        return intra8x8_predict(mode, left, top, tr, corner, self.mid)
 
     # ----------------------------------------------------------- Intra 16x16
 
@@ -506,7 +519,8 @@ class IntraFrameReconstructor:
                 corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
             if not (left is not None and top is not None):
                 corner = None  # plane/corner use requires both edges
-            pred = rr.intra16x16_predict(mode16, left, top, corner)
+            pred = rr.intra16x16_predict(mode16, left, top, corner,
+                                         self.mid, self.mx)
             ac = self._comp_ac(addr, comp)
             dc_scan = self._comp_dc(addr, comp).astype(np.int32)
             dc = self._dz4(addr, dc_scan)
@@ -518,7 +532,7 @@ class IntraFrameReconstructor:
                     c = self._dz4(addr, ac[blk].astype(np.int32))
                     c[0, 0] = dc[by, bx]
                     mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
-                blkpx = rr.clip1(self._dpcm(pred, mb, mode16)).astype(np.uint8)
+                blkpx = rr.clip1(self._dpcm(pred, mb, mode16), self.mx).astype(self.pxdtype)
                 if self._grid is not None:
                     self._put_block(addr, 0, 0, blkpx, comp)
                 else:
@@ -532,7 +546,7 @@ class IntraFrameReconstructor:
                 d = rr.dequant_4x4_ac(c, ls, qp)
                 d[0, 0] = dcy[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-            blkpx = rr.clip1(pred + mb).astype(np.uint8)
+            blkpx = rr.clip1(pred + mb, self.mx).astype(self.pxdtype)
             if self._grid is not None:
                 self._put_block(addr, 0, 0, blkpx, comp)
             else:
@@ -615,15 +629,18 @@ class IntraFrameReconstructor:
                         widx = ref_idx
                         ref = lists[lst][ref_idx]
                     py = luma_mc_block(
-                        ref.y, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
+                        ref.y, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy,
+                        self.mx,
                     )
                     pcb = pcr = None
                     if c444:
                         pcb = luma_mc_block(
-                            ref.cb, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
+                            ref.cb, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy,
+                            self.mx,
                         )
                         pcr = luma_mc_block(
-                            ref.cr, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy
+                            ref.cr, x0 + cx * 4, y0m + cy * 4, 4, 4, mvx, mvy,
+                            self.mx,
                         )
                     if chroma:
                         # spec 8.4.1.4.1: field MC from an opposite-parity
@@ -650,26 +667,30 @@ class IntraFrameReconstructor:
                     if wmode == "explicit":
                         tab = pwt.l0 if lst == 0 else pwt.l1
                         e = tab[ref_idx]
+                        osh = self.bd - 8  # 8.4.2.3.2 offset scaling
                         py = weight_uni(
-                            py, e.luma_weight, e.luma_offset, pwt.luma_log2_weight_denom
+                            py, e.luma_weight, e.luma_offset << osh,
+                            pwt.luma_log2_weight_denom, self.mx,
                         )
                         if chroma or c444:
                             d = pwt.chroma_log2_weight_denom
-                            pcb = weight_uni(pcb, e.chroma_weight[0], e.chroma_offset[0], d)
-                            pcr = weight_uni(pcr, e.chroma_weight[1], e.chroma_offset[1], d)
+                            pcb = weight_uni(pcb, e.chroma_weight[0], e.chroma_offset[0] << osh, d, self.mx)
+                            pcr = weight_uni(pcr, e.chroma_weight[1], e.chroma_offset[1] << osh, d, self.mx)
                 else:
                     _, r0, p0, y0p, cb0, cr0 = preds[0]
                     _, r1, p1, y1p, cb1, cr1 = preds[1]
                     if wmode == "explicit":
                         e0, e1 = pwt.l0[r0], pwt.l1[r1]
+                        osh = self.bd - 8
                         py = weight_bi(
                             y0p, y1p, e0.luma_weight, e1.luma_weight,
-                            e0.luma_offset, e1.luma_offset, pwt.luma_log2_weight_denom,
+                            e0.luma_offset << osh, e1.luma_offset << osh,
+                            pwt.luma_log2_weight_denom, self.mx,
                         )
                         if chroma or c444:
                             d = pwt.chroma_log2_weight_denom
-                            pcb = weight_bi(cb0, cb1, e0.chroma_weight[0], e1.chroma_weight[0], e0.chroma_offset[0], e1.chroma_offset[0], d)
-                            pcr = weight_bi(cr0, cr1, e0.chroma_weight[1], e1.chroma_weight[1], e0.chroma_offset[1], e1.chroma_offset[1], d)
+                            pcb = weight_bi(cb0, cb1, e0.chroma_weight[0], e1.chroma_weight[0], e0.chroma_offset[0] << osh, e1.chroma_offset[0] << osh, d, self.mx)
+                            pcr = weight_bi(cr0, cr1, e0.chroma_weight[1], e1.chroma_weight[1], e0.chroma_offset[1] << osh, e1.chroma_offset[1] << osh, d, self.mx)
                     elif wmode == "implicit":
                         cpoc = None
                         if fld:
@@ -677,10 +698,10 @@ class IntraFrameReconstructor:
                                 self.cur_bottom_poc if mb_par else self.cur_top_poc
                             )
                         w0, w1 = self._implicit_weights(p0, p1, cpoc)
-                        py = weight_bi(y0p, y1p, w0, w1, 0, 0, 5)
+                        py = weight_bi(y0p, y1p, w0, w1, 0, 0, 5, self.mx)
                         if chroma or c444:
-                            pcb = weight_bi(cb0, cb1, w0, w1, 0, 0, 5)
-                            pcr = weight_bi(cr0, cr1, w0, w1, 0, 0, 5)
+                            pcb = weight_bi(cb0, cb1, w0, w1, 0, 0, 5, self.mx)
+                            pcr = weight_bi(cr0, cr1, w0, w1, 0, 0, 5, self.mx)
                     else:
                         py = (y0p + y1p + 1) >> 1
                         if chroma or c444:
@@ -708,6 +729,8 @@ class IntraFrameReconstructor:
         """SP/SI macroblock reconstruction through the 8.6 transform-domain
         requantization chain (no 8x8 transform exists in SP/SI slices)."""
         ft = self.ft
+        if self.bd != 8:
+            raise NotImplementedError("SP slices at high bit depth")
         qp = int(ft.qp[addr])
         x0, y0 = mbx * 16, mby * 16
         out = np.empty((16, 16), np.int64)
@@ -718,7 +741,7 @@ class IntraFrameReconstructor:
             out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.sp_luma_block(
                 pred, lev, qp, qs, switching
             )
-        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(out).astype(np.uint8)
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(out, self.mx).astype(self.pxdtype)
         if self.sps.chroma_array_type == 1:
             self._sp_chroma(addr, mbx, mby, pred_cb, pred_cr, qp, qs, switching)
 
@@ -737,13 +760,15 @@ class IntraFrameReconstructor:
             ]).astype(np.int64)
             rec = rr.sp_chroma_comp(pred, dc, ac, qpc, qsc, switching)
             plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-                rr.clip1(rec).astype(np.uint8)
+                rr.clip1(rec, self.mx).astype(self.pxdtype)
             )
 
     def _recon_si_mb(self, addr, mbx, mby):
         """SI macroblock (spec 8.6.2): Intra_4x4 prediction, reconstruction
         through the QS quantization chain (same math as switching SP)."""
         ft = self.ft
+        if self.bd != 8:
+            raise NotImplementedError("SI slices at high bit depth")
         sp = self.sp_ctx[int(ft.slice_id[addr])]
         qs = sp[2]
         qp = int(ft.qp[addr])
@@ -753,10 +778,10 @@ class IntraFrameReconstructor:
             x0, y0 = gx * 4, gy * 4
             mode = int(ft.intra4x4_modes[addr, blk])
             left, top, tr, corner = self._refs_4x4(addr, gx, gy)
-            pred = rr.intra4x4_predict(mode, left, top, tr, corner)
+            pred = rr.intra4x4_predict(mode, left, top, tr, corner, self.mid)
             lev = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
             out = rr.sp_luma_block(pred, lev, qp, qs, switching=True)
-            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out).astype(np.uint8)
+            self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out, self.mx).astype(self.pxdtype)
             self.cell_done[gy, gx] = True
         if self.sps.chroma_array_type == 1:
             # chroma prediction as for intra MBs, then the 8.6 chain
@@ -819,7 +844,7 @@ class IntraFrameReconstructor:
                     c = self._dz4(addr, ac[blk].astype(np.int32))
                     d = rr.dequant_4x4_ac(c, ls, qp)
                     res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-            self._put_mb(addr, mbx, mby, comp, rr.clip1(pred + res).astype(np.uint8))
+            self._put_mb(addr, mbx, mby, comp, rr.clip1(pred + res, self.mx).astype(self.pxdtype))
         if self.sps.chroma_array_type not in (1, 2):
             return
         qp = int(ft.qp[addr])
@@ -836,7 +861,7 @@ class IntraFrameReconstructor:
                         c[0, 0] = c2[by, bx]
                         mbres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                     self._put_mb(addr, mbx, mby, 1 + comp,
-                                 rr.clip1(pred + mbres).astype(np.uint8), chroma=True)
+                                 rr.clip1(pred + mbres, self.mx).astype(self.pxdtype), chroma=True)
             return
         for comp, (plane, pred, qp_off, ls_idx) in enumerate(
             [
@@ -844,7 +869,7 @@ class IntraFrameReconstructor:
                 (self.cr, pred_cr, self.pps.second_chroma_qp_index_offset, 5),
             ]
         ):
-            qpc = rr.chroma_qp(qp, qp_off)
+            qpc = rr.chroma_qp(qp, qp_off, self.qp_off_c)
             ls = self.ls4[ls_idx][qpc % 6]  # lists 4/5: Inter Cb/Cr
             dcc = self._chroma_dc_deq(
                 self._chroma_dc_grid(addr, comp), ls_idx, ls, qpc
@@ -857,7 +882,7 @@ class IntraFrameReconstructor:
                 d[0, 0] = dcc[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
             self._put_mb(addr, mbx, mby, 1 + comp,
-                         rr.clip1(pred + mb).astype(np.uint8), chroma=True)
+                         rr.clip1(pred + mb, self.mx).astype(self.pxdtype), chroma=True)
 
     # --------------------------------------------------------------- Chroma
 
@@ -873,7 +898,8 @@ class IntraFrameReconstructor:
             left = plane[y0 : y0 + 8, x0 - 1].astype(np.int32) if have_l else None
             top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
             corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
-            preds.append(rr.intra_chroma_predict(mode, left, top, corner, None))
+            preds.append(rr.intra_chroma_predict(mode, left, top, corner, None,
+                                                 mid=self.mid, mx=self.mx))
         return preds[0], preds[1]
 
     def _chroma_dc_grid(self, addr, comp):
@@ -913,7 +939,7 @@ class IntraFrameReconstructor:
                 (self.cr, pps.second_chroma_qp_index_offset, 2),
             ]
         ):
-            qpc = rr.chroma_qp(qp_y, qp_off)
+            qpc = rr.chroma_qp(qp_y, qp_off, self.qp_off_c)
             ls = self.ls4[ls_idx][qpc % 6]  # lists 1/2: Intra Cb/Cr
             if self._grid is not None:
                 left, top, corner = self._refs_mbaff_line(
@@ -926,10 +952,11 @@ class IntraFrameReconstructor:
                 left = plane[y0 : y0 + ch, x0 - 1].astype(np.int32) if have_l else None
                 top = plane[y0 - 1, x0 : x0 + 8].astype(np.int32) if have_t else None
                 corner = int(plane[y0 - 1, x0 - 1]) if (have_l and have_t) else None
-            pred = rr.intra_chroma_predict(mode, left, top, corner, None, h=ch)
+            pred = rr.intra_chroma_predict(mode, left, top, corner, None, h=ch,
+                                           mid=self.mid, mx=self.mx)
             cdc = self._chroma_dc_grid(addr, comp)
             mb = np.zeros((ch, 8), np.int32)
-            if self.cf == 1 and self.bypass_enabled and qpc == 0 and int(ft.qp[addr]) == 0:
+            if self.cf == 1 and self._bypass(addr) and qpc == 0:
                 for blk in range(4):
                     bx, by = CHROMA_BLK_XY[blk]
                     c = self._dz4(addr, ft.chroma_ac[addr, comp, blk].astype(np.int32))
@@ -937,7 +964,7 @@ class IntraFrameReconstructor:
                     mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = c
                 # chroma modes: 1 horizontal, 2 vertical (8.3.4 numbering)
                 dmode = 1 if mode == 1 else (0 if mode == 2 else -1)
-                blkpx = rr.clip1(self._dpcm(pred, mb, dmode)).astype(np.uint8)
+                blkpx = rr.clip1(self._dpcm(pred, mb, dmode), self.mx).astype(self.pxdtype)
                 if self._grid is not None:
                     self._put_block(addr, 0, 0, blkpx, 1 + comp, chroma=True)
                 else:
@@ -950,7 +977,7 @@ class IntraFrameReconstructor:
                 d = rr.dequant_4x4_ac(c, ls, qpc)
                 d[0, 0] = dcc[by, bx]
                 mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.idct_4x4(d)
-            blkpx = rr.clip1(pred + mb).astype(np.uint8)
+            blkpx = rr.clip1(pred + mb, self.mx).astype(self.pxdtype)
             if self._grid is not None:
                 self._put_block(addr, 0, 0, blkpx, 1 + comp, chroma=True)
             else:

@@ -84,9 +84,13 @@ _POS_CLASS_8x8 = np.array(
 )
 
 
-def chroma_qp(qp_y: int, offset: int) -> int:
-    qpi = max(0, min(51, qp_y + offset))
-    return int(qpi if qpi < 30 else CHROMA_QP_TABLE[qpi - 30])
+def chroma_qp(qp_y: int, offset: int, bd_off_c: int = 0) -> int:
+    """Table 8-15 QPc. `bd_off_c` = QpBdOffsetC (6*(BitDepthC-8)): high-bit-
+    depth streams clip qPI into [-QpBdOffsetC, 51] and the EFFECTIVE QP'c
+    (= QPc + QpBdOffsetC, what dequant consumes) is returned."""
+    qpi = max(-bd_off_c, min(51, qp_y + offset))
+    qpc = int(qpi if qpi < 30 else CHROMA_QP_TABLE[qpi - 30])
+    return qpc + bd_off_c
 
 
 def level_scale_4x4(weight_scale_zz, m: int) -> np.ndarray:
@@ -228,8 +232,8 @@ def idct_8x8(d: np.ndarray) -> np.ndarray:
     return (h + 32) >> 6
 
 
-def clip1(x):
-    return np.clip(x, 0, 255)
+def clip1(x, mx: int = 255):
+    return np.clip(x, 0, mx)
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +241,8 @@ def clip1(x):
 # ---------------------------------------------------------------------------
 
 
-def intra4x4_predict(mode: int, left, top, topright, corner) -> np.ndarray:
+def intra4x4_predict(mode: int, left, top, topright, corner,
+                     mid: int = 128) -> np.ndarray:
     """spec 8.3.1.2.1-9. left: 4 samples or None; top: 4 or None; topright: 4
     (already substituted if unavailable); corner: scalar or None.
     Returns [4,4] int32 prediction."""
@@ -254,7 +259,7 @@ def intra4x4_predict(mode: int, left, top, topright, corner) -> np.ndarray:
         elif left is not None:
             dc = (int(np.sum(left)) + 2) >> 2
         else:
-            dc = 128
+            dc = mid
         p[:, :] = dc
     elif mode == 3:  # Diagonal Down-Left (8.3.1.2.4)
         t = np.concatenate([top, topright]).astype(np.int32)
@@ -352,7 +357,8 @@ def intra4x4_predict(mode: int, left, top, topright, corner) -> np.ndarray:
     return p
 
 
-def intra16x16_predict(mode: int, left, top, corner) -> np.ndarray:
+def intra16x16_predict(mode: int, left, top, corner,
+                       mid: int = 128, mx: int = 255) -> np.ndarray:
     """spec 8.3.3: Intra_16x16 prediction. left/top are 16-sample arrays or
     None; corner scalar or None."""
     p = np.zeros((16, 16), np.int32)
@@ -368,7 +374,7 @@ def intra16x16_predict(mode: int, left, top, corner) -> np.ndarray:
         elif left is not None:
             dc = (int(np.sum(left)) + 8) >> 4
         else:
-            dc = 128
+            dc = mid
         p[:, :] = dc
     elif mode == 3:  # Plane (8.3.3.4)
         t = np.asarray(top, np.int64)
@@ -380,12 +386,13 @@ def intra16x16_predict(mode: int, left, top, corner) -> np.ndarray:
         b = (5 * hsum + 32) >> 6
         c = (5 * vsum + 32) >> 6
         yy, xx = np.mgrid[0:16, 0:16]
-        p = clip1((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5)
+        p = clip1((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5, mx)
     return p
 
 
 def intra_chroma_predict(mode: int, left, top, corner, avail_l4,
-                         h: int = 8) -> np.ndarray:
+                         h: int = 8, mid: int = 128,
+                         mx: int = 255) -> np.ndarray:
     """spec 8.3.4 on the 8-wide x `h`-tall chroma component (h = 8 for
     4:2:0, 16 for 4:2:2). avail_l4 is unused (left/top arrays or None
     encode availability uniformly)."""
@@ -404,21 +411,21 @@ def intra_chroma_predict(mode: int, left, top, corner, avail_l4,
                     elif l is not None:
                         dc = (int(np.sum(l)) + 2) >> 2
                     else:
-                        dc = 128
+                        dc = mid
                 elif bx > 0:  # top-row right blocks: prefer top
                     if t is not None:
                         dc = (int(np.sum(t)) + 2) >> 2
                     elif l is not None:
                         dc = (int(np.sum(l)) + 2) >> 2
                     else:
-                        dc = 128
+                        dc = mid
                 else:  # left-column lower blocks: prefer left
                     if l is not None:
                         dc = (int(np.sum(l)) + 2) >> 2
                     elif t is not None:
                         dc = (int(np.sum(t)) + 2) >> 2
                     else:
-                        dc = 128
+                        dc = mid
                 p[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = dc
     elif mode == 1:  # Horizontal
         p[:, :] = np.asarray(left)[:, None]
@@ -445,7 +452,7 @@ def intra_chroma_predict(mode: int, left, top, corner, avail_l4,
         b = (34 * hsum + 32) >> 6
         c = ((34 - 29 * (1 if h == 16 else 0)) * vsum + 32) >> 6
         yy, xx = np.mgrid[0:h, 0:8]
-        p = clip1((a + b * (xx - 3) + c * (yy - 3 - ycf) + 16) >> 5)
+        p = clip1((a + b * (xx - 3) + c * (yy - 3 - ycf) + 16) >> 5, mx)
     return p
 
 

@@ -114,9 +114,14 @@ def _weight_cells(inp: dict, mb_h: int, mb_w: int):
 
     S, _, R = w_tab.shape
     sl = jnp.clip(jmb(inp["slice_mb"].astype(jnp.int32), mb_h, mb_w), 0, S - 1)
-    rp = inp["ridx_parts"].astype(jnp.int32)
-    r0 = jnp.clip(jpart(rp[:, 0], mb_h, mb_w), 0, R - 1)
-    r1 = jnp.clip(jpart(rp[:, 1], mb_h, mb_w), 0, R - 1)
+    if "ridx_cells" in inp:
+        rc = inp["ridx_cells"]
+        r0 = jnp.clip(rc[0], 0, R - 1)
+        r1 = jnp.clip(rc[1], 0, R - 1)
+    else:
+        rp = inp["ridx_parts"].astype(jnp.int32)
+        r0 = jnp.clip(jpart(rp[:, 0], mb_h, mb_w), 0, R - 1)
+        r1 = jnp.clip(jpart(rp[:, 1], mb_h, mb_w), 0, R - 1)
 
     def pick(uni_tab, pair0, pair1, bi):
         u0 = uni_tab[sl, 0, r0]
@@ -174,9 +179,12 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
     )
     # ---- inter prediction: both lists always evaluated (masked where
     # unused) so I/P/B frames share one XLA program
-    slot, mv = expand_slot_mv(
-        inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
-    )
+    if "slot_cells" in inp:
+        slot, mv = inp["slot_cells"], inp["mv_cells"]
+    else:  # sharded path: compact per-MB wire, expanded on device
+        slot, mv = expand_slot_mv(
+            inp["slot_parts"], inp["mv_parts"], inp["is_intra"], mb_h, mb_w
+        )
     use0_cell = slot[0] >= 0  # [H4, W4]
     use1_cell = slot[1] >= 0
     bi_cell = use0_cell & use1_cell
@@ -199,12 +207,16 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
 
     use0c = px2(use0_cell).astype(bool)
     use1c = px2(use1_cell).astype(bool)
+    # both chroma components ride one interleaved-uint16 gather pass
+    refs16 = inp["ref_cb"].astype(jnp.uint16) | (
+        inp["ref_cr"].astype(jnp.uint16) << 8
+    )
+    p0cb, p0cr = mc_k.chroma_mc_pair(refs16, slot[0], mv[0], Hc, Wc)
+    p1cb, p1cr = mc_k.chroma_mc_pair(refs16, slot[1], mv[1], Hc, Wc)
     chroma_planes = []
-    for comp, (refs, rc) in enumerate(
-        ((inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
+    for comp, (p0, p1, rc) in enumerate(
+        ((p0cb, p1cb, rcb), (p0cr, p1cr, rcr))
     ):
-        p0 = mc_k.chroma_mc(refs, slot[0], mv[0], Hc, Wc)
-        p1 = mc_k.chroma_mc(refs, slot[1], mv[1], Hc, Wc)
         cw0, co0, cw1, co1, clwd = chroma_w(comp, bi_cell)
         pred = mc_k.weighted_combine(
             p0, p1, use0c, use1c,
@@ -257,15 +269,19 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
     from ..kernels.deblock_prep_dev import _blk_to_cells as jblk
 
     y, cb, cr = planes
-    mp = inp["mv_parts"].astype(jnp.int32)
-    mv = jnp.stack(
-        [
-            jnp.stack(
-                [jblk(mp[:, lst, :, c], mb_h, mb_w) for c in range(2)], axis=-1
-            )
-            for lst in range(2)
-        ]
-    )
+    if "mv_cells" in inp:
+        mv = inp["mv_cells"]
+    else:
+        mp = inp["mv_parts"].astype(jnp.int32)
+        mv = jnp.stack(
+            [
+                jnp.stack(
+                    [jblk(mp[:, lst, :, c], mb_h, mb_w) for c in range(2)],
+                    axis=-1,
+                )
+                for lst in range(2)
+            ]
+        )
     # picture identity for bS: ring-slot ids (equal slot == same reference
     # picture), so the uid grid never ships over the link
     prep = deblock_prep_device(
@@ -273,8 +289,9 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
         inp["is_t8"], inp["slice_arr"].astype(jnp.int32),
         inp["disable"].astype(jnp.int32), inp["aoff"].astype(jnp.int32),
         inp["boff"].astype(jnp.int32), inp["nnz_grid"].astype(jnp.int32),
-        inp["slot_parts"].astype(jnp.int32), mv, inp["qp_offsets"],
-        mb_h, mb_w,
+        inp.get("slot_parts", jnp.zeros((mb_h * mb_w, 2, 4), jnp.int32)),
+        mv, inp["qp_offsets"], mb_h, mb_w,
+        slot_cells=inp.get("slot_cells"),
     )
     if _on_tpu():
         from ..kernels.deblock_pallas import deblock_frame_pallas
@@ -337,14 +354,27 @@ def _prepare_inp(wire: dict, dyn: dict, ring_y, ring_cb, ring_cr,
         )
     if sparse:
         _densify_residuals(inp, mb_h * mb_w, has_l8)
-    if "mv8_parts" in inp:  # 8x8-granular MVs -> per-4x4-cell layout
-        n = mb_h * mb_w
-        m8 = inp["mv8_parts"].astype(jnp.int32).reshape(n, 2, 2, 1, 2, 1, 2)
-        inp["mv_parts"] = jnp.broadcast_to(
-            m8, (n, 2, 2, 2, 2, 2, 2)
-        ).reshape(n, 2, 16, 2)
-    else:
-        inp["mv_parts"] = inp["mv_parts"].astype(jnp.int32)
+
+    # cell-ordered motion wire: the host ships slot/ref-idx at 8x8 cells and
+    # MVs at 8x8 (or 4x4) cells ALREADY in picture-grid order, so the device
+    # expansion is pure repeat/broadcast — the former [nMB, ...] -> grid
+    # conversion was a [mb_h, mb_w, 4, 4] relayout costing ~18 ms each at
+    # 1080p (4 per frame, device trace)
+    def rep2(a):
+        return jnp.repeat(jnp.repeat(a, 2, axis=-3 if a.ndim > 3 else -2),
+                          2, axis=-2 if a.ndim > 3 else -1)
+
+    if "mv8_cells" in inp:
+        m8 = inp.pop("mv8_cells").astype(jnp.int32)  # [2, H8, W8, 2]
+        inp["mv_cells"] = jnp.repeat(jnp.repeat(m8, 2, 1), 2, 2)
+    elif "mv_cells" in inp:
+        inp["mv_cells"] = inp["mv_cells"].astype(jnp.int32)
+    if "slot_cells8" in inp:
+        s8 = inp.pop("slot_cells8").astype(jnp.int32)  # [2, H8, W8]
+        inp["slot_cells"] = jnp.repeat(jnp.repeat(s8, 2, 1), 2, 2)
+    if "ridx_cells8" in inp:
+        r8 = inp.pop("ridx_cells8").astype(jnp.int32)  # [2, H8, W8]
+        inp["ridx_cells"] = jnp.repeat(jnp.repeat(r8, 2, 1), 2, 2)
     inp["ref_luma"] = ring_y
     inp["ref_cb"] = ring_cb
     inp["ref_cr"] = ring_cr
@@ -677,7 +707,7 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
-        if sps.chroma_array_type not in (0, 1):
+        if sps.chroma_array_type not in (0, 1) or sps.bit_depth_luma != 8:
             # High 4:2:2 / 4:4:4: the device wire format/kernels are
             # 4:2:0-shaped; reconstruct on the numpy oracle path (bit-exact).
             # Monochrome RUNS the 4:2:0 device pipeline: no chroma is coded,
@@ -922,17 +952,26 @@ class TpuDecoder(Decoder):
             wire["chroma_ac"] = narrow(ft.chroma_ac)
             wire["luma_dc"] = narrow(ft.luma_dc)
         # MVs ship at 8x8 granularity when no MB uses sub-8x8 partitions
-        # (the overwhelmingly common case); expanded back on device
+        # (the overwhelmingly common case), in CELL-GRID order (the host
+        # transpose is ~1 ms numpy; the device-side relayout it replaces
+        # measured ~18 ms per array)
         mv16 = ft.mv.reshape(n, 2, 2, 2, 2, 2, 2)
         mv8c = mv16[:, :, :, :1, :, :1, :]
         mv8 = bool((mv16 == mv8c).all())
-        # MVs fit quarter-pel int16 (level limits); halves the wire size
         if mv8:
-            wire["mv8_parts"] = (
-                np.ascontiguousarray(mv8c).reshape(n, 2, 4, 2).astype(np.int16)
-            )
+            # [n, 2, py, px, 2] -> [2, mb_h*2, mb_w*2, 2]
+            wire["mv8_cells"] = np.ascontiguousarray(
+                mv8c.reshape(mb_h, mb_w, 2, 2, 2, 2)
+                .transpose(2, 0, 3, 1, 4, 5)
+                .reshape(2, mb_h * 2, mb_w * 2, 2)
+            ).astype(np.int16)
         else:
-            wire["mv_parts"] = ft.mv.astype(np.int16)
+            # [n, 2, cy*4+cx, 2] -> [2, H4, W4, 2]
+            wire["mv_cells"] = np.ascontiguousarray(
+                ft.mv.reshape(mb_h, mb_w, 2, 4, 4, 2)
+                .transpose(2, 0, 3, 1, 4, 5)
+                .reshape(2, mb_h * 4, mb_w * 4, 2)
+            ).astype(np.int16)
         wire["qp"] = ft.qp
         # seven per-MB booleans ride one byte (device unpacks by bit)
         wire["flags8"] = (
@@ -944,7 +983,17 @@ class TpuDecoder(Decoder):
             | (avtr.reshape(-1).astype(np.uint8) << 5)
             | (avtl.reshape(-1).astype(np.uint8) << 6)
         )
-        wire["slot_parts"] = slot_parts
+        # ref slots + weight ref indices at 8x8 cells in grid order
+        wire["slot_cells8"] = np.ascontiguousarray(
+            slot_parts.reshape(mb_h, mb_w, 2, 2, 2)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(2, mb_h * 2, mb_w * 2)
+        )
+        wire["ridx_cells8"] = np.ascontiguousarray(
+            ft.ref_idx.reshape(mb_h, mb_w, 2, 2, 2)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(2, mb_h * 2, mb_w * 2)
+        )
         wire["kind"] = kind.astype(np.int8)
         # intra NxN modes (-1..8) nibble-pack two per byte
         m4 = (ft.intra4x4_modes.astype(np.int16) + 1).astype(np.uint8)
@@ -952,7 +1001,6 @@ class TpuDecoder(Decoder):
         wire["i16mode"] = ft.intra16_mode
         wire["cmode"] = ft.chroma_mode
         wire["slice_mb"] = ft.slice_id.astype(np.int16)
-        wire["ridx_parts"] = ft.ref_idx
         for k, v in wt.items():
             wire[k] = v
         wire["slot_idx"] = np.asarray([cur_slot], np.int32)
