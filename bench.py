@@ -33,27 +33,67 @@ import numpy as np
 
 
 def make_stream(h, w, n_frames):
+    """Bench content. BENCH_CONTENT=hard produces a high-motion, textured,
+    multi-slice encode (slower encoder preset, 4 slices, full partitions)
+    so entropy and wire costs reflect production streams rather than the
+    default smooth tracking-friendly pattern."""
     from h264decode_tpu.golden import lavc
 
-    cache = f"/tmp/h264tpu_bench_{w}x{h}_{n_frames}.264"
+    hard = os.environ.get("BENCH_CONTENT", "") == "hard"
+    tag = "hard_" if hard else ""
+    cache = f"/tmp/h264tpu_bench_{tag}{w}x{h}_{n_frames}.264"
     if os.path.exists(cache):
         return open(cache, "rb").read()
     rng = np.random.default_rng(7)
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
-    base = np.clip(
-        128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0) + rng.normal(0, 8, (h, w)),
-        0,
-        255,
-    ).astype(np.uint8)
-    for i in range(n_frames):
-        y = np.roll(np.roll(base, 2 * i, axis=1), i, axis=0)
-        cb = np.clip(110 + 40 * np.sin(xx[: h // 2 : 1, : w // 2 : 1] / 31.0 + i * 0.1), 0, 255).astype(np.uint8)[: h // 2, : w // 2]
-        cr = np.full((h // 2, w // 2), 128, np.uint8)
-        frames.append((y, cb, cr))
-    bs = lavc.encode_x264(
-        frames, qp=28, profile="main", cabac=True, bframes=2, preset="fast", gop=max(4, n_frames)
-    )
+    if hard:
+        base = np.clip(
+            128
+            + 70 * np.sin(xx / 5.0 + np.cos(yy / 7.0) * 3.0)
+            + 40 * np.sign(np.sin(xx / 37.0) * np.sin(yy / 29.0))
+            + rng.normal(0, 24, (h, w)),
+            0, 255,
+        ).astype(np.uint8)
+        for i in range(n_frames):
+            # large, direction-changing displacements + per-frame noise:
+            # defeats skip/zero-MV shortcuts and loads every bench stage
+            dx = int(18 * np.sin(i * 1.3)) + 7 * i
+            dy = int(11 * np.cos(i * 0.9)) + 3 * i
+            y = np.roll(np.roll(base, dx, axis=1), dy, axis=0)
+            y = np.clip(
+                y.astype(np.int16) + rng.normal(0, 6, (h, w)).astype(np.int16),
+                0, 255,
+            ).astype(np.uint8)
+            cb = np.clip(
+                110 + 60 * np.sin(xx[: h // 2, : w // 2] / 9.0 + i * 0.7),
+                0, 255,
+            ).astype(np.uint8)
+            cr = np.clip(
+                140 + 50 * np.cos(yy[: h // 2, : w // 2] / 11.0 - i * 0.5),
+                0, 255,
+            ).astype(np.uint8)
+            frames.append((y, cb, cr))
+        bs = lavc.encode_x264(
+            frames, qp=24, profile="high", cabac=True, bframes=2,
+            preset="medium", gop=max(4, n_frames),
+            extra_x264="slices=4:8x8dct=1:partitions=all:ref=3",
+        )
+    else:
+        base = np.clip(
+            128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+            + rng.normal(0, 8, (h, w)),
+            0,
+            255,
+        ).astype(np.uint8)
+        for i in range(n_frames):
+            y = np.roll(np.roll(base, 2 * i, axis=1), i, axis=0)
+            cb = np.clip(110 + 40 * np.sin(xx[: h // 2 : 1, : w // 2 : 1] / 31.0 + i * 0.1), 0, 255).astype(np.uint8)[: h // 2, : w // 2]
+            cr = np.full((h // 2, w // 2), 128, np.uint8)
+            frames.append((y, cb, cr))
+        bs = lavc.encode_x264(
+            frames, qp=28, profile="main", cabac=True, bframes=2, preset="fast", gop=max(4, n_frames)
+        )
     with open(cache, "wb") as f:
         f.write(bs)
     return bs
@@ -175,10 +215,11 @@ def main():
     )
     assert bit_exact, "decoded planes differ from libavcodec"
 
+    content = "_hard" if os.environ.get("BENCH_CONTENT", "") == "hard" else ""
     print(
         json.dumps(
             {
-                "metric": f"{size}_main_cabac_fps_per_chip",
+                "metric": f"{size}_main_cabac_fps_per_chip{content}",
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 60.0, 5),
