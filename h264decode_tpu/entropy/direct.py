@@ -40,6 +40,11 @@ class DirectContext:
     col_mb_field: np.ndarray | None = None
     col_top_poc: int = 0
     col_bottom_poc: int = 0
+    # field temporal direct (8.4.1.2.3): col referenced-field parities and
+    # the list-0 / current field order counts
+    col_ref_parity: np.ndarray | None = None
+    l0_top_pocs: list | None = None
+    l0_bottom_pocs: list | None = None
 
     def ref_idx_l0_of_uid(self, uid: int) -> int:
         """Lowest list0 index referring to the given picture (8.4.1.2.3)."""
@@ -47,6 +52,10 @@ class DirectContext:
             if u == uid:
                 return i
         return 0
+
+    def l0_field_poc(self, frame_pos: int, parity: int) -> int:
+        pocs = self.l0_bottom_pocs if parity else self.l0_top_pocs
+        return pocs[frame_pos] if frame_pos < len(pocs) else 0
 
 
 # corner 4x4 cell of each 8x8 quadrant used under direct_8x8_inference
@@ -77,18 +86,28 @@ def _col_cell(ctx: DirectContext, cx: int, cy: int, q: int, bx0: int, by0: int):
     return cx, cy
 
 
-def _col_motion(ctx: DirectContext, ccx: int, ccy: int):
-    """(refIdxCol, mvCol) for the colocated cell of current spatial-local
-    cell (ccx, ccy) — the 8.4.1.2.1 AFRM frame/field crossings: the col
-    grids are in the col picture's own spatial-local layout and per-MB
-    units; vertMvScale converts Frm<->Fld vertical units. Returns
+def _col_motion(ctx: DirectContext, ccx: int, ccy: int, want_cell=False):
+    """(refIdxCol, mvCol[, crossed cell]) for the colocated cell of current
+    spatial-local cell (ccx, ccy) — the 8.4.1.2.1 AFRM frame/field
+    crossings: the col grids are in the col picture's own spatial-local
+    layout and per-MB units; vertMvScale converts Frm<->Fld vertical units.
+    With want_cell, a third element (gy, gx, col_is_field) reports WHERE in
+    the col grids the motion was read (for uid/parity lookups). Returns
     (None, None) when no colocated data exists."""
     if ctx.col_ref_idx is None:
-        return None, None
+        return (None, None, None) if want_cell else (None, None)
     ft = ctx.cur_ft
     mb_w = ft.mb_w if ft is not None else 0
+
+    def ret(ref, mv, gy, gx, col_fld):
+        if want_cell:
+            return ref, mv, (gy, gx, col_fld)
+        return ref, mv
+
     if ft is None or not getattr(ft, "mbaff", False):
-        return int(ctx.col_ref_idx[ccy, ccx]), ctx.col_mv[ccy, ccx]
+        return ret(int(ctx.col_ref_idx[ccy, ccx]),
+                   tuple(int(v) for v in ctx.col_mv[ccy, ccx]),
+                   ccy, ccx, False)
     addr = (ccy // 4) * mb_w + (ccx // 4)
     row = addr // mb_w
     pr, par = row // 2, row & 1
@@ -99,20 +118,24 @@ def _col_motion(ctx: DirectContext, ccx: int, ccy: int):
 
     def grid_at(col_addr, cell_row):
         gy = (col_addr // mb_w) * 4 + cell_row
-        return int(ctx.col_ref_idx[gy, ccx]), ctx.col_mv[gy, ccx]
+        return int(ctx.col_ref_idx[gy, ccx]), ctx.col_mv[gy, ccx], gy
 
     col_pair_fld = bool(cfa[pair_top]) if cfa is not None else False
     if cur_fld == col_pair_fld:
         # same coding: colocated MB is the same spatial slot, same units
-        return int(ctx.col_ref_idx[ccy, ccx]), ctx.col_mv[ccy, ccx]
+        return ret(int(ctx.col_ref_idx[ccy, ccx]),
+                   tuple(int(v) for v in ctx.col_mv[ccy, ccx]),
+                   ccy, ccx, col_pair_fld)
     if cur_fld:
         # current FIELD, colocated FRAME pair (Frm_To_Fld): picture strip
         # row 8*ly + par selects the top/bottom frame MB; vertical halves
         s = 8 * ly + par
         col_addr = pair_top + (mb_w if s >= 16 else 0)
-        cref, cmv = grid_at(col_addr, (s % 16) >> 2)
+        cref, cmv, gy = grid_at(col_addr, (s % 16) >> 2)
         vy = int(cmv[1])
-        return cref, (int(cmv[0]), vy // 2 if vy >= 0 else -((-vy) // 2))
+        return ret(cref,
+                   (int(cmv[0]), vy // 2 if vy >= 0 else -((-vy) // 2)),
+                   gy, ccx, False)
     # current FRAME, colocated FIELD pair (Fld_To_Frm): the field whose POC
     # is closer to the current picture; field row = strip row / 2; vertical
     # doubles
@@ -124,8 +147,8 @@ def _col_motion(ctx: DirectContext, ccx: int, ccy: int):
     )
     s = 16 * par + 4 * ly
     col_addr = pair_top + (mb_w if par_sel else 0)
-    cref, cmv = grid_at(col_addr, (s >> 1) >> 2)
-    return cref, (int(cmv[0]), int(cmv[1]) * 2)
+    cref, cmv, gy = grid_at(col_addr, (s >> 1) >> 2)
+    return ret(cref, (int(cmv[0]), int(cmv[1]) * 2), gy, ccx, True)
 
 
 def _spatial_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
@@ -179,13 +202,21 @@ def _spatial_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
 
 
 def _temporal_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
-    """8.4.1.2.3: temporal direct (POC-distance scaled colocated vectors)."""
+    """8.4.1.2.3: temporal direct (POC-distance scaled colocated vectors).
+
+    MBAFF pictures with field macroblocks run the field variant: the
+    colocated cell comes through the 8.4.1.2.1 AFRM crossing (with
+    vertMvScale applied to mvCol), refIdxCol maps into the current FIELD
+    reference list by (frame uid, field parity), and the tb/td distances
+    use FIELD order counts. Validated against libavcodec on synthesized
+    MBAFF B_Skip streams (tests/test_mbaff.py)."""
     ft = ctx.cur_ft
-    if ft is not None and getattr(ft, "mbaff", False) and ft.mb_field.any():
-        # field POC pairing + Fld/Frm vector scaling for temporal direct is
-        # not wired; encoders use spatial direct for interlaced content
-        # (x264 forces it) — gate rather than mis-decode
-        raise NotImplementedError("temporal direct in MBAFF field pictures")
+    mbaff_fields = (
+        ft is not None and getattr(ft, "mbaff", False) and ft.mb_field.any()
+    )
+    cur_addr = (by0 // 4) * (ft.mb_w if ft is not None else 1) + bx0 // 4
+    cur_fld = bool(ft.mb_field[cur_addr]) if mbaff_fields else False
+    cur_par = ((by0 // 4) & 1) if cur_fld else -1
     out = []
     for q in range(4):
         qx, qy = bx0 + (q % 2) * 2, by0 + (q // 2) * 2
@@ -194,26 +225,61 @@ def _temporal_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
             for sx in range(2):
                 cx, cy = qx + sx, qy + sy
                 ccx, ccy = _col_cell(ctx, cx, cy, q, bx0, by0)
-                if ctx.col_ref_idx is None or int(ctx.col_ref_idx[ccy, ccx]) < 0:
-                    # colocated intra: refIdxL0 = 0, mvCol = 0
-                    ref0 = 0
-                    mv_col = (0, 0)
-                    ref_uid = ctx.l0_uids[0] if ctx.l0_uids else -1
+                if not mbaff_fields:
+                    if ctx.col_ref_idx is None or int(ctx.col_ref_idx[ccy, ccx]) < 0:
+                        # colocated intra: refIdxL0 = 0, mvCol = 0
+                        ref0 = 0
+                        mv_col = (0, 0)
+                    else:
+                        mv_col = (
+                            int(ctx.col_mv[ccy, ccx, 0]),
+                            int(ctx.col_mv[ccy, ccx, 1]),
+                        )
+                        ref0 = ctx.ref_idx_l0_of_uid(int(ctx.col_ref_uid[ccy, ccx]))
+                    poc0 = ctx.l0_pocs[ref0]
+                    lt0 = ctx.l0_long_term[ref0]
+                    cur_poc, poc1 = ctx.cur_poc, ctx.col_poc
+                    ref1 = 0
                 else:
-                    mv_col = (
-                        int(ctx.col_mv[ccy, ccx, 0]),
-                        int(ctx.col_mv[ccy, ccx, 1]),
-                    )
-                    ref_uid = int(ctx.col_ref_uid[ccy, ccx])
-                    ref0 = ctx.ref_idx_l0_of_uid(ref_uid)
-                poc0 = ctx.l0_pocs[ref0]
-                lt0 = ctx.l0_long_term[ref0]
-                poc1 = ctx.col_poc
+                    cref, mv_col, cell = _col_motion(ctx, ccx, ccy, want_cell=True)
+                    if cref is None or cref < 0:
+                        ref0 = 0 if not cur_fld else 0
+                        mv_col = (0, 0)
+                        frame_pos, ref_par = 0, (cur_par if cur_fld else -1)
+                    else:
+                        gy, gx, col_is_fld = cell
+                        uid = int(ctx.col_ref_uid[gy, gx])
+                        frame_pos = ctx.ref_idx_l0_of_uid(uid)
+                        if col_is_fld and ctx.col_ref_parity is not None:
+                            ref_par = int(ctx.col_ref_parity[gy, gx])
+                        else:
+                            ref_par = -1
+                    if cur_fld:
+                        # field list index: 2k = same parity, 2k+1 opposite
+                        same = ref_par < 0 or ref_par == cur_par
+                        ref0 = 2 * frame_pos + (0 if same else 1)
+                        rp = cur_par if ref_par < 0 else ref_par
+                        poc0 = ctx.l0_field_poc(frame_pos, rp)
+                        cur_poc = (
+                            ft.cur_field_pocs[cur_par]
+                            if hasattr(ft, "cur_field_pocs")
+                            else ctx.cur_poc
+                        )
+                        # colPic = same-parity field of RefPicList1[0]
+                        poc1 = (
+                            ctx.col_bottom_poc if cur_par else ctx.col_top_poc
+                        )
+                    else:
+                        ref0 = frame_pos
+                        poc0 = ctx.l0_pocs[frame_pos]
+                        cur_poc, poc1 = ctx.cur_poc, ctx.col_poc
+                    lt0 = ctx.l0_long_term[frame_pos]
+                    ref1 = 0
                 if lt0 or poc1 == poc0:
                     mv0 = mv_col
                     mv1 = (0, 0)
                 else:
-                    tb = _clip3(-128, 127, ctx.cur_poc - poc0)
+                    tb = _clip3(-128, 127, cur_poc - poc0)
                     td = _clip3(-128, 127, poc1 - poc0)
                     tx = (16384 + abs(td) // 2) // td if td > 0 else -(
                         (16384 + abs(td) // 2) // -td
@@ -224,7 +290,7 @@ def _temporal_direct(motion: MotionContext, ctx: DirectContext, bx0, by0):
                         (dsf * mv_col[1] + 128) >> 8,
                     )
                     mv1 = (mv0[0] - mv_col[0], mv0[1] - mv_col[1])
-                cells.append((cx, cy, mv0, ref0, mv1, 0))
+                cells.append((cx, cy, mv0, ref0, mv1, ref1))
         out.append(cells)
     return out
 

@@ -225,6 +225,12 @@ def supported(sps, pps, hdr) -> bool:
         and sps.bit_depth_chroma == 8
         # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
         and not (hdr.is_si and pps.entropy_coding_mode_flag)
+        # MBAFF temporal direct needs field POC pairing: Python engine
+        and not (
+            hdr.mbaff_frame_flag
+            and hdr.is_b
+            and not hdr.direct_spatial_mv_pred_flag
+        )
         and not getattr(hdr, "dp_readers", None)  # data partitioning
     )
 

@@ -431,6 +431,9 @@ class Decoder:
                     col_mv=col.col_mv,
                     col_ref_idx=col.col_ref_idx,
                     col_ref_uid=col.col_ref_uid,
+                    col_ref_parity=col.col_ref_parity,
+                    l0_top_pocs=[p.top_poc for p in l0],
+                    l0_bottom_pocs=[p.bottom_poc for p in l0],
                     col_is_short_term=not col.long_term,
                     col_poc=col.poc,
                     cur_ft=ft,
@@ -534,6 +537,16 @@ class Decoder:
         )
         pic.col_ref_uid = (
             part_grid.repeat(2, axis=0).repeat(2, axis=1).astype(np.int32)
+        )
+        rpar = ft.ref_parity  # [n, 2, 4]
+        sel_par = np.where(rp[:, 0, :] >= 0, rpar[:, 0, :], rpar[:, 1, :])
+        pic.col_ref_parity = (
+            sel_par.reshape(ft.mb_h, ft.mb_w, 2, 2)
+            .transpose(0, 2, 1, 3)
+            .reshape(ft.mb_h * 2, ft.mb_w * 2)
+            .repeat(2, axis=0)
+            .repeat(2, axis=1)
+            .astype(np.int8)
         )
         self.uid_counter += 1
         if hdr0.nal_ref_idc:

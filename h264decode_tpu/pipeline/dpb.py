@@ -45,6 +45,10 @@ class Picture:
     col_mv: np.ndarray | None = None  # [4h, 4w, 2] int32
     col_ref_idx: np.ndarray | None = None  # [4h, 4w] int8 (-1 = intra/none)
     col_ref_uid: np.ndarray | None = None  # [4h, 4w] int32 (-1 = none)
+    # referenced FIELD parity per colocated part (-1 = frame reference):
+    # MBAFF-field temporal direct maps refIdxCol into the current field
+    # list by (frame uid, parity) — spec 8.4.1.2.2/8.4.1.2.3
+    col_ref_parity: np.ndarray | None = None  # [4h, 4w] int8
 
     def planes(self):
         return self.y, self.cb, self.cr

@@ -232,11 +232,13 @@ def _slice_header(
     field: int | None = None,  # None = frame; 0 = top field, 1 = bottom
     interlaced_sps: bool = False,  # SPS has frame_mbs_only=0
     cabac: bool = False,  # PPS entropy_coding_mode_flag (for cabac_init_idc)
+    direct_spatial: bool = True,  # B slices: direct_spatial_mv_pred_flag
     sp_switch: bool = False,  # SP slices: sp_for_switch_flag
     qs_delta: int = 0,  # SP/SI slices: slice_qs_delta
     deblock: bool = False,  # disable_deblocking_filter_idc 0 vs 1
 ):
     is_p = slice_type % 5 in (0, 3)  # P and SP share the ref-list fields
+    is_b = slice_type % 5 == 1
     w.ue(first_mb)
     w.ue(slice_type)
     w.ue(0)  # pic_parameter_set_id
@@ -251,10 +253,14 @@ def _slice_header(
         w.u(log2_max_poc_lsb, poc_lsb)
     elif poc_type == 1 and delta_poc is not None:
         w.se(delta_poc)
-    if is_p:
+    if is_b:
+        w.flag(direct_spatial)  # direct_spatial_mv_pred_flag
+    if is_p or is_b:
         if num_ref_override is not None:
             w.flag(True)
             w.ue(num_ref_override - 1)
+            if is_b:
+                w.ue(num_ref_override - 1)
         else:
             w.flag(False)
         # ref_pic_list_modification (7.3.3.1)
@@ -266,6 +272,8 @@ def _slice_header(
             w.ue(3)
         else:
             w.flag(False)
+        if is_b:
+            w.flag(False)  # ref_pic_list_modification_flag_l1
     if ref_idc:
         if idr:
             w.flag(False)  # no_output_of_prior_pics_flag
@@ -298,10 +306,13 @@ def _slice_header(
 
 
 def pcm_mb(w: BitWriter, y16: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
-           in_p_slice: bool):
+           in_p_slice: bool, mb_type: int | None = None):
     """macroblock_layer() for one I_PCM MB (spec 7.3.5). Chroma sample
-    counts follow the planes' shapes (8x8 / 16x8 / 16x16 per format)."""
-    w.ue(30 if in_p_slice else 25)  # mb_type: I_PCM (+5 in P slices)
+    counts follow the planes' shapes (8x8 / 16x8 / 16x16 per format).
+    mb_type overrides the coded value (48 = I_PCM in B slices)."""
+    if mb_type is None:
+        mb_type = 30 if in_p_slice else 25  # I_PCM (+5 in P slices)
+    w.ue(mb_type)
     w.align_zero()  # pcm_alignment_zero_bit
     w.bytes_raw(y16.astype(np.uint8).tobytes())
     w.bytes_raw(cb8.astype(np.uint8).tobytes())
@@ -503,6 +514,49 @@ def mbaff_p_slice(
             w.ue(0)  # coded_block_pattern = 0 (inter me(0))
     if run:
         w.ue(run)  # trailing skip run
+    w.trailing_bits()
+    return nal(1, ref_idc, w.rbsp())
+
+
+def mbaff_b_slice(
+    planes,
+    mb_w: int,
+    actions,  # per MBAFF address: ("skip",) | ("pcm",)
+    pair_flags,
+    *,
+    frame_num: int,
+    poc_lsb: int = 0,
+    ref_idc: int = 0,
+    direct_spatial: bool = False,
+) -> bytes:
+    """CAVLC MBAFF B slice of B_Skip runs (direct prediction — TEMPORAL
+    when direct_spatial=False) and I_PCM anchors. A field-coded PCM pair
+    seeds the 7.4.4 inference so following fully-skipped pairs decode as
+    FIELD B_Skip macroblocks — field temporal direct with a real
+    libavcodec oracle."""
+    w = BitWriter()
+    _slice_header(
+        w, first_mb=0, slice_type=6, frame_num=frame_num, idr=False,
+        ref_idc=ref_idc, poc_lsb=poc_lsb, interlaced_sps=True,
+        direct_spatial=direct_spatial,
+    )
+    run = 0
+    for addr_m, act in enumerate(actions):
+        if act[0] == "skip":
+            run += 1
+            continue
+        w.ue(run)  # mb_skip_run
+        if addr_m % 2 == 0 or run > 0:  # 7.3.4 flag presence
+            w.flag(pair_flags[addr_m // 2])
+        run = 0
+        assert act[0] == "pcm"
+        ys, cbs, crs = mbaff_mb_samples(
+            planes, addr_m, mb_w, pair_flags[addr_m // 2]
+        )
+        # B-slice mb_type: intra offset 23, I_PCM = 25 -> ue(48)
+        pcm_mb(w, ys, cbs, crs, True, mb_type=48)
+    if run:
+        w.ue(run)
     w.trailing_bits()
     return nal(1, ref_idc, w.rbsp())
 

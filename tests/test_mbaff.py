@@ -259,3 +259,71 @@ def test_mbaff_x264_field_b_inter(mixed, cabac):
         preset="fast", gop=4, extra_x264="interlaced=1",
     )
     _decode_both(bs)
+
+
+@pytest.mark.parametrize("spatial", [False, True],
+                         ids=["temporal-direct", "spatial-direct"])
+def test_mbaff_b_skip_field_direct(spatial):
+    """B_Skip over FIELD pairs: a field-coded PCM pair seeds the 7.4.4
+    inference so the following fully-skipped pairs decode as field B_Skip
+    MBs — direct prediction (8.4.1.2) with field reference lists. The
+    temporal variant pins the 8.4.1.2.3 field derivation (AFRM colocated
+    crossing, field-list refIdx mapping, field POC distances) against
+    libavcodec; the colocated P frame carries real MVs."""
+    from tests.synth import mbaff_b_slice
+
+    ref0 = _planes(4)
+    colp = _planes(5)
+    bpl = _planes(6)
+    no_field = [False] * N_PAIRS
+    # colocated P: frame pairs with nonzero MVs (Frm_To_Fld crossings for
+    # the B picture's field MBs)
+    p_actions = []
+    mvs = [(4, -8), (-12, 4), (8, 8), (-4, -4)]
+    for i in range(N_PAIRS * 2):
+        mx, my = mvs[i % 4]
+        p_actions.append(("p16", mx, my))
+    # B picture: first pair field-coded PCM, everything else skipped (the
+    # skipped pairs infer FIELD from the left/above pair chain)
+    b_flags = [True] + [False] * (N_PAIRS - 1)
+    b_actions = [("pcm",), ("pcm",)] + [("skip",)] * (N_PAIRS * 2 - 2)
+    data = (
+        _headers()
+        + mbaff_pcm_slice(ref0, MB_W, [False] * N_PAIRS, frame_num=0,
+                          idr=True, ref_idc=3)
+        + mbaff_p_slice(colp, MB_W, p_actions, no_field, frame_num=1,
+                        poc_lsb=4, ref_idc=3)
+        + mbaff_b_slice(bpl, MB_W, b_actions, b_flags, frame_num=2,
+                        poc_lsb=2, ref_idc=0, direct_spatial=spatial)
+    )
+    _decode_both(data)
+
+
+def test_mbaff_b_skip_field_temporal_field_col():
+    """Field B_Skip temporal direct with a FIELD-CODED colocated picture
+    (One_To_One crossing): refIdxCol maps through (frame uid, field
+    parity) into the current field list — pins col_ref_parity handling
+    vs libavcodec."""
+    from tests.synth import mbaff_b_slice
+
+    ref0 = _planes(7)
+    colp = _planes(8)
+    bpl = _planes(9)
+    all_field = [True] * N_PAIRS
+    p_actions = []
+    mvs = [(6, -10), (-14, 6), (10, 2), (-2, -6)]
+    for i in range(N_PAIRS * 2):
+        mx, my = mvs[i % 4]
+        p_actions.append(("p16", mx, my))
+    b_flags = [True] + [False] * (N_PAIRS - 1)
+    b_actions = [("pcm",), ("pcm",)] + [("skip",)] * (N_PAIRS * 2 - 2)
+    data = (
+        _headers()
+        + mbaff_pcm_slice(ref0, MB_W, [False] * N_PAIRS, frame_num=0,
+                          idr=True, ref_idc=3)
+        + mbaff_p_slice(colp, MB_W, p_actions, all_field, frame_num=1,
+                        poc_lsb=4, ref_idc=3)
+        + mbaff_b_slice(bpl, MB_W, b_actions, b_flags, frame_num=2,
+                        poc_lsb=2, ref_idc=0, direct_spatial=False)
+    )
+    _decode_both(data)
