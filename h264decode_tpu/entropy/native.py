@@ -85,6 +85,7 @@ class _SliceParams(ctypes.Structure):
         ("mbaff", c_int32),
         ("col_top_poc", c_int32),
         ("col_bottom_poc", c_int32),
+        ("has_mb_next", c_int32),
         ("ref_uids0", c_void_p),
         ("ref_uids1", c_void_p),
         ("l0_pocs", c_void_p),
@@ -93,6 +94,7 @@ class _SliceParams(ctypes.Structure):
         ("col_ref_idx", c_void_p),
         ("col_ref_uid", c_void_p),
         ("col_mb_field", c_void_p),
+        ("mb_next", c_void_p),
     ]
 
 
@@ -220,7 +222,9 @@ class NativeFrameState:
 
 def supported(sps, pps, hdr) -> bool:
     return (
-        pps.num_slice_groups == 1
+        # FMO decodes natively through the host-built next-address LUT;
+        # FMO + MBAFF (pair-unit maps) stays on the Python engine
+        (pps.num_slice_groups == 1 or not hdr.mbaff_frame_flag)
         and sps.bit_depth_luma == 8
         and sps.bit_depth_chroma == 8
         # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
@@ -245,6 +249,7 @@ def decode_slice_native(
     ref_uids_l0,
     ref_uids_l1,
     direct_ctx,
+    mb_map=None,
 ) -> None:
     lib = _load()
     p = _SliceParams()
@@ -255,6 +260,19 @@ def decode_slice_native(
     p.is_si = int(hdr.is_si)
     p.mbaff = int(hdr.mbaff_frame_flag)
     state._mono = sps.chroma_array_type == 0
+    ka = state._keepalive
+    if pps.num_slice_groups > 1 and mb_map is not None:
+        # 8.2.2.8 next-address LUT: for each MB, the next MB of its slice
+        # group in raster order (n past the end -> walk terminates)
+        mm = np.asarray(mb_map, np.int32)
+        n = len(mm)
+        nxt = np.full(n, n, np.int32)
+        for g in np.unique(mm):
+            idxs = np.flatnonzero(mm == g)
+            nxt[idxs[:-1]] = idxs[1:]
+        ka.append(nxt)
+        p.mb_next = c_void_p(nxt.ctypes.data)
+        p.has_mb_next = 1
     p.slice_qp = hdr.slice_qp(pps)
     p.cabac_init_idc = hdr.cabac_init_idc
     p.first_mb = hdr.first_mb_in_slice
@@ -271,7 +289,6 @@ def decode_slice_native(
     p.beta_off = hdr.slice_beta_offset_div2 * 2
     p.slice_id = slice_id
 
-    ka = state._keepalive
     uids0 = np.asarray(ref_uids_l0 or [0], np.int32)
     uids1 = np.asarray(ref_uids_l1 or [0], np.int32)
     ka += [uids0, uids1]

@@ -469,6 +469,7 @@ class Decoder:
                     [p.uid for p in l0],
                     [p.uid for p in l1],
                     direct_ctx,
+                    mb_map=mb_map,
                 )
                 continue
             from ..entropy.cabac_slice import CabacSliceDecoder

@@ -282,6 +282,7 @@ struct SliceParams {
   int32_t mbaff;          // MBAFF frame: pair walk + 6.4.10 neighbors
   int32_t col_top_poc;    // colocated picture field POCs (8.4.1.2.1 AFRM)
   int32_t col_bottom_poc;
+  int32_t has_mb_next;    // FMO: mb_next holds the 8.2.2.8 next-address LUT
   const int32_t* ref_uids0;  // [n_ref0]
   const int32_t* ref_uids1;
   const int32_t* l0_pocs;
@@ -290,6 +291,7 @@ struct SliceParams {
   const int8_t* col_ref_idx;  // [H4*W4]
   const int32_t* col_ref_uid; // [H4*W4]
   const uint8_t* col_mb_field;  // [n] colocated picture per-MB field flags
+  const int32_t* mb_next;       // [n] next decode address (FMO slice groups)
 };
 
 struct FrameBuffers {
@@ -755,6 +757,13 @@ static void skip_mv(Ctx* t, int bx, int by, int* px, int* py) {
     *px = 0; *py = 0; return;
   }
   predict_mv(t, 0, 0, bx, by, 4, 4, 0, 0, px, py);
+}
+
+static inline int next_mb_addr(Ctx* t, int addr) {
+  // 8.2.2.8 next MB address in decode order: identity +1 without FMO,
+  // else the host-precomputed same-slice-group successor LUT
+  if (t->p->has_mb_next) return t->p->mb_next[addr];
+  return addr + 1;
 }
 
 static int mb_prelude(Ctx* t, int addr) {
