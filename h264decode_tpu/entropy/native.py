@@ -86,6 +86,7 @@ class _SliceParams(ctypes.Structure):
         ("col_top_poc", c_int32),
         ("col_bottom_poc", c_int32),
         ("has_mb_next", c_int32),
+        ("has_dp", c_int32),
         ("ref_uids0", c_void_p),
         ("ref_uids1", c_void_p),
         ("l0_pocs", c_void_p),
@@ -95,6 +96,12 @@ class _SliceParams(ctypes.Structure):
         ("col_ref_uid", c_void_p),
         ("col_mb_field", c_void_p),
         ("mb_next", c_void_p),
+        ("part_b", c_void_p),
+        ("part_b_len", c_int64),
+        ("part_b_bit", c_int64),
+        ("part_c", c_void_p),
+        ("part_c_len", c_int64),
+        ("part_c_bit", c_int64),
     ]
 
 
@@ -235,7 +242,11 @@ def supported(sps, pps, hdr) -> bool:
             and hdr.is_b
             and not hdr.direct_spatial_mv_pred_flag
         )
-        and not getattr(hdr, "dp_readers", None)  # data partitioning
+        # data partitioning decodes natively for CAVLC (Extended profile
+        # forbids CABAC+DP; the decoder rejects that combination upstream)
+        and not (
+            getattr(hdr, "dp_readers", None) and pps.entropy_coding_mode_flag
+        )
     )
 
 
@@ -261,6 +272,21 @@ def decode_slice_native(
     p.mbaff = int(hdr.mbaff_frame_flag)
     state._mono = sps.chroma_array_type == 0
     ka = state._keepalive
+    dp = getattr(hdr, "dp_readers", None)
+    if dp is not None:
+        p.has_dp = 1
+        for cat, (attr_d, attr_l, attr_s) in (
+            (3, ("part_b", "part_b_len", "part_b_bit")),
+            (4, ("part_c", "part_c_len", "part_c_bit")),
+        ):
+            rd = dp.get(cat)
+            if rd is None:
+                continue
+            buf = np.frombuffer(rd.data, np.uint8)
+            ka.append(buf)
+            setattr(p, attr_d, c_void_p(buf.ctypes.data))
+            setattr(p, attr_l, len(rd.data))
+            setattr(p, attr_s, rd.pos)
     if pps.num_slice_groups > 1 and mb_map is not None:
         # 8.2.2.8 next-address LUT: for each MB, the next MB of its slice
         # group in raster order (n past the end -> walk terminates)
@@ -343,5 +369,7 @@ def decode_slice_native(
         ctypes.byref(p),
         ctypes.byref(state.fb),
     )
+    if ret == -4:
+        raise ValueError("data partition B/C missing but residual coded")
     if ret != 0:
         raise ValueError(f"native slice decode failed: {ret}")

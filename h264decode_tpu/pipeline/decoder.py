@@ -278,6 +278,10 @@ class Decoder:
                             )
                         hdr.dp_slice_id = r.ue()
                         hdr.dp_readers = {2: r}
+                        # slice_data starts after slice_id in partition A:
+                        # keep data_bit_offset true for offset-based
+                        # consumers (the native engine)
+                        hdr.data_bit_offset = r.pos
                 except Exception:
                     if self.error_policy == "strict":
                         raise

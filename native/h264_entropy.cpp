@@ -283,6 +283,7 @@ struct SliceParams {
   int32_t col_top_poc;    // colocated picture field POCs (8.4.1.2.1 AFRM)
   int32_t col_bottom_poc;
   int32_t has_mb_next;    // FMO: mb_next holds the 8.2.2.8 next-address LUT
+  int32_t has_dp;         // data-partitioned slice (B/C pointers may be null)
   const int32_t* ref_uids0;  // [n_ref0]
   const int32_t* ref_uids1;
   const int32_t* l0_pocs;
@@ -292,6 +293,16 @@ struct SliceParams {
   const int32_t* col_ref_uid; // [H4*W4]
   const uint8_t* col_mb_field;  // [n] colocated picture per-MB field flags
   const int32_t* mb_next;       // [n] next decode address (FMO slice groups)
+  // data partitioning (7.4.1, CAVLC-only): category-3/4 residual elements
+  // read from the B/C partition bitstreams (null = partition absent;
+  // referencing an absent partition fails the slice, matching the Python
+  // engine's deferred raise)
+  const uint8_t* part_b;
+  int64_t part_b_len;
+  int64_t part_b_bit;
+  const uint8_t* part_c;
+  int64_t part_c_len;
+  int64_t part_c_bit;
 };
 
 struct FrameBuffers {
@@ -360,6 +371,12 @@ struct Ctx {
   int mbaff, cur_addr, cur_field, cur_cx0, cur_cy0;
   int cur_pair_top_unknown;  // spatial addr of that pair's top MB, or -1
   int any_field;             // any field pair decoded so far (this frame)
+  // data partitioning: residual readers (aliases of &r without DP)
+  BitReader rB, rC;
+  BitReader* res_intra;
+  BitReader* res_inter;
+  BitReader* res;  // active residual reader for the current MB
+  int missing_part;  // a residual read hit an absent B/C partition
   int qp_prev;
   int last_qp_delta;
   int is_cabac;
@@ -1063,9 +1080,24 @@ int decode_slice(const uint8_t* rbsp, int64_t rbsp_len, int64_t start_bit,
   t.last_qp_delta = 0;
   t.is_cabac = p->cabac;
   br_init(&t.r, rbsp, rbsp_len, start_bit);
+  t.res_intra = t.res_inter = t.res = &t.r;
+  t.missing_part = 0;
+  if (p->has_dp) {
+    t.res_intra = t.res_inter = nullptr;
+    if (p->part_b) {
+      br_init(&t.rB, p->part_b, p->part_b_len, p->part_b_bit);
+      t.res_intra = &t.rB;
+    }
+    if (p->part_c) {
+      br_init(&t.rC, p->part_c, p->part_c_len, p->part_c_bit);
+      t.res_inter = &t.rC;
+    }
+    t.res = t.res_intra;
+  }
   t.g_direct = (uint8_t*)calloc((size_t)t.H4 * t.W4, 1);
   int rc = p->cabac ? decode_slice_cabac(&t) : decode_slice_cavlc(&t);
   free(t.g_direct);
+  if (rc < 0 && t.missing_part) return -4;  // absent B/C partition
   return rc;
 }
 
