@@ -87,6 +87,8 @@ class _SliceParams(ctypes.Structure):
         ("col_bottom_poc", c_int32),
         ("has_mb_next", c_int32),
         ("has_dp", c_int32),
+        ("bit_depth_luma", c_int32),
+        ("bit_depth_chroma", c_int32),
         ("ref_uids0", c_void_p),
         ("ref_uids1", c_void_p),
         ("l0_pocs", c_void_p),
@@ -129,7 +131,8 @@ def _ptr(a: np.ndarray) -> c_void_p:
 class NativeFrameState:
     """Per-frame buffers shared by the native engine across slices."""
 
-    def __init__(self, ft, motion, intra_mode_grid, pool: dict | None = None):
+    def __init__(self, ft, motion, intra_mode_grid, pool: dict | None = None,
+                 bit_depth: int = 8):
         self.ft = ft
         self.motion = motion
         self.modes = intra_mode_grid
@@ -140,20 +143,21 @@ class NativeFrameState:
         # PCM chroma extents by format (MbHeightC x chroma MB width)
         self._pcm_ch = ft.ch_mb_h
         self._pcm_cw = 16 if ft.chroma_format == 3 else 8
+        self._pcm_dtype = np.uint16 if bit_depth > 8 else np.uint8
         # side buffers the engine writes into; reusable across frames via
         # `pool` (keyed by geometry) because finish() copies PCM regions out
         # per frame and only ever reads regions the engine just wrote
-        key = (ft.mb_h, ft.mb_w, ft.chroma_format)
+        key = (ft.mb_h, ft.mb_w, ft.chroma_format, self._pcm_dtype)
         bufs = pool.get(key) if pool is not None else None
         if bufs is None:
             bufs = (
                 np.zeros(n, np.int32),
                 np.zeros(1, np.int32),
-                np.zeros((ft.mb_h * 16, ft.mb_w * 16), np.uint8),
+                np.zeros((ft.mb_h * 16, ft.mb_w * 16), self._pcm_dtype),
                 np.zeros((ft.mb_h * self._pcm_ch, ft.mb_w * self._pcm_cw),
-                         np.uint8),
+                         self._pcm_dtype),
                 np.zeros((ft.mb_h * self._pcm_ch, ft.mb_w * self._pcm_cw),
-                         np.uint8),
+                         self._pcm_dtype),
             )
             if pool is not None:
                 pool[key] = bufs
@@ -213,7 +217,7 @@ class NativeFrameState:
         from ..tensors.frame_tensors import MB_I_PCM
 
         ch, cw = self._pcm_ch, self._pcm_cw
-        mono = np.zeros((8, 8), np.uint8)
+        mono = np.zeros((8, 8), self._pcm_dtype)
         for addr in np.nonzero(ft.mb_class == MB_I_PCM)[0]:
             mbx, mby = ft.mb_xy(int(addr))
             y = self.pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16].copy()
@@ -232,8 +236,6 @@ def supported(sps, pps, hdr) -> bool:
         # FMO decodes natively through the host-built next-address LUT;
         # FMO + MBAFF (pair-unit maps) stays on the Python engine
         (pps.num_slice_groups == 1 or not hdr.mbaff_frame_flag)
-        and sps.bit_depth_luma == 8
-        and sps.bit_depth_chroma == 8
         # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
         and not (hdr.is_si and pps.entropy_coding_mode_flag)
         # MBAFF temporal direct needs field POC pairing: Python engine
@@ -270,6 +272,8 @@ def decode_slice_native(
     p.sp_slice = int(hdr.is_sp or hdr.is_si)
     p.is_si = int(hdr.is_si)
     p.mbaff = int(hdr.mbaff_frame_flag)
+    p.bit_depth_luma = sps.bit_depth_luma
+    p.bit_depth_chroma = sps.bit_depth_chroma
     state._mono = sps.chroma_array_type == 0
     ka = state._keepalive
     dp = getattr(hdr, "dp_readers", None)

@@ -404,7 +404,8 @@ class Decoder:
             self._native_pool = {}
         native_state = (
             native_mod.NativeFrameState(
-                ft, motion, intra_mode_grid, pool=self._native_pool
+                ft, motion, intra_mode_grid, pool=self._native_pool,
+                bit_depth=sps.bit_depth_luma,
             )
             if use_native
             else None

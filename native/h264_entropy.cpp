@@ -284,6 +284,8 @@ struct SliceParams {
   int32_t col_bottom_poc;
   int32_t has_mb_next;    // FMO: mb_next holds the 8.2.2.8 next-address LUT
   int32_t has_dp;         // data-partitioned slice (B/C pointers may be null)
+  int32_t bit_depth_luma;   // 8..14 (High 10: QP wrap + PCM width)
+  int32_t bit_depth_chroma;
   const int32_t* ref_uids0;  // [n_ref0]
   const int32_t* ref_uids1;
   const int32_t* l0_pocs;
@@ -377,6 +379,7 @@ struct Ctx {
   BitReader* res_inter;
   BitReader* res;  // active residual reader for the current MB
   int missing_part;  // a residual read hit an absent B/C partition
+  int qp_bd_offset;  // 6 * (BitDepthY - 8): spec 7-37 QP wrap range
   int qp_prev;
   int last_qp_delta;
   int is_cabac;
@@ -621,7 +624,9 @@ static int pred_intra_mode_mbaff(Ctx* t, int addr, int x0, int y0) {
 }
 
 static inline int update_qp(Ctx* t, int delta) {
-  t->qp_prev = (t->qp_prev + delta + 52) % 52;
+  // spec 7-37: QPy wraps over [-QpBdOffsetY, 51]
+  int off = t->qp_bd_offset;
+  t->qp_prev = ((t->qp_prev + delta + 52 + 2 * off) % (52 + off)) - off;
   return t->qp_prev;
 }
 
@@ -1076,6 +1081,7 @@ int decode_slice(const uint8_t* rbsp, int64_t rbsp_len, int64_t start_bit,
   }
   t.H2 = p->mb_h * t.ch_rows;
   t.W2 = p->mb_w * 2;
+  t.qp_bd_offset = 6 * ((p->bit_depth_luma > 8 ? p->bit_depth_luma : 8) - 8);
   t.qp_prev = p->slice_qp;
   t.last_qp_delta = 0;
   t.is_cabac = p->cabac;
