@@ -71,6 +71,11 @@ _jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
 _ON_TPU: bool | None = None
 
+# Table 8-15: QPc from clipped qPI (device constant for the 4:4:4 path)
+from .reference_recon import CHROMA_QP_TABLE as _QPC_TAIL  # noqa: E402
+
+_QPC_TAB = np.concatenate([np.arange(30), np.asarray(_QPC_TAIL)]).astype(np.int32)
+
 # weight tables cover ref-list indices 0..R_W-1; ref lists can nominally be
 # up to 32 entries (with duplicates), so R_W grows (pow2) when a stream
 # actually uses longer lists
@@ -262,6 +267,136 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
+def _comp_qp_grids(inp: dict):
+    """Per-MB effective chroma QPs for the 4:4:4 luma-process chain."""
+    qp = inp["qp"].astype(jnp.int32)
+    cb_off, cr_off = inp["qp_offsets"]
+    tab = jnp.asarray(_QPC_TAB)
+    qp_cb = tab[jnp.clip(qp + cb_off, 0, 51)]
+    qp_cr = tab[jnp.clip(qp + cr_off, 0, 51)]
+    return qp_cb, qp_cr
+
+
+def _frame_core_444(inp: dict, mb_h: int, mb_w: int, n_refs: int,
+                    has_l8: bool, has_pcm: bool):
+    """ChromaArrayType-3 pixel path: Cb and Cr run the LUMA machinery per
+    component (spec 7.3.5.3.1 / 8.3.4.5 / 8.4.2.2) — luma-geometry residual
+    planes with per-component QPc and scaling lists, luma-style quarter-pel
+    MC from per-component half-pel ring stacks, and three luma-mode passes
+    of the intra kernel. Residuals ship dense (no sparse variant yet)."""
+    H, W = mb_h * 16, mb_w * 16
+    n = mb_h * mb_w
+    qp = inp["qp"].astype(jnp.int32)
+    qp_cb, qp_cr = _comp_qp_grids(inp)
+    zero8 = jnp.zeros((n, 4, 64), jnp.int32)
+    l8 = inp["luma8_ac"].astype(jnp.int32) if has_l8 else zero8
+
+    def comp_residual(ac, dc, c8, qpc, ls4, ls8):
+        return tr_k.luma_residual_plane(
+            ac.astype(jnp.int32), dc.astype(jnp.int32), c8, qpc,
+            inp["is_i16"], inp["is_t8"], inp["is_intra"], ls4, ls8,
+            mb_h, mb_w,
+        )
+
+    ry = comp_residual(inp["luma_ac"], inp["luma_dc"], l8, qp,
+                       inp["ls4_y"], inp["ls8_y"])
+    c8b = inp["c444_8x8"][:, 0].astype(jnp.int32) if has_l8 else zero8
+    c8r = inp["c444_8x8"][:, 1].astype(jnp.int32) if has_l8 else zero8
+    rcb = comp_residual(inp["c444_ac"][:, 0], inp["c444_dc"][:, 0], c8b,
+                        qp_cb, inp["ls4_cb"], inp["ls8_cb"])
+    rcr = comp_residual(inp["c444_ac"][:, 1], inp["c444_dc"][:, 1], c8r,
+                        qp_cr, inp["ls4_cr"], inp["ls8_cr"])
+
+    slot, mv = inp["slot_cells"], inp["mv_cells"]
+    use0_cell = slot[0] >= 0
+    use1_cell = slot[1] >= 0
+    bi_cell = use0_cell & use1_cell
+    luma_w, chroma_w = _weight_cells(inp, mb_h, mb_w)
+
+    def px4(a):
+        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
+
+    u0 = px4(use0_cell).astype(bool)
+    u1 = px4(use1_cell).astype(bool)
+    planes_out = []
+    for comp, (ring, rc) in enumerate(
+        ((inp["ref_luma"], ry), (inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
+    ):
+        p0 = mc_k.luma_mc(ring, slot[0], mv[0], H, W)
+        p1 = mc_k.luma_mc(ring, slot[1], mv[1], H, W)
+        if comp == 0:
+            w0, o0, w1, o1, lwd = luma_w(bi_cell)
+        else:
+            w0, o0, w1, o1, lwd = chroma_w(comp - 1, bi_cell)
+        pred = mc_k.weighted_combine(
+            p0, p1, u0, u1, px4(w0), px4(o0), px4(w1), px4(o1), px4(lwd)
+        )
+        planes_out.append(jnp.clip(pred + rc, 0, 255))
+
+    inter_mb = (~inp["is_intra"]).reshape(mb_h, mb_w)
+    im = jnp.repeat(jnp.repeat(inter_mb, 16, 0), 16, 1)
+    pcm = [
+        inp[k].astype(jnp.int32) if has_pcm else 0
+        for k in ("pcm_y", "pcm_cb", "pcm_cr")
+    ]
+    bases = [jnp.where(im, pl, pc) for pl, pc in zip(planes_out, pcm)]
+    rzs = (ry, rcb, rcr)
+
+    # intra: three luma-mode passes (the chroma half of each call runs on
+    # dummy 4:2:0 planes and is discarded — correctness over peak perf for
+    # the first device-complete 4:4:4 path)
+    intra_impl = intra_frame_pallas if _on_tpu() else intra_wavefront
+    dummy_c = jnp.zeros((mb_h * 8, mb_w * 8), jnp.int32)
+    outs = []
+    for base, rz in zip(bases, rzs):
+        o = intra_impl(
+            base, dummy_c, dummy_c, rz, dummy_c, dummy_c,
+            inp["kind"].astype(jnp.int32), inp["modes4"].astype(jnp.int32),
+            inp["i16mode"].astype(jnp.int32),
+            jnp.zeros_like(inp["i16mode"]).astype(jnp.int32),
+            inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
+            mb_h, mb_w,
+        )
+        outs.append(o[0].astype(jnp.uint8))
+    return outs[0], outs[1], outs[2]
+
+
+def _deblock_core_444(planes, inp: dict, mb_h: int, mb_w: int):
+    """ChromaArrayType-3 deblocking: chromaStyleFilteringFlag = 0, so each
+    chroma plane filters with the LUMA kernel at luma geometry — same bS
+    (derived from luma coded status + motion), thresholds from QPc."""
+    y, cb, cr = planes
+    mv = inp["mv_cells"]
+    qp_cb, qp_cr = _comp_qp_grids(inp)
+
+    def prep_for(qp_grid):
+        return deblock_prep_device(
+            inp["mb_cls"].astype(jnp.int32), qp_grid,
+            inp["is_t8"], inp["slice_arr"].astype(jnp.int32),
+            inp["disable"].astype(jnp.int32), inp["aoff"].astype(jnp.int32),
+            inp["boff"].astype(jnp.int32), inp["nnz_grid"].astype(jnp.int32),
+            inp.get("slot_parts", jnp.zeros((mb_h * mb_w, 2, 4), jnp.int32)),
+            mv, (0, 0), mb_h, mb_w,
+            slot_cells=inp.get("slot_cells"),
+        )
+
+    kern = None
+    if _on_tpu():
+        from ..kernels.deblock_pallas import deblock_frame_pallas as kern
+    else:
+        kern = deblock_frame_tpu
+    dummy_c = jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8)
+    out = []
+    for plane, qp_grid in (
+        (y, inp["qp"].astype(jnp.int32)),
+        (cb, qp_cb),
+        (cr, qp_cr),
+    ):
+        res = kern(plane, dummy_c, dummy_c, prep_for(qp_grid), mb_h, mb_w)
+        out.append(res[0])
+    return out[0], out[1], out[2]
+
+
 def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
     """Device-side edge-parameter derivation + the deblocking filter (Pallas
     raster kernel on TPU, XLA wavefront elsewhere). Expands the compact
@@ -326,7 +461,7 @@ def _prepare_inp(wire: dict, dyn: dict, ring_y, ring_cb, ring_cr,
     """Expand the narrow wire tensors into the _frame_core input contract:
     bit-packed flags -> booleans, nibble-packed intra modes, sparse residual
     densify, 8x8-granular MV expansion, ring binding."""
-    has_l8, has_pcm, apply_db, sparse = flags
+    has_l8, has_pcm, apply_db, sparse = flags[:4]
     inp = dict(dyn)
     inp.update(wire)
     f8 = inp.pop("flags8")
@@ -396,15 +531,28 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
     (residual coefficients ship SPARSE for typical inter frames — only
     coded blocks' levels plus indices); the packed output plane leaves
     device->host asynchronously."""
-    has_l8, has_pcm, apply_db, sparse = flags
+    has_l8, has_pcm, apply_db, sparse = flags[:4]
+    cf3 = len(flags) > 4 and flags[4]
     inp = _prepare_inp(wire, dyn, ring_y, ring_cb, ring_cr, mb_h, mb_w, flags)
+    slot = inp["slot_idx"].astype(jnp.int32).reshape(())
+    if cf3:
+        y, cb, cr = _frame_core_444(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
+        if apply_db:
+            y, cb, cr = _deblock_core_444((y, cb, cr), inp, mb_h, mb_w)
+        ring_y = jax.lax.dynamic_update_slice(
+            ring_y, mc_k.half_pel_planes(y)[None], (slot, 0, 0, 0))
+        ring_cb = jax.lax.dynamic_update_slice(
+            ring_cb, mc_k.half_pel_planes(cb)[None], (slot, 0, 0, 0))
+        ring_cr = jax.lax.dynamic_update_slice(
+            ring_cr, mc_k.half_pel_planes(cr)[None], (slot, 0, 0, 0))
+        packed = jnp.concatenate([y, cb, cr], axis=0)
+        return ring_y, ring_cb, ring_cr, packed
     y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
     if apply_db:
         y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w)
     hp = mc_k.half_pel_planes(y)
     cbp = mc_k.chroma_pad(cb)
     crp = mc_k.chroma_pad(cr)
-    slot = inp["slot_idx"].astype(jnp.int32).reshape(())
     ring_y = jax.lax.dynamic_update_slice(ring_y, hp[None], (slot, 0, 0, 0))
     ring_cb = jax.lax.dynamic_update_slice(ring_cb, cbp[None], (slot, 0, 0))
     ring_cr = jax.lax.dynamic_update_slice(ring_cr, crp[None], (slot, 0, 0))
@@ -429,10 +577,12 @@ class _PackedFrame:
     copy is started asynchronously at dispatch time; the first plane access
     waits for it and splits the planes."""
 
-    def __init__(self, packed, H: int, W: int, metrics: DecodeMetrics | None):
+    def __init__(self, packed, H: int, W: int, metrics: DecodeMetrics | None,
+                 cf3: bool = False):
         self._packed = packed
         self._H = H
         self._W = W
+        self._cf3 = cf3  # 4:4:4: packed rows are [Y; Cb; Cr] full-size
         self._planes = None
         self._metrics = metrics
 
@@ -456,7 +606,10 @@ class _PackedFrame:
             else:
                 a = np.asarray(self._packed)
             H, W = self._H, self._W
-            self._planes = (a[:H], a[H:, : W // 2], a[H:, W // 2 :])
+            if self._cf3:
+                self._planes = (a[:H], a[H : 2 * H], a[2 * H :])
+            else:
+                self._planes = (a[:H], a[H:, : W // 2], a[H:, W // 2 :])
             self._packed = None
         return self._planes
 
@@ -481,7 +634,9 @@ class _PlaneView:
     @property
     def shape(self):
         H, W = self._frame._H, self._frame._W
-        return (H, W) if self._idx == 0 else (H // 2, W // 2)
+        if self._idx == 0 or self._frame._cf3:
+            return (H, W)
+        return (H // 2, W // 2)
 
     @property
     def dtype(self):
@@ -707,12 +862,11 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
-        if sps.chroma_array_type not in (0, 1) or sps.bit_depth_luma != 8:
-            # High 4:2:2 / 4:4:4: the device wire format/kernels are
-            # 4:2:0-shaped; reconstruct on the numpy oracle path (bit-exact).
-            # Monochrome RUNS the 4:2:0 device pipeline: no chroma is coded,
-            # so the chroma planes converge to the conventional mid-gray
-            # (DC-of-nothing = 128; MC of 128 refs + zero residual = 128)
+        if sps.chroma_array_type == 2 or sps.bit_depth_luma != 8:
+            # High 4:2:2 keeps the numpy oracle path (bit-exact); 10-bit
+            # pixels likewise. Monochrome RUNS the 4:2:0 device pipeline
+            # (no chroma coded -> mid-gray converges exactly) and 4:4:4
+            # runs the per-component luma-process device path
             return Decoder._submit_reconstruct(
                 self, ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
@@ -761,13 +915,20 @@ class TpuDecoder(Decoder):
     def _ensure_ring(self, sps: SPS):
         n_refs = max(1, sps.max_num_ref_frames + 1)
         H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
-        geom = (n_refs, H, W)
+        cf3 = sps.chroma_array_type == 3
+        geom = (n_refs, H, W, cf3)
         if self._ring is None or self._ring_geom != geom:
             P = mc_k.PAD
+            if cf3:
+                # 4:4:4 chroma is MC'd with the luma process: each chroma
+                # component keeps its own half-pel plane stack
+                cshape = (n_refs, 4, H + 2 * P, W + 2 * P)
+            else:
+                cshape = (n_refs, H // 2 + 2 * P, W // 2 + 2 * P)
             self._ring = [
                 jnp.zeros((n_refs, 4, H + 2 * P, W + 2 * P), jnp.uint8),
-                jnp.zeros((n_refs, H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8),
-                jnp.zeros((n_refs, H // 2 + 2 * P, W // 2 + 2 * P), jnp.uint8),
+                jnp.zeros(cshape, jnp.uint8),
+                jnp.zeros(cshape, jnp.uint8),
             ]
             self._ring_slots = {}
             self._ring_geom = geom
@@ -784,13 +945,18 @@ class TpuDecoder(Decoder):
                           live: set):
         """Upload reference pictures that lack a ring slot (pictures decoded
         by a host fallback path, e.g. lossless transform-bypass frames)."""
+        cf3 = self._ring[1].ndim == 4
         for p in pictures[:n_refs]:
             if p.uid in self._ring_slots:
                 continue
             slot = self._alloc_slot(live, n_refs)
             hp = _jit_half_pel(jnp.asarray(np.asarray(p.y)))
-            cbp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cb)))
-            crp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cr)))
+            if cf3:
+                cbp = _jit_half_pel(jnp.asarray(np.asarray(p.cb)))
+                crp = _jit_half_pel(jnp.asarray(np.asarray(p.cr)))
+            else:
+                cbp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cb)))
+                crp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cr)))
             self._ring[0] = self._ring[0].at[slot].set(hp)
             self._ring[1] = self._ring[1].at[slot].set(cbp)
             self._ring[2] = self._ring[2].at[slot].set(crp)
@@ -883,27 +1049,32 @@ class TpuDecoder(Decoder):
         avl, avt, avtr, avtl = _mb_avail_grids(ft, pps)
 
         # ---- PCM planes (only built and transferred when the frame has any)
+        cf3 = sps.chroma_array_type == 3
+        cu = 16 if cf3 else 8  # chroma PCM unit
         has_pcm = bool(ft.pcm_samples)
         if has_pcm:
             pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-            pcm_cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-            pcm_cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+            pcm_cb = np.zeros((mb_h * cu, mb_w * cu), np.uint8)
+            pcm_cr = np.zeros((mb_h * cu, mb_w * cu), np.uint8)
             mono = sps.chroma_array_type == 0
             for addr, (py, pcb, pcr) in ft.pcm_samples.items():
                 mbx, mby = ft.mb_xy(addr)
                 pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
                 # mono PCM carries no chroma: present the mid-gray fill
-                pcm_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                pcm_cb[mby * cu : (mby + 1) * cu, mbx * cu : (mbx + 1) * cu] = (
                     128 if mono else pcb
                 )
-                pcm_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                pcm_cr[mby * cu : (mby + 1) * cu, mbx * cu : (mbx + 1) * cu] = (
                     128 if mono else pcr
                 )
 
         # one packed upload: the device link is latency-bound, so every
         # per-frame host tensor ships in a single uint8 buffer (narrow
         # dtypes preserved; widened on device inside frame_step)
-        has_l8 = pps.transform_8x8_mode_flag and ft.luma8_ac is not None
+        has_l8 = pps.transform_8x8_mode_flag and (
+            ft.luma8_ac is not None
+            or (cf3 and ft.c444_8x8 is not None)
+        )
         # ---- sparse residual wire format: the device link is the decode
         # bottleneck and typical inter frames code only ~1-5% of blocks, so
         # ship (index, levels) of coded blocks only. Capacities are fixed
@@ -919,10 +1090,10 @@ class TpuDecoder(Decoder):
         }
         if has_l8:
             sp["l8"] = (ft.luma8_ac.reshape(-1, 64), n // 4)
-        masks = _coded_block_masks(ft, has_l8)
+        masks = _coded_block_masks(ft, has_l8) if not cf3 else {}
         sp_idx = {}
-        sparse = True
-        for key, (flat, cap) in sp.items():
+        sparse = not cf3  # 4:4:4 ships residuals dense (no sparse variant)
+        for key, (flat, cap) in (sp.items() if sparse else ()):
             idx = np.flatnonzero(masks[key]).astype(np.int32)
             if len(idx) > cap:
                 sparse = False
@@ -951,6 +1122,12 @@ class TpuDecoder(Decoder):
             wire["luma_ac"] = narrow(ft.luma_ac)
             wire["chroma_ac"] = narrow(ft.chroma_ac)
             wire["luma_dc"] = narrow(ft.luma_dc)
+        if cf3:
+            wire["c444_ac"] = narrow(ft.c444_ac)
+            wire["c444_dc"] = narrow(ft.c444_dc)
+            if has_l8:
+                wire["c444_8x8"] = narrow(ft.ensure_c444_8x8())
+                wire["luma8_ac"] = narrow(ft.ensure_luma8())
         # MVs ship at 8x8 granularity when no MB uses sub-8x8 partitions
         # (the overwhelmingly common case), in CELL-GRID order (the host
         # transpose is ~1 ms numpy; the device-side relayout it replaces
@@ -1042,17 +1219,34 @@ class TpuDecoder(Decoder):
                               tr_k.level_scale_tables_4x4(s4[5])]),
                 ]
             )
-            self._ls_dev = (
-                jnp.asarray(ls4_y), jnp.asarray(ls8_y), jnp.asarray(ls4_c)
-            )
-        dyn = {
-            "ls4_y": self._ls_dev[0],
-            "ls8_y": self._ls_dev[1],
-            "ls4_c": self._ls_dev[2],
-            "qp_offsets": (pps.chroma_qp_index_offset,
-                           pps.second_chroma_qp_index_offset),
-        }
-        flags = (has_l8, has_pcm, self.apply_deblock, sparse)
+            dev = {
+                "ls4_y": jnp.asarray(ls4_y),
+                "ls8_y": jnp.asarray(ls8_y),
+                "ls4_c": jnp.asarray(ls4_c),
+            }
+            if cf3:
+                # per-component luma-process lists: Intra/Inter Cb and Cr
+                dev["ls4_cb"] = jnp.asarray(np.stack(
+                    [tr_k.level_scale_tables_4x4(s4[1]),
+                     tr_k.level_scale_tables_4x4(s4[4])]
+                ))
+                dev["ls4_cr"] = jnp.asarray(np.stack(
+                    [tr_k.level_scale_tables_4x4(s4[2]),
+                     tr_k.level_scale_tables_4x4(s4[5])]
+                ))
+                dev["ls8_cb"] = jnp.asarray(np.stack(
+                    [tr_k.level_scale_tables_8x8(s8[2]),
+                     tr_k.level_scale_tables_8x8(s8[3])]
+                ))
+                dev["ls8_cr"] = jnp.asarray(np.stack(
+                    [tr_k.level_scale_tables_8x8(s8[4]),
+                     tr_k.level_scale_tables_8x8(s8[5])]
+                ))
+            self._ls_dev = dev
+        dyn = dict(self._ls_dev)
+        dyn["qp_offsets"] = (pps.chroma_qp_index_offset,
+                             pps.second_chroma_qp_index_offset)
+        flags = (has_l8, has_pcm, self.apply_deblock, sparse, cf3)
         if m is not None:
             with m.timer("dispatch"):
                 ry, rcb, rcr, packed = frame_step(
@@ -1073,7 +1267,7 @@ class TpuDecoder(Decoder):
                 packed.copy_to_host_async()
             except Exception:
                 pass
-        out = _PackedFrame(packed, H, W, m)
+        out = _PackedFrame(packed, H, W, m, cf3=cf3)
         return _PlaneView(out, 0), _PlaneView(out, 1), _PlaneView(out, 2)
 
 

@@ -58,3 +58,23 @@ def test_monochrome_device_pipeline():
         bframes=1, preset="fast", gop=4, csp="gray",
     )
     assert_tpu_bit_exact(bs)
+
+
+def test_high444_device_pipeline():
+    """High 4:4:4 Predictive through the DEVICE pipeline: per-component
+    luma-process residuals/MC/intra/deblock (chromaStyleFilteringFlag=0),
+    full-size chroma half-pel ring stacks — bit-exact vs libavcodec."""
+    rng = np.random.default_rng(3)
+    H, W = 64, 96
+    frames = [
+        (rng.integers(0, 255, (H, W), np.uint8),
+         rng.integers(0, 255, (H, W), np.uint8),
+         rng.integers(0, 255, (H, W), np.uint8))
+        for _ in range(5)
+    ]
+    bs = lavc.encode_x264(
+        frames, qp=24, profile="high444", csp="yuv444p", cabac=True,
+        bframes=2, preset="fast", gop=5,
+        extra_x264="8x8dct=1:partitions=all:ref=3:weightp=2",
+    )
+    assert_tpu_bit_exact(bs)
