@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 
-def make_stream(h, w, n_frames):
+def make_stream(h, w, n_frames, gop=None):
     """Bench content. BENCH_CONTENT=hard produces a high-motion, textured,
     multi-slice encode (slower encoder preset, 4 slices, full partitions)
     so entropy and wire costs reflect production streams rather than the
@@ -40,7 +40,9 @@ def make_stream(h, w, n_frames):
     from h264decode_tpu.golden import lavc
 
     hard = os.environ.get("BENCH_CONTENT", "") == "hard"
-    tag = "hard_" if hard else ""
+    if gop is None:
+        gop = max(4, n_frames)
+    tag = ("hard_" if hard else "") + (f"g{gop}_" if gop != max(4, n_frames) else "")
     cache = f"/tmp/h264tpu_bench_{tag}{w}x{h}_{n_frames}.264"
     if os.path.exists(cache):
         return open(cache, "rb").read()
@@ -76,7 +78,7 @@ def make_stream(h, w, n_frames):
             frames.append((y, cb, cr))
         bs = lavc.encode_x264(
             frames, qp=24, profile="high", cabac=True, bframes=2,
-            preset="medium", gop=max(4, n_frames),
+            preset="medium", gop=gop,
             extra_x264="slices=4:8x8dct=1:partitions=all:ref=3",
         )
     else:
@@ -92,7 +94,7 @@ def make_stream(h, w, n_frames):
             cr = np.full((h // 2, w // 2), 128, np.uint8)
             frames.append((y, cb, cr))
         bs = lavc.encode_x264(
-            frames, qp=28, profile="main", cabac=True, bframes=2, preset="fast", gop=max(4, n_frames)
+            frames, qp=28, profile="main", cabac=True, bframes=2, preset="fast", gop=gop
         )
     with open(cache, "wb") as f:
         f.write(bs)
@@ -127,8 +129,9 @@ def bench_mesh(size, h, w, n_frames, mesh_spec):
     mesh = make_mesh(G, R)
     # MB rows must divide by the row shards: round the height up
     h = ((h + 16 * R - 1) // (16 * R)) * (16 * R)
-    # one closed GOP per gop slot (plus one spare round) so DP is real
-    bs = make_stream(h, w, n_frames)
+    # one closed GOP per gop slot (plus one spare round) so DP is real:
+    # G gop slots need >= G independent closed GOPs in the stream
+    bs = make_stream(h, w, n_frames, gop=max(1, n_frames // (G + 1)))
     dec = GopParallelDecoder(mesh)
     frames = dec.decode_stream(bs)  # warm-up + compile
     t0 = time.time()

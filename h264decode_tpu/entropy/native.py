@@ -233,9 +233,17 @@ class NativeFrameState:
 
 def supported(sps, pps, hdr) -> bool:
     return (
+        # PCM buffers are sized by ONE dtype; unequal luma/chroma depths
+        # (spec-legal but unseen in practice) route to the Python engine so
+        # a hostile depth combination can never out-write the PCM pool.
+        # Depth range itself is validated at SPS parse (8..14).
+        (
+            sps.chroma_array_type == 0
+            or sps.bit_depth_chroma == sps.bit_depth_luma
+        )
         # FMO decodes natively through the host-built next-address LUT;
         # FMO + MBAFF (pair-unit maps) stays on the Python engine
-        (pps.num_slice_groups == 1 or not hdr.mbaff_frame_flag)
+        and (pps.num_slice_groups == 1 or not hdr.mbaff_frame_flag)
         # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
         and not (hdr.is_si and pps.entropy_coding_mode_flag)
         # MBAFF temporal direct needs field POC pairing: Python engine

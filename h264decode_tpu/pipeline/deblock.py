@@ -22,11 +22,19 @@ _TC0 = np.asarray(TC0, np.int32)  # [52][3]
 
 # bit-depth scaling of the threshold tables + the sample clip ceiling
 # (spec 8.7.2.2: alpha/beta/tc0 scale by 1 << (BitDepth - 8)). Set by
-# deblock_frame per picture; module-level because the per-edge filter
-# helpers are called from deep per-MB loops. All concurrent decodes in one
-# process share a stream (GOP slots), hence one bit depth.
-_BD_SCALE = 1
-_BD_MAX = 255
+# deblock_frame per picture; thread-local because the per-edge filter
+# helpers are called from deep per-MB loops and two Decoder instances may
+# deblock streams of different bit depths on different threads.
+import threading as _threading
+
+
+class _BdState(_threading.local):
+    def __init__(self):
+        self.scale = 1
+        self.maxval = 255
+
+
+_BD = _BdState()
 
 
 def _is_intra(cls: int) -> bool:
@@ -145,8 +153,8 @@ def _filter_luma_lines(p, q, bs, index_a, index_b):
     """Filter across one edge: p[4,16] (p3..p0 order p[0]=p3? -> we pass
     p[k] = p_k, i.e. p[0]=p0 nearest edge), q[4,16]. Vectorized over the 16
     lines. Returns new (p, q) int32 arrays."""
-    alpha = _ALPHA[index_a] * _BD_SCALE
-    beta = _BETA[index_b] * _BD_SCALE
+    alpha = _ALPHA[index_a] * _BD.scale
+    beta = _BETA[index_b] * _BD.scale
     p0, p1, p2, p3 = (p[k].astype(np.int32) for k in range(4))
     q0, q1, q2, q3 = (q[k].astype(np.int32) for k in range(4))
     filt = (
@@ -158,11 +166,11 @@ def _filter_luma_lines(p, q, bs, index_a, index_b):
     ap = np.abs(p2 - p0) < beta
     aq = np.abs(q2 - q0) < beta
     # --- bS < 4 path (8.7.2.3)
-    tc0 = _TC0[index_a, np.clip(bs, 1, 3) - 1] * _BD_SCALE
+    tc0 = _TC0[index_a, np.clip(bs, 1, 3) - 1] * _BD.scale
     tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
     delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-    p0_w = np.clip(p0 + delta, 0, _BD_MAX)
-    q0_w = np.clip(q0 - delta, 0, _BD_MAX)
+    p0_w = np.clip(p0 + delta, 0, _BD.maxval)
+    q0_w = np.clip(q0 - delta, 0, _BD.maxval)
     p1_w = p1 + np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
     q1_w = q1 + np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
     # --- bS == 4 path (8.7.2.4)
@@ -195,8 +203,8 @@ def _filter_luma_lines(p, q, bs, index_a, index_b):
 
 def _filter_chroma_lines(p, q, bs, index_a, index_b):
     """Chroma: only p0/q0 (p1 used as input), 8 lines. p,q: [2,8]."""
-    alpha = _ALPHA[index_a] * _BD_SCALE
-    beta = _BETA[index_b] * _BD_SCALE
+    alpha = _ALPHA[index_a] * _BD.scale
+    beta = _BETA[index_b] * _BD.scale
     p0, p1 = (p[k].astype(np.int32) for k in range(2))
     q0, q1 = (q[k].astype(np.int32) for k in range(2))
     filt = (
@@ -205,10 +213,10 @@ def _filter_chroma_lines(p, q, bs, index_a, index_b):
         & (np.abs(p1 - p0) < beta)
         & (np.abs(q1 - q0) < beta)
     )
-    tc = _TC0[index_a, np.clip(bs, 1, 3) - 1] * _BD_SCALE + 1
+    tc = _TC0[index_a, np.clip(bs, 1, 3) - 1] * _BD.scale + 1
     delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-    p0_w = np.clip(p0 + delta, 0, _BD_MAX)
-    q0_w = np.clip(q0 - delta, 0, _BD_MAX)
+    p0_w = np.clip(p0 + delta, 0, _BD.maxval)
+    q0_w = np.clip(q0 - delta, 0, _BD.maxval)
     p0_s = (2 * p1 + p0 + q1 + 2) >> 2
     q0_s = (2 * q1 + q0 + p1 + 2) >> 2
     is4 = bs == 4
@@ -544,9 +552,8 @@ def deblock_frame(
     ft: FrameTensors, sps: SPS, pps: PPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
 ):
     """Apply spec 8.7 in place over copies; returns filtered planes."""
-    global _BD_SCALE, _BD_MAX
-    _BD_SCALE = 1 << (sps.bit_depth_luma - 8)
-    _BD_MAX = (1 << sps.bit_depth_luma) - 1
+    _BD.scale = 1 << (sps.bit_depth_luma - 8)
+    _BD.maxval = (1 << sps.bit_depth_luma) - 1
     pxdtype = np.uint16 if sps.bit_depth_luma > 8 else np.uint8
     if ft.mb_field.any():
         if (ft.disable_deblock == 1).all():

@@ -405,7 +405,7 @@ class Decoder:
         native_state = (
             native_mod.NativeFrameState(
                 ft, motion, intra_mode_grid, pool=self._native_pool,
-                bit_depth=sps.bit_depth_luma,
+                bit_depth=max(sps.bit_depth_luma, sps.bit_depth_chroma),
             )
             if use_native
             else None

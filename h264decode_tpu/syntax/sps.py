@@ -404,6 +404,17 @@ def parse_sps(rbsp: bytes) -> SPS:
             s.separate_colour_plane_flag = r.flag()
         s.bit_depth_luma_minus8 = r.ue()
         s.bit_depth_chroma_minus8 = r.ue()
+        # spec 7.4.2.1.1: both in 0..6. Reject here so hostile depths never
+        # reach downstream shift arithmetic (native engine PCM reads would
+        # otherwise do br_u(r, depth) with an unbounded width)
+        if not (0 <= s.bit_depth_luma_minus8 <= 6):
+            raise ValueError(
+                f"bit_depth_luma_minus8 {s.bit_depth_luma_minus8} out of range"
+            )
+        if not (0 <= s.bit_depth_chroma_minus8 <= 6):
+            raise ValueError(
+                f"bit_depth_chroma_minus8 {s.bit_depth_chroma_minus8} out of range"
+            )
         s.qpprime_y_zero_transform_bypass_flag = r.flag()
         s.seq_scaling_matrix_present_flag = r.flag()
         if s.seq_scaling_matrix_present_flag:

@@ -110,6 +110,8 @@ def write_sps(
     #                       map units are MB pairs (7.4.2.1.1)
     chroma_format_idc: int = 1,  # != 1 selects a High-family profile SPS
     #                              (7.3.2.1.1 chroma/bit-depth block)
+    bit_depth_luma: int = 8,  # only written for the High-family SPS block
+    bit_depth_chroma: int | None = None,  # defaults to bit_depth_luma
 ) -> bytes:
     if mbaff:
         assert mb_h % 2 == 0, "MBAFF frame height must be an even MB count"
@@ -130,8 +132,8 @@ def write_sps(
         w.ue(chroma_format_idc)
         if chroma_format_idc == 3:
             w.flag(False)  # separate_colour_plane_flag
-        w.ue(0)  # bit_depth_luma_minus8
-        w.ue(0)  # bit_depth_chroma_minus8
+        w.ue(bit_depth_luma - 8)
+        w.ue((bit_depth_chroma or bit_depth_luma) - 8)
         w.flag(False)  # qpprime_y_zero_transform_bypass_flag
         w.flag(False)  # seq_scaling_matrix_present_flag
     w.ue(log2_max_frame_num - 4)

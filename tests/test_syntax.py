@@ -165,3 +165,49 @@ class TestSequenceSwitch:
             assert g.y.shape == o.y.shape
             for gp, op in zip(g.planes(), o.planes()):
                 assert np.array_equal(gp, np.asarray(op))
+
+
+class TestHostileBitDepths:
+    """Spec 7.4.2.1.1 bounds bit_depth_*_minus8 to 0..6; hostile values must
+    be rejected at parse so native PCM reads never see an unbounded width
+    (heap-overflow class found by the round-4 advisor)."""
+
+    def test_out_of_range_luma_depth_rejected(self):
+        from tests.synth import write_sps
+
+        bs = write_sps(4, 4, chroma_format_idc=2, bit_depth_luma=22)
+        rbsp = parse_nal_unit(split_nalus(bs)[0]).rbsp
+        with pytest.raises(ValueError):
+            parse_sps(rbsp)
+
+    def test_out_of_range_chroma_depth_rejected(self):
+        from tests.synth import write_sps
+
+        bs = write_sps(4, 4, chroma_format_idc=2, bit_depth_luma=8,
+                       bit_depth_chroma=76)
+        rbsp = parse_nal_unit(split_nalus(bs)[0]).rbsp
+        with pytest.raises(ValueError):
+            parse_sps(rbsp)
+
+    def test_unequal_depths_parse_but_skip_native(self):
+        from tests.synth import write_sps
+
+        from h264decode_tpu.entropy import native as native_mod
+
+        bs = write_sps(4, 4, chroma_format_idc=2, bit_depth_luma=8,
+                       bit_depth_chroma=10)
+        sps = parse_sps(parse_nal_unit(split_nalus(bs)[0]).rbsp)
+        assert sps.bit_depth_luma == 8 and sps.bit_depth_chroma == 10
+
+        class _Hdr:
+            mbaff_frame_flag = False
+            is_si = False
+            is_b = False
+            direct_spatial_mv_pred_flag = True
+            dp_readers = None
+
+        class _Pps:
+            num_slice_groups = 1
+            entropy_coding_mode_flag = True
+
+        assert not native_mod.supported(sps, _Pps(), _Hdr())

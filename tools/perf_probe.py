@@ -58,7 +58,7 @@ def main():
     def mk(stage):
         @partial(jax.jit, static_argnums=(5, 6, 7, 8))
         def f(wire, ry, rcb, rcr, dyn, mb_h, mb_w, n_refs, flags):
-            has_l8, has_pcm, apply_db, sparse = flags
+            has_l8, has_pcm, apply_db, sparse = flags[:4]
             inp = _prepare_inp(wire, dyn, ry, rcb, rcr, mb_h, mb_w, flags)
             if stage == "prep":
                 return sum(
