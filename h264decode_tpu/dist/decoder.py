@@ -62,7 +62,9 @@ class ShardedDecoder(Decoder):
         if (
             slices[0][0].field_pic_flag
             or slices[0][0].mbaff_frame_flag
-            or sps.chroma_array_type != 1
+            # mono rides the 4:2:0 sharded step exactly like the single-chip
+            # device path (no coded chroma -> mid-gray converges exactly)
+            or sps.chroma_array_type not in (0, 1)
             or sps.bit_depth_luma != 8
             or any(h.is_sp or h.is_si for h, *_ in slices)
             or (sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any())

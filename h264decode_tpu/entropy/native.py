@@ -104,6 +104,12 @@ class _SliceParams(ctypes.Structure):
         ("part_c", c_void_p),
         ("part_c_len", c_int64),
         ("part_c_bit", c_int64),
+        ("col_ref_parity", c_void_p),
+        ("l0_top_pocs", c_void_p),
+        ("l0_bottom_pocs", c_void_p),
+        ("n_l0_field", c_int32),
+        ("cur_top_poc", c_int32),
+        ("cur_bottom_poc", c_int32),
     ]
 
 
@@ -244,14 +250,6 @@ def supported(sps, pps, hdr) -> bool:
         # FMO decodes natively through the host-built next-address LUT;
         # FMO + MBAFF (pair-unit maps) stays on the Python engine
         and (pps.num_slice_groups == 1 or not hdr.mbaff_frame_flag)
-        # CABAC SI decodes via the Python engine (Table 9-39 SI prefix)
-        and not (hdr.is_si and pps.entropy_coding_mode_flag)
-        # MBAFF temporal direct needs field POC pairing: Python engine
-        and not (
-            hdr.mbaff_frame_flag
-            and hdr.is_b
-            and not hdr.direct_spatial_mv_pred_flag
-        )
         # data partitioning decodes natively for CAVLC (Extended profile
         # forbids CABAC+DP; the decoder rejects that combination upstream)
         and not (
@@ -352,6 +350,25 @@ def decode_slice_native(
         ka += [l0_pocs, l0_lt]
         p.l0_pocs = c_void_p(l0_pocs.ctypes.data)
         p.l0_lt = c_void_p(l0_lt.ctypes.data)
+        # MBAFF-field temporal direct: list-0 FIELD order counts + the
+        # colocated referenced-field parities (direct.py field variant)
+        if direct_ctx.l0_top_pocs is not None:
+            l0_tp = np.asarray(direct_ctx.l0_top_pocs or [0], np.int32)
+            l0_bp = np.asarray(direct_ctx.l0_bottom_pocs or [0], np.int32)
+            ka += [l0_tp, l0_bp]
+            p.l0_top_pocs = c_void_p(l0_tp.ctypes.data)
+            p.l0_bottom_pocs = c_void_p(l0_bp.ctypes.data)
+            p.n_l0_field = min(len(l0_tp), len(l0_bp))
+        cf = getattr(direct_ctx.cur_ft, "cur_field_pocs", None)
+        if cf is not None:
+            p.cur_top_poc = int(cf[0])
+            p.cur_bottom_poc = int(cf[1])
+        if direct_ctx.col_ref_parity is not None:
+            crp = np.ascontiguousarray(
+                direct_ctx.col_ref_parity.astype(np.int8)
+            )
+            ka.append(crp)
+            p.col_ref_parity = c_void_p(crp.ctypes.data)
         if direct_ctx.col_mv is not None:
             col_mv = np.ascontiguousarray(direct_ctx.col_mv, np.int32)
             col_ri = np.ascontiguousarray(direct_ctx.col_ref_idx, np.int8)

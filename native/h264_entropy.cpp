@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cstdio>
 
 #include "tables.h"
 
@@ -305,6 +306,15 @@ struct SliceParams {
   const uint8_t* part_c;
   int64_t part_c_len;
   int64_t part_c_bit;
+  // MBAFF-field temporal direct (8.4.1.2.3 field variant, direct.py):
+  // colocated referenced-field parities, list-0 FIELD order counts per
+  // frame position, and the current picture's field POCs
+  const int8_t* col_ref_parity;  // [H4*W4] or null
+  const int32_t* l0_top_pocs;    // [n_l0_field] or null
+  const int32_t* l0_bottom_pocs;
+  int32_t n_l0_field;
+  int32_t cur_top_poc;
+  int32_t cur_bottom_poc;
 };
 
 struct FrameBuffers {
@@ -821,15 +831,21 @@ static const int kInferCorner[4][2] = {{0, 0}, {3, 0}, {0, 3}, {3, 3}};
 // layout and per-MB units; vertMvScale converts Frm<->Fld vertical units
 // (direct.py _col_motion). Returns -1 when no colocated data exists.
 static int col_motion(Ctx* t, int ccx, int ccy,
-                      int* cref, int* cmvx, int* cmvy) {
+                      int* cref, int* cmvx, int* cmvy,
+                      int* gy_out = nullptr, int* col_fld_out = nullptr) {
   const SliceParams* p = t->p;
   if (!p->n_col) return -1;
   int mb_w = t->mb_w;
-  if (!t->mbaff || p->col_mb_field == nullptr) {
+  auto ret = [&](int gy, int col_fld) {
+    if (gy_out) *gy_out = gy;
+    if (col_fld_out) *col_fld_out = col_fld;
+    return 0;
+  };
+  if (!t->mbaff) {
     *cref = p->col_ref_idx[ccy * t->W4 + ccx];
     *cmvx = p->col_mv[(ccy * t->W4 + ccx) * 2];
     *cmvy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
-    return 0;
+    return ret(ccy, 0);
   }
   int addr = (ccy / 4) * mb_w + (ccx / 4);
   int row = addr / mb_w;
@@ -837,12 +853,15 @@ static int col_motion(Ctx* t, int ccx, int ccy,
   int ly = ccy - row * 4;
   int cur_fld = t->f->mb_field[addr];
   int pair_top = 2 * pr * mb_w + (addr % mb_w);
-  int col_pair_fld = p->col_mb_field[pair_top];
+  // a null col_mb_field means the colocated picture coded no field pairs
+  // (direct.py treats missing flags as all-frame and still crosses)
+  int col_pair_fld =
+      p->col_mb_field != nullptr ? p->col_mb_field[pair_top] : 0;
   if (cur_fld == col_pair_fld) {
     *cref = p->col_ref_idx[ccy * t->W4 + ccx];
     *cmvx = p->col_mv[(ccy * t->W4 + ccx) * 2];
     *cmvy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
-    return 0;
+    return ret(ccy, col_pair_fld);
   }
   if (cur_fld) {
     // current FIELD, colocated FRAME pair (Frm_To_Fld): strip row
@@ -854,7 +873,7 @@ static int col_motion(Ctx* t, int ccx, int ccy,
     *cmvx = p->col_mv[(gy * t->W4 + ccx) * 2];
     int vy = p->col_mv[(gy * t->W4 + ccx) * 2 + 1];
     *cmvy = vy >= 0 ? vy / 2 : -((-vy) / 2);
-    return 0;
+    return ret(gy, 0);
   }
   // current FRAME, colocated FIELD pair (Fld_To_Frm): the field whose POC
   // is closer to the current picture; vertical doubles
@@ -867,7 +886,7 @@ static int col_motion(Ctx* t, int ccx, int ccy,
   *cref = p->col_ref_idx[gy * t->W4 + ccx];
   *cmvx = p->col_mv[(gy * t->W4 + ccx) * 2];
   *cmvy = p->col_mv[(gy * t->W4 + ccx) * 2 + 1] * 2;
-  return 0;
+  return ret(gy, 1);
 }
 
 static int derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
@@ -923,10 +942,16 @@ static int derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
     }
     return 0;
   } else {
-    // temporal direct (8.4.1.2.3). Field POC pairing + Fld/Frm vector
-    // scaling is not wired (direct.py gates identically); encoders use
-    // spatial direct for interlaced content
-    if (t->mbaff && t->any_field) return -1;
+    // temporal direct (8.4.1.2.3). MBAFF pictures with field macroblocks
+    // run the field variant (direct.py _temporal_direct): the colocated
+    // cell comes through the 8.4.1.2.1 AFRM crossing (vertMvScale applied
+    // by col_motion), refIdxCol maps into the current FIELD reference
+    // list by (frame position, field parity), and tb/td use FIELD order
+    // counts
+    bool mbaff_fields = t->mbaff && t->any_field;
+    int cur_addr = (by0 / 4) * t->mb_w + bx0 / 4;
+    bool cur_fld = mbaff_fields && t->f->mb_field[cur_addr];
+    int cur_par = cur_fld ? ((by0 / 4) & 1) : -1;
     for (int q = 0; q < 4; q++) {
       int qx = bx0 + (q % 2) * 2, qy = by0 + (q / 2) * 2;
       for (int sy = 0; sy < 2; sy++)
@@ -938,23 +963,61 @@ static int derive_direct(Ctx* t, int bx0, int by0, DirectCell out[16]) {
             ccy = by0 + kInferCorner[q][1];
           }
           int ref0 = 0, mcx = 0, mcy = 0;
-          if (p->n_col && p->col_ref_idx[ccy * t->W4 + ccx] >= 0) {
-            mcx = p->col_mv[(ccy * t->W4 + ccx) * 2];
-            mcy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
-            int uid = p->col_ref_uid[ccy * t->W4 + ccx];
-            ref0 = 0;
-            for (int i = 0; i < p->n_ref0; i++)
-              if (p->ref_uids0[i] == uid) { ref0 = i; break; }
+          int frame_pos = 0, ref_par = cur_fld ? cur_par : -1;
+          int poc0, cur_poc, poc1, lt0;
+          if (!mbaff_fields) {
+            if (p->n_col && p->col_ref_idx[ccy * t->W4 + ccx] >= 0) {
+              mcx = p->col_mv[(ccy * t->W4 + ccx) * 2];
+              mcy = p->col_mv[(ccy * t->W4 + ccx) * 2 + 1];
+              int uid = p->col_ref_uid[ccy * t->W4 + ccx];
+              for (int i = 0; i < p->n_ref0; i++)
+                if (p->ref_uids0[i] == uid) { ref0 = i; break; }
+            }
+            poc0 = p->l0_pocs[ref0];
+            lt0 = p->l0_lt[ref0];
+            cur_poc = p->cur_poc;
+            poc1 = p->col_poc;
+          } else {
+            int cref = -1, gy = ccy, col_fld = 0;
+            if (col_motion(t, ccx, ccy, &cref, &mcx, &mcy, &gy,
+                           &col_fld) != 0)
+              cref = -1;
+            if (cref < 0) {
+              mcx = mcy = 0;
+            } else {
+              int uid = p->col_ref_uid[gy * t->W4 + ccx];
+              for (int i = 0; i < p->n_ref0; i++)
+                if (p->ref_uids0[i] == uid) { frame_pos = i; break; }
+              ref_par = (col_fld && p->col_ref_parity != nullptr)
+                            ? p->col_ref_parity[gy * t->W4 + ccx]
+                            : -1;
+            }
+            if (cur_fld) {
+              // field list index: 2k = same parity, 2k+1 = opposite
+              bool same = ref_par < 0 || ref_par == cur_par;
+              ref0 = 2 * frame_pos + (same ? 0 : 1);
+              int rp = ref_par < 0 ? cur_par : ref_par;
+              const int32_t* pocs = rp ? p->l0_bottom_pocs : p->l0_top_pocs;
+              poc0 = (pocs != nullptr && frame_pos < p->n_l0_field)
+                         ? pocs[frame_pos]
+                         : 0;
+              cur_poc = cur_par ? p->cur_bottom_poc : p->cur_top_poc;
+              // colPic = same-parity field of RefPicList1[0]
+              poc1 = cur_par ? p->col_bottom_poc : p->col_top_poc;
+            } else {
+              ref0 = frame_pos;
+              poc0 = p->l0_pocs[frame_pos];
+              cur_poc = p->cur_poc;
+              poc1 = p->col_poc;
+            }
+            lt0 = p->l0_lt[frame_pos];
           }
-          int poc0 = p->l0_pocs[ref0];
-          int lt0 = p->l0_lt[ref0];
-          int poc1 = p->col_poc;
           DirectCell* dc = &out[(cy - by0) * 4 + (cx - bx0)];
           if (lt0 || poc1 == poc0) {
             dc->mv0x = mcx; dc->mv0y = mcy;
             dc->mv1x = 0; dc->mv1y = 0;
           } else {
-            int tb = clip3(-128, 127, p->cur_poc - poc0);
+            int tb = clip3(-128, 127, cur_poc - poc0);
             int td = clip3(-128, 127, poc1 - poc0);
             int tx;
             if (td > 0) tx = (16384 + (td < 0 ? -td : td) / 2) / td;

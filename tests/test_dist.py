@@ -138,6 +138,40 @@ def test_sharded_halo_weighted_and_pcm():
     assert "HALO_OK" in r.stdout, r.stdout + r.stderr
 
 
+_MONO_SHARDED_SCRIPT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from h264decode_tpu.golden import lavc
+from h264decode_tpu.dist.mesh import make_mesh
+from h264decode_tpu.dist.decoder import ShardedDecoder
+from tests.test_mono import make_gray_frames
+
+# monochrome (chroma_format_idc 0) through the SHARDED pipeline: the
+# capability set of --backend sharded must track the single-chip device
+# pipeline, which runs mono on the 4:2:0 program (no coded chroma ->
+# mid-gray converges exactly)
+frames = make_gray_frames(4, 128, 128)
+bs = lavc.encode_x264(frames, qp=26, profile="high", csp="gray", cabac=True,
+                      bframes=2)
+golden = lavc.decode_annexb(bs)
+ours = ShardedDecoder(make_mesh(1, 2), apply_deblock=True).decode_stream(bs)
+assert len(golden) == len(ours)
+for fi, (g, o) in enumerate(zip(golden, ours)):
+    assert np.array_equal(g.y, np.asarray(o.y)), fi
+    if g.cb.size:
+        assert np.array_equal(g.cb, np.asarray(o.cb)), fi
+print("MONO_SHARDED_OK")
+"""
+
+
+def test_sharded_mono_bit_exact():
+    """Monochrome streams ride the sharded row pipeline (capability parity
+    with the single-chip device path), bit-exact vs libavcodec."""
+    r = _run_sub(_MONO_SHARDED_SCRIPT, timeout=560)
+    assert "MONO_SHARDED_OK" in r.stdout, r.stdout + r.stderr
+
+
 _GOP_SCRIPT = """
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -173,12 +207,23 @@ def test_gop_parallel_decoder_bit_exact():
 
 _MH_WORKER = """
 import sys
+import time
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from h264decode_tpu.dist import multihost
 pid = int(sys.argv[1])
-multihost.initialize("127.0.0.1:29531", 2, pid)
+port = sys.argv[3]
+# Gloo rendezvous can hit DEADLINE_EXCEEDED when the coordinator is slow to
+# come up under load: retry once before declaring the run failed
+for attempt in range(2):
+    try:
+        multihost.initialize(f"127.0.0.1:{port}", 2, pid)
+        break
+    except Exception:
+        if attempt:
+            raise
+        time.sleep(2.0)
 assert jax.process_count() == 2
 from h264decode_tpu.dist.gop import GopParallelDecoder, split_gops
 from h264decode_tpu.golden import lavc
@@ -202,6 +247,15 @@ for j, (_, n) in enumerate(segs):
         idx += n
 assert idx == len(frames) and checked > 0
 print("MH_OK", pid, checked, flush=True)
+# clean distributed teardown: without it the Gloo store can linger and a
+# bit-exact run may still exit nonzero (or poison the port for the next run)
+try:
+    jax.distributed.shutdown()
+except Exception:
+    pass
+sys.stdout.flush()
+import os as _os
+_os._exit(0)
 """
 
 
@@ -232,9 +286,16 @@ def test_multihost_2proc_gop_sharding():
         + " --xla_force_host_platform_device_count=4"
     ).strip()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # free rendezvous port per run: a hardcoded port collides with earlier
+    # runs' lingering Gloo stores (observed DEADLINE_EXCEEDED flake)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _MH_WORKER, str(i), path],
+            [sys.executable, "-c", _MH_WORKER, str(i), path, str(port)],
             cwd=root, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
