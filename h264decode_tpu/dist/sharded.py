@@ -225,10 +225,20 @@ def make_sharded_step(mesh: Mesh, mb_h: int, mb_w: int, n_refs: int,
         ref_y = jax.lax.all_gather(loc["ref_luma_raw"], "row", axis=1, tiled=True)
         ref_cb = jax.lax.all_gather(loc["ref_cb_raw"], "row", axis=1, tiled=True)
         ref_cr = jax.lax.all_gather(loc["ref_cr_raw"], "row", axis=1, tiled=True)
-        # half-pel planes for the gathered refs
-        loc["ref_luma"] = jax.vmap(mc_k.half_pel_planes)(ref_y)
-        loc["ref_cb"] = jax.vmap(mc_k.chroma_pad)(ref_cb)
-        loc["ref_cr"] = jax.vmap(mc_k.chroma_pad)(ref_cr)
+        # half-pel planes for the gathered refs, in the pair-packed MC
+        # layouts the gather kernels consume (kernels/mc.py)
+        loc["ref_luma"] = jax.vmap(
+            lambda r: mc_k.pack_pair8(mc_k.half_pel_planes(r))
+        )(ref_y)
+
+        def _pack_c(cb, cr):
+            c16 = mc_k.chroma_pad(cb).astype(jnp.uint16) | (
+                mc_k.chroma_pad(cr).astype(jnp.uint16) << 8
+            )
+            return mc_k.pack_pair16(c16)
+
+        loc["ref_cb"] = jax.vmap(_pack_c)(ref_cb, ref_cr)
+        loc.pop("ref_cr_raw", None)
         prep = {k[3:]: v for k, v in loc.items() if k.startswith("db_")}
         y, cb, cr = _band_pixels(
             loc, prep, mb_hl, mb_w, n_row, apply_deblock, halo,

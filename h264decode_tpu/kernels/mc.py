@@ -3,8 +3,10 @@
 Instead of the oracle's per-block windows, each reference picture gets three
 half-pel planes precomputed once by separable 6-tap filters over the whole
 (edge-padded) frame — pure shift-add convolutions that XLA fuses and
-vectorizes. Per-pixel prediction is then a handful of gathers from the
-{G, b, h, j} plane stack plus quarter-pel averaging selected by the MV
+vectorizes — then stored PAIR-PACKED (two consecutive columns per word, two
+phase copies) in the device DPB ring. Per-pixel prediction is a handful of
+word gathers from the packed {G, b, h, j} stack (4 indices per 4-px cell
+row and reference list) plus quarter-pel averaging selected by the MV
 fraction, and a generalized weighted combine (default bi = weights 32/32,
 logWD 5, exactly (p0+p1+1)>>1).
 
@@ -79,8 +81,33 @@ _QPEL_TAB = np.array(
 )
 
 
+def pack_pair8(planes: jnp.ndarray) -> jnp.ndarray:
+    """[..., Hp, Wp] uint8 -> [..., 2, Hp, Wp//2+2] uint16: two
+    phase-shifted copies of each plane with 2 consecutive columns packed
+    little-endian per word, so one gather index yields 2 of the 4 samples
+    a 4x4-cell row reads (Wp must be even, which frame geometry guarantees).
+
+    Cost model (device trace): XLA TPU gathers cost ~7 ns per INDEX while
+    the operand stays under ~100 MB and ~13 ns/idx above — pair packing
+    halves the index count at 2x operand bytes, the sweet spot for a
+    max-size reference ring (R=5 -> 85 MB). The DPB ring stores THIS
+    packed layout directly (packed once per decoded frame), so per-frame
+    MC does no repacking at all."""
+    Wp = planes.shape[-1]
+    Wk = Wp // 2 + 2
+    C = Wp + 5  # max col read: 2*(Wk-1) + phase(1) + byte(1) = Wp + 4
+    pad = [(0, 0)] * (planes.ndim - 1) + [(0, C - Wp)]
+    g = jnp.pad(planes, pad, mode="edge")
+    words = [
+        (g[..., p : p + 2 * Wk][..., 0::2].astype(jnp.uint16)
+         | (g[..., p : p + 2 * Wk][..., 1::2].astype(jnp.uint16) << 8))
+        for p in range(2)
+    ]
+    return jnp.stack(words, axis=-3)  # [..., 2, Hp, Wk]
+
+
 def luma_mc(
-    planes: jnp.ndarray,  # [R, 4, H+2P, W+2P] uint8 half-pel stacks
+    packed: jnp.ndarray,  # [R, 4, 2, Hp, Wk] uint16 pair-packed half-pel ring
     slot: jnp.ndarray,  # [H4, W4] int32 (valid where >= 0; clamped by caller)
     mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel
     H: int,
@@ -88,132 +115,164 @@ def luma_mc(
 ) -> jnp.ndarray:
     """Per-pixel luma prediction [H, W] int32 for one reference list.
 
-    TPU cost model: exactly two flat 1-D gathers per pixel (the Table 8-12
-    sample pair) with linear indices into the flattened plane stack. The
-    Table 8-12 lookup runs at CELL resolution (the frac class is per-MV,
-    16x fewer elements), and the index arithmetic is fenced off from the
-    gathers with an optimization_barrier: letting XLA fuse the index
-    computation into the gather loop scalarizes it (~40x slower at 1080p,
-    measured — tools/perf_probe.py ablations)."""
-    # reference geometry from the plane stack itself (may exceed the output
-    # band in the row-sharded path, where refs are all-gathered)
-    RH = planes.shape[-2] - 2 * PAD
-    RW = planes.shape[-1] - 2 * PAD
-    Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
-    flat = planes.reshape(-1)
+    TPU cost model: four flat 1-D gathers per 4-pixel cell row (two per
+    Table 8-12 sample), each fetching a pair-packed uint16 word = 2
+    consecutive samples — MVs are constant within a 4x4 cell, so a cell
+    row reads 4 consecutive reference columns. Exactness at the picture
+    edges follows from the flat PAD-sample margins: reading base+k instead
+    of clip(base+k) lands on a column holding the identical replicated
+    value (PAD = 8 >= the max intra-word offset 1 + word span 3 + table
+    offset 1).
 
-    def px4(a):
-        return jnp.repeat(jnp.repeat(a, 4, axis=0), 4, axis=1)
+    The Table 8-12 lookup runs at CELL resolution, and the index
+    arithmetic is fenced off from the gathers with an
+    optimization_barrier: letting XLA fuse the index computation into the
+    gather loop scalarizes it (~40x slower at 1080p, measured —
+    tools/perf_probe.py ablations)."""
+    # reference geometry from the packed ring itself (may exceed the output
+    # band in the row-sharded path, where refs are all-gathered)
+    Hp, Wk = packed.shape[-2], packed.shape[-1]
+    Wp = 2 * (Wk - 2)
+    RH, RW = Hp - 2 * PAD, Wp - 2 * PAD
+    flat = packed.reshape(-1)
+    W4 = W // 4
+
+    def rrow(a):  # cell grid [H4, W4] -> quad-row grid [H, W4]
+        return jnp.repeat(a, 4, axis=0)
 
     # cell-resolution Table 8-12 entries and plane bases
     frac = (mv[..., 0] & 3) + 4 * (mv[..., 1] & 3)  # [H4, W4]
     t = jnp.asarray(_QPEL_TAB)[frac]  # [H4, W4, 7]
-    base_c = jnp.maximum(slot, 0) * (4 * Hp * Wp)
-    mvx, mvy = px4(mv[..., 0]), px4(mv[..., 1])
-    yy, xx = jnp.mgrid[0:H, 0:W]
+    phase_sz = Hp * Wk
+    base_c = jnp.maximum(slot, 0) * (8 * phase_sz)
+    mvx, mvy = rrow(mv[..., 0]), rrow(mv[..., 1])  # [H, W4]
+    yy = jnp.arange(H)[:, None]
+    xx0 = (jnp.arange(W4) * 4)[None, :]  # first output column of each quad
     # clamp into the padded canvas (flat margins make this exact)
-    xi = jnp.clip(xx + (mvx >> 2), -PAD, RW - 1 + PAD) + PAD
+    xi = jnp.clip(xx0 + (mvx >> 2), -PAD, RW - 1 + PAD) + PAD
     yi = jnp.clip(yy + (mvy >> 2), -PAD, RH - 1 + PAD) + PAD
-    x1 = jnp.minimum(xi + px4(t[..., 2]), Wp - 1)
-    y1 = jnp.minimum(yi + px4(t[..., 1]), Hp - 1)
-    x2 = jnp.minimum(xi + px4(t[..., 5]), Wp - 1)
-    y2 = jnp.minimum(yi + px4(t[..., 4]), Hp - 1)
-    idx1 = px4(base_c + t[..., 0] * (Hp * Wp)) + y1 * Wp + x1
-    idx2 = px4(base_c + t[..., 3] * (Hp * Wp)) + y2 * Wp + x2
-    single = px4(t[..., 6])
-    idx1, idx2, single = jax.lax.optimization_barrier((idx1, idx2, single))
-    s1 = jnp.take(flat, idx1).astype(jnp.int32)
-    s2 = jnp.take(flat, idx2).astype(jnp.int32)
-    return jnp.where(single == 1, s1, (s1 + s2 + 1) >> 1)
+    x1 = jnp.minimum(xi + rrow(t[..., 2]), Wp - 1)
+    y1 = jnp.minimum(yi + rrow(t[..., 1]), Hp - 1)
+    x2 = jnp.minimum(xi + rrow(t[..., 5]), Wp - 1)
+    y2 = jnp.minimum(yi + rrow(t[..., 4]), Hp - 1)
+    b1 = rrow(base_c + t[..., 0] * (2 * phase_sz))
+    b2 = rrow(base_c + t[..., 3] * (2 * phase_sz))
+
+    def widx(b, y, x):
+        return b + (x & 1) * phase_sz + y * Wk + (x >> 1)
+
+    i1a = widx(b1, y1, x1)  # cols x1, x1+1
+    i1b = widx(b1, y1, x1 + 2)  # cols x1+2, x1+3
+    i2a = widx(b2, y2, x2)
+    i2b = widx(b2, y2, x2 + 2)
+    single = rrow(t[..., 6])
+    i1a, i1b, i2a, i2b, single = jax.lax.optimization_barrier(
+        (i1a, i1b, i2a, i2b, single)
+    )
+    w1a = jnp.take(flat, i1a)  # [H, W4] uint16
+    w1b = jnp.take(flat, i1b)
+    w2a = jnp.take(flat, i2a)
+    w2b = jnp.take(flat, i2b)
+
+    def unpack(wa, wb):  # [H, W4] x2 -> [H, W4, 4] int32 (cols x..x+3)
+        return jnp.stack(
+            [wa & 255, wa >> 8, wb & 255, wb >> 8], axis=-1
+        ).astype(jnp.int32)
+
+    s1 = unpack(w1a, w1b)
+    s2 = unpack(w2a, w2b)
+    out = jnp.where(single[..., None] == 1, s1, (s1 + s2 + 1) >> 1)
+    return out.reshape(H, W)
 
 
-def chroma_mc(
-    refs: jnp.ndarray,  # [R, Hc+2P, Wc+2P] uint8 padded chroma planes
-    slot: jnp.ndarray,  # [H4, W4] int32 (luma-cell granularity)
-    mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel luma MV
-    Hc: int,
-    Wc: int,
-) -> jnp.ndarray:
-    """Per-pixel chroma prediction [Hc, Wc] int32 (1/8-pel bilinear)."""
-    # each luma 4x4 cell covers a 2x2 chroma block
-    RH = refs.shape[-2] - 2 * PAD
-    RW = refs.shape[-1] - 2 * PAD
-    mvp = jnp.repeat(jnp.repeat(mv, 2, axis=0), 2, axis=1)  # [Hc, Wc, 2]
-    sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 2, axis=0), 2, axis=1)
-    yy, xx = jnp.mgrid[0:Hc, 0:Wc]
-    xi = xx + (mvp[..., 0] >> 3)
-    yi = yy + (mvp[..., 1] >> 3)
-    fx = mvp[..., 0] & 7
-    fy = mvp[..., 1] & 7
-    xi = jnp.clip(xi, -PAD, RW - 1 + PAD) + PAD
-    yi = jnp.clip(yi, -PAD, RH - 1 + PAD) + PAD
-    xi1 = jnp.minimum(xi + 1, RW - 1 + 2 * PAD)
-    yi1 = jnp.minimum(yi + 1, RH - 1 + 2 * PAD)
-    # flat 1-D gathers (cheaper than N-d gathers on TPU; see luma_mc), with
-    # the index math fenced off so XLA cannot scalarize it into the gather
-    Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
-    flat = refs.reshape(-1)
-    base = sl * (Hp * Wp)
-    iA = base + yi * Wp + xi
-    iB = base + yi * Wp + xi1
-    iC = base + yi1 * Wp + xi
-    iD = base + yi1 * Wp + xi1
-    iA, iB, iC, iD = jax.lax.optimization_barrier((iA, iB, iC, iD))
-    A = jnp.take(flat, iA).astype(jnp.int32)
-    B = jnp.take(flat, iB).astype(jnp.int32)
-    C = jnp.take(flat, iC).astype(jnp.int32)
-    D = jnp.take(flat, iD).astype(jnp.int32)
-    return (
-        (8 - fx) * (8 - fy) * A + fx * (8 - fy) * B + (8 - fx) * fy * C + fx * fy * D + 32
-    ) >> 6
+def pack_pair16(refs16: jnp.ndarray) -> jnp.ndarray:
+    """[..., Hp, Wp] uint16 -> [..., 2, Hp, Wp//2+2] uint32: two
+    phase-shifted copies with 2 consecutive uint16 columns per word, so one
+    gather index yields both samples a 2-px chroma cell row reads (Wp must
+    be even). The chroma DPB ring stores this layout directly."""
+    Wp = refs16.shape[-1]
+    Wk = Wp // 2 + 2
+    C = Wp + 5  # max col read: 2*(Wk-1) + phase(1) + entry(1) = Wp + 4
+    pad = [(0, 0)] * (refs16.ndim - 1) + [(0, C - Wp)]
+    g = jnp.pad(refs16, pad, mode="edge")
+    words = [
+        (g[..., p : p + 2 * Wk][..., 0::2].astype(jnp.uint32)
+         | (g[..., p : p + 2 * Wk][..., 1::2].astype(jnp.uint32) << 16))
+        for p in range(2)
+    ]
+    return jnp.stack(words, axis=-3)  # [..., 2, Hp, Wk]
 
 
 def chroma_mc_pair(
-    refs16: jnp.ndarray,  # [R, Hc+2P, Wc+2P] uint16: Cb | (Cr << 8)
+    packed: jnp.ndarray,  # [R, 2, Hpc, Wkc] uint32 pair-packed Cb|Cr<<8 ring
     slot: jnp.ndarray,  # [H4, W4] int32 (luma-cell granularity)
     mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel luma MV
     Hc: int,
     Wc: int,
 ):
-    """Both chroma components in ONE gather pass: Cb and Cr share every
-    source coordinate, so gathering from the byte-interleaved uint16 plane
-    halves the gather-index count (XLA TPU gathers cost ~8 ns per INDEX on
-    the device trace; the chroma corners were 16 serial 4.2 ms fusions).
+    """Both chroma components, both pixels of a cell row, in one gather
+    pass: Cb and Cr share every source coordinate (byte-interleaved uint16
+    plane), and the two horizontally adjacent pixels of a 2x2 chroma cell
+    share their MV, so their three distinct bilinear source columns
+    (x, x+1, x+2) come from TWO packed uint32 words. Gather-index count:
+    4 per cell row vs the naive 16 (XLA TPU gathers cost ~7 ns per INDEX).
+    Edge exactness follows the same flat-PAD-margin argument as luma_mc.
     Returns (pred_cb, pred_cr) int32 planes."""
-    RH = refs16.shape[-2] - 2 * PAD
-    RW = refs16.shape[-1] - 2 * PAD
-    mvp = jnp.repeat(jnp.repeat(mv, 2, axis=0), 2, axis=1)
-    sl = jnp.repeat(jnp.repeat(jnp.maximum(slot, 0), 2, axis=0), 2, axis=1)
-    yy, xx = jnp.mgrid[0:Hc, 0:Wc]
-    xi = jnp.clip(xx + (mvp[..., 0] >> 3), -PAD, RW - 1 + PAD) + PAD
-    yi = jnp.clip(yy + (mvp[..., 1] >> 3), -PAD, RH - 1 + PAD) + PAD
-    fx = mvp[..., 0] & 7
-    fy = mvp[..., 1] & 7
-    Hp, Wp = RH + 2 * PAD, RW + 2 * PAD
-    xi1 = jnp.minimum(xi + 1, Wp - 1)
+    Hp, Wk = packed.shape[-2], packed.shape[-1]
+    Wp = 2 * (Wk - 2)
+    RH, RW = Hp - 2 * PAD, Wp - 2 * PAD
+    flat = packed.reshape(-1)
+    Wc2 = Wc // 2  # == W4: one luma 4x4 cell <-> one 2x2 chroma cell
+
+    def r2(a):  # cell grid [H4, W4] -> chroma-row grid [Hc, Wc2]
+        return jnp.repeat(a, 2, axis=0)
+
+    sl = r2(jnp.maximum(slot, 0))
+    mvx, mvy = r2(mv[..., 0]), r2(mv[..., 1])
+    yy = jnp.arange(Hc)[:, None]
+    xx0 = (jnp.arange(Wc2) * 2)[None, :]
+    xi = jnp.clip(xx0 + (mvx >> 3), -PAD, RW - 1 + PAD) + PAD
+    yi = jnp.clip(yy + (mvy >> 3), -PAD, RH - 1 + PAD) + PAD
     yi1 = jnp.minimum(yi + 1, Hp - 1)
-    flat = refs16.reshape(-1)
-    base = sl * (Hp * Wp)
-    iA = base + yi * Wp + xi
-    iB = base + yi * Wp + xi1
-    iC = base + yi1 * Wp + xi
-    iD = base + yi1 * Wp + xi1
-    iA, iB, iC, iD = jax.lax.optimization_barrier((iA, iB, iC, iD))
-    A = jnp.take(flat, iA).astype(jnp.int32)
-    B = jnp.take(flat, iB).astype(jnp.int32)
-    C = jnp.take(flat, iC).astype(jnp.int32)
-    D = jnp.take(flat, iD).astype(jnp.int32)
+    fx = mvx & 7  # constant across the cell: shared by both pixels
+    fy = mvy & 7
+    plane_sz = Hp * Wk
+    base = sl * (2 * plane_sz)
+
+    def widx(y, x):
+        return base + (x & 1) * plane_sz + y * Wk + (x >> 1)
+
+    iA = widx(yi, xi)  # cols xi, xi+1 at row yi
+    iA2 = widx(yi, xi + 2)  # cols xi+2, xi+3 at row yi
+    iC = widx(yi1, xi)
+    iC2 = widx(yi1, xi + 2)
+    iA, iA2, iC, iC2 = jax.lax.optimization_barrier((iA, iA2, iC, iC2))
+    wA = jnp.take(flat, iA)
+    wA2 = jnp.take(flat, iA2)
+    wC = jnp.take(flat, iC)
+    wC2 = jnp.take(flat, iC2)
+    # per-pixel bilinear corners (uint16 Cb | Cr<<8), pixels 0 and 1:
+    # pixel 0 reads cols (xi, xi+1), pixel 1 reads (xi+1, xi+2)
+    A0, B0 = wA & 0xFFFF, wA >> 16
+    A1, B1 = B0, wA2 & 0xFFFF
+    C0, D0 = wC & 0xFFFF, wC >> 16
+    C1, D1 = D0, wC2 & 0xFFFF
 
     def bil(a, b, c, d):
+        a, b, c, d = (v.astype(jnp.int32) for v in (a, b, c, d))
         return (
             (8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
             + (8 - fx) * fy * c + fx * fy * d + 32
         ) >> 6
 
-    return (
-        bil(A & 255, B & 255, C & 255, D & 255),
-        bil(A >> 8, B >> 8, C >> 8, D >> 8),
-    )
+    def comp(shift):
+        p0 = bil((A0 >> shift) & 255, (B0 >> shift) & 255,
+                 (C0 >> shift) & 255, (D0 >> shift) & 255)
+        p1 = bil((A1 >> shift) & 255, (B1 >> shift) & 255,
+                 (C1 >> shift) & 255, (D1 >> shift) & 255)
+        return jnp.stack([p0, p1], axis=-1).reshape(Hc, Wc)
+
+    return comp(0), comp(8)
 
 
 def weighted_combine(

@@ -69,6 +69,21 @@ from .dpb import Picture
 _jit_half_pel = jax.jit(mc_k.half_pel_planes)
 _jit_chroma_pad = jax.jit(mc_k.chroma_pad)
 
+
+@jax.jit
+def _jit_pack_luma(y):
+    """[H, W] uint8 -> the ring's packed luma MC layout."""
+    return mc_k.pack_pair8(mc_k.half_pel_planes(y))
+
+
+@jax.jit
+def _jit_pack_chroma(cb, cr):
+    """Cb/Cr [Hc, Wc] uint8 -> the ring's packed interleaved chroma layout."""
+    c16 = mc_k.chroma_pad(cb).astype(jnp.uint16) | (
+        mc_k.chroma_pad(cr).astype(jnp.uint16) << 8
+    )
+    return mc_k.pack_pair16(c16)
+
 _ON_TPU: bool | None = None
 
 # Table 8-15: QPc from clipped qPI (device constant for the 4:4:4 path)
@@ -212,12 +227,10 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
 
     use0c = px2(use0_cell).astype(bool)
     use1c = px2(use1_cell).astype(bool)
-    # both chroma components ride one interleaved-uint16 gather pass
-    refs16 = inp["ref_cb"].astype(jnp.uint16) | (
-        inp["ref_cr"].astype(jnp.uint16) << 8
-    )
-    p0cb, p0cr = mc_k.chroma_mc_pair(refs16, slot[0], mv[0], Hc, Wc)
-    p1cb, p1cr = mc_k.chroma_mc_pair(refs16, slot[1], mv[1], Hc, Wc)
+    # both chroma components ride one gather pass over the pre-packed
+    # (Cb | Cr<<8 interleaved, column-pair-packed) chroma ring
+    p0cb, p0cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[0], mv[0], Hc, Wc)
+    p1cb, p1cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[1], mv[1], Hc, Wc)
     chroma_planes = []
     for comp, (p0, p1, rc) in enumerate(
         ((p0cb, p1cb, rcb), (p0cr, p1cr, rcr))
@@ -244,16 +257,25 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
 
 
 def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-                has_l8: bool, has_pcm: bool):
+                has_l8: bool, has_pcm: bool, has_intra: bool = True):
     """The full parallel pixel path for one frame, one compile variant.
 
-    has_l8/has_pcm are the only static gates left: has_l8 is a per-PPS
-    stream constant (transform_8x8_mode_flag) and I_PCM frames are rare
-    enough that the occasional extra variant beats always shipping three
-    full-size PCM planes over the link."""
+    has_l8/has_pcm/has_intra are the only static gates left: has_l8 is a
+    per-PPS stream constant (transform_8x8_mode_flag), I_PCM frames are
+    rare enough that the occasional extra variant beats always shipping
+    three full-size PCM planes over the link, and has_intra=False skips
+    the intra raster kernels entirely — typical P/B frames code ZERO intra
+    macroblocks, and the serial wavefront kernels were ~60 ms/frame of
+    pure overhead on them (device trace)."""
     base_y, base_cb, base_cr, ry, rcb, rcr = _base_planes(
         inp, mb_h, mb_w, has_l8, has_pcm
     )
+    if not has_intra:
+        return (
+            base_y.astype(jnp.uint8),
+            base_cb.astype(jnp.uint8),
+            base_cr.astype(jnp.uint8),
+        )
     # ---- intra reconstruction: Pallas raster kernel on TPU, XLA wavefront
     # elsewhere (CPU tests / virtual device meshes)
     intra_impl = intra_frame_pallas if _on_tpu() else intra_wavefront
@@ -278,7 +300,7 @@ def _comp_qp_grids(inp: dict):
 
 
 def _frame_core_444(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-                    has_l8: bool, has_pcm: bool):
+                    has_l8: bool, has_pcm: bool, has_intra: bool = True):
     """ChromaArrayType-3 pixel path: Cb and Cr run the LUMA machinery per
     component (spec 7.3.5.3.1 / 8.3.4.5 / 8.4.2.2) — luma-geometry residual
     planes with per-component QPc and scaling lists, luma-style quarter-pel
@@ -341,6 +363,8 @@ def _frame_core_444(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     ]
     bases = [jnp.where(im, pl, pc) for pl, pc in zip(planes_out, pcm)]
     rzs = (ry, rcb, rcr)
+    if not has_intra:
+        return tuple(b.astype(jnp.uint8) for b in bases)
 
     # intra: three luma-mode passes (the chroma half of each call runs on
     # dummy 4:2:0 planes and is discarded — correctness over peak perf for
@@ -522,8 +546,9 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
     """The whole per-frame device program: reconstruct -> deblock ->
     half-pel planes -> DPB ring update -> packed output.
 
-    flags = (has_l8, has_pcm, apply_deblock, sparse). The DPB's reference
-    planes live on device for the whole stream as a ring that is re-fed
+    flags = (has_l8, has_pcm, apply_deblock, sparse, cf3, has_intra). The
+    DPB's reference planes live on device for the whole stream as a ring
+    holding the PAIR-PACKED MC gather layouts (kernels/mc.py), re-fed
     (NOT donated: on this machine's axon runtime a donated ring costs
     ~310 ms/frame of hidden buffer traffic vs 0.3 ms without — measured by
     tools/perf_probe.py). The per-frame host tensors arrive as `wire`, a
@@ -533,29 +558,39 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
     device->host asynchronously."""
     has_l8, has_pcm, apply_db, sparse = flags[:4]
     cf3 = len(flags) > 4 and flags[4]
+    has_intra = flags[5] if len(flags) > 5 else True
     inp = _prepare_inp(wire, dyn, ring_y, ring_cb, ring_cr, mb_h, mb_w, flags)
     slot = inp["slot_idx"].astype(jnp.int32).reshape(())
     if cf3:
-        y, cb, cr = _frame_core_444(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
+        y, cb, cr = _frame_core_444(inp, mb_h, mb_w, n_refs, has_l8,
+                                    has_pcm, has_intra)
         if apply_db:
             y, cb, cr = _deblock_core_444((y, cb, cr), inp, mb_h, mb_w)
         ring_y = jax.lax.dynamic_update_slice(
-            ring_y, mc_k.half_pel_planes(y)[None], (slot, 0, 0, 0))
+            ring_y, mc_k.pack_pair8(mc_k.half_pel_planes(y))[None],
+            (slot, 0, 0, 0, 0))
         ring_cb = jax.lax.dynamic_update_slice(
-            ring_cb, mc_k.half_pel_planes(cb)[None], (slot, 0, 0, 0))
+            ring_cb, mc_k.pack_pair8(mc_k.half_pel_planes(cb))[None],
+            (slot, 0, 0, 0, 0))
         ring_cr = jax.lax.dynamic_update_slice(
-            ring_cr, mc_k.half_pel_planes(cr)[None], (slot, 0, 0, 0))
+            ring_cr, mc_k.pack_pair8(mc_k.half_pel_planes(cr))[None],
+            (slot, 0, 0, 0, 0))
         packed = jnp.concatenate([y, cb, cr], axis=0)
         return ring_y, ring_cb, ring_cr, packed
-    y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm)
+    y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm,
+                            has_intra)
     if apply_db:
         y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w)
-    hp = mc_k.half_pel_planes(y)
-    cbp = mc_k.chroma_pad(cb)
-    crp = mc_k.chroma_pad(cr)
-    ring_y = jax.lax.dynamic_update_slice(ring_y, hp[None], (slot, 0, 0, 0))
-    ring_cb = jax.lax.dynamic_update_slice(ring_cb, cbp[None], (slot, 0, 0))
-    ring_cr = jax.lax.dynamic_update_slice(ring_cr, crp[None], (slot, 0, 0))
+    # DPB ring update: the rings hold the PAIR-PACKED layouts the MC
+    # gathers consume (kernels/mc.py pack_pair8/pack_pair16), built once
+    # per decoded frame here
+    hp = mc_k.pack_pair8(mc_k.half_pel_planes(y))
+    c16 = mc_k.chroma_pad(cb).astype(jnp.uint16) | (
+        mc_k.chroma_pad(cr).astype(jnp.uint16) << 8
+    )
+    cq = mc_k.pack_pair16(c16)
+    ring_y = jax.lax.dynamic_update_slice(ring_y, hp[None], (slot, 0, 0, 0, 0))
+    ring_cb = jax.lax.dynamic_update_slice(ring_cb, cq[None], (slot, 0, 0, 0))
     packed = jnp.concatenate([y, jnp.concatenate([cb, cr], axis=1)], axis=0)
     return ring_y, ring_cb, ring_cr, packed
 
@@ -588,12 +623,19 @@ class _PackedFrame:
 
     def block_until_ready(self):
         """Wait for the frame's packed buffer to be COMPUTED on device
-        (decode complete) without forcing the device->host download."""
+        (decode complete) without forcing the device->host download. The
+        wait is timed as the `device` stage: summed across frames it is the
+        device compute not overlapped by host work, which makes the bench
+        per-stage table account for its own wall."""
         pk = self._packed
         if pk is not None:
             b = getattr(pk, "block_until_ready", None)
             if b is not None:
-                b()
+                if self._metrics is not None:
+                    with self._metrics.timer("device"):
+                        b()
+                else:
+                    b()
         return self
 
     def fetch(self):
@@ -628,6 +670,8 @@ class _PlaneView:
         return a
 
     def block_until_ready(self):
+        """Wait until the frame's packed output exists ON DEVICE (decode
+        complete) without starting the device->host download."""
         self._frame.block_until_ready()
         return self
 
@@ -641,12 +685,6 @@ class _PlaneView:
     @property
     def dtype(self):
         return np.dtype(np.uint8)
-
-    def block_until_ready(self):
-        """Wait until the frame's packed output exists ON DEVICE (decode
-        complete) without starting the device->host download."""
-        if self._frame._planes is None and self._frame._packed is not None:
-            jax.block_until_ready(self._frame._packed)
 
 
 class _FuturePlane:
@@ -919,17 +957,25 @@ class TpuDecoder(Decoder):
         geom = (n_refs, H, W, cf3)
         if self._ring is None or self._ring_geom != geom:
             P = mc_k.PAD
+            # rings hold the PAIR-PACKED MC layouts (kernels/mc.py):
+            # luma [R, 4 planes, 2 phases, Hp, Wp//2+2] uint16; 4:2:0
+            # chroma one interleaved Cb|Cr ring [R, 2, Hpc, Wpc//2+2] uint32
+            lshape = (n_refs, 4, 2, H + 2 * P, (W + 2 * P) // 2 + 2)
             if cf3:
                 # 4:4:4 chroma is MC'd with the luma process: each chroma
-                # component keeps its own half-pel plane stack
-                cshape = (n_refs, 4, H + 2 * P, W + 2 * P)
+                # component keeps its own packed half-pel plane stack
+                self._ring = [
+                    jnp.zeros(lshape, jnp.uint16),
+                    jnp.zeros(lshape, jnp.uint16),
+                    jnp.zeros(lshape, jnp.uint16),
+                ]
             else:
-                cshape = (n_refs, H // 2 + 2 * P, W // 2 + 2 * P)
-            self._ring = [
-                jnp.zeros((n_refs, 4, H + 2 * P, W + 2 * P), jnp.uint8),
-                jnp.zeros(cshape, jnp.uint8),
-                jnp.zeros(cshape, jnp.uint8),
-            ]
+                Hpc, Wpc = H // 2 + 2 * P, W // 2 + 2 * P
+                self._ring = [
+                    jnp.zeros(lshape, jnp.uint16),
+                    jnp.zeros((n_refs, 2, Hpc, Wpc // 2 + 2), jnp.uint32),
+                    jnp.zeros((1,), jnp.uint8),  # placeholder (Cb|Cr merged)
+                ]
             self._ring_slots = {}
             self._ring_geom = geom
         return n_refs
@@ -944,22 +990,24 @@ class TpuDecoder(Decoder):
     def _insert_host_refs(self, pictures: list[Picture], n_refs: int,
                           live: set):
         """Upload reference pictures that lack a ring slot (pictures decoded
-        by a host fallback path, e.g. lossless transform-bypass frames)."""
-        cf3 = self._ring[1].ndim == 4
+        by a host fallback path, e.g. lossless transform-bypass frames),
+        packed into the ring's MC layouts."""
+        cf3 = self._ring[1].ndim == 5
         for p in pictures[:n_refs]:
             if p.uid in self._ring_slots:
                 continue
             slot = self._alloc_slot(live, n_refs)
-            hp = _jit_half_pel(jnp.asarray(np.asarray(p.y)))
+            hp = _jit_pack_luma(jnp.asarray(np.asarray(p.y)))
             if cf3:
-                cbp = _jit_half_pel(jnp.asarray(np.asarray(p.cb)))
-                crp = _jit_half_pel(jnp.asarray(np.asarray(p.cr)))
+                cbp = _jit_pack_luma(jnp.asarray(np.asarray(p.cb)))
+                crp = _jit_pack_luma(jnp.asarray(np.asarray(p.cr)))
+                self._ring[2] = self._ring[2].at[slot].set(crp)
             else:
-                cbp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cb)))
-                crp = _jit_chroma_pad(jnp.asarray(np.asarray(p.cr)))
+                cbp = _jit_pack_chroma(
+                    jnp.asarray(np.asarray(p.cb)), jnp.asarray(np.asarray(p.cr))
+                )
             self._ring[0] = self._ring[0].at[slot].set(hp)
             self._ring[1] = self._ring[1].at[slot].set(cbp)
-            self._ring[2] = self._ring[2].at[slot].set(crp)
             self._ring_slots[p.uid] = slot
 
     def _reconstruct(self, ft, sps, pps, slices, ref_lists, weight_ctx, poc,
@@ -1246,7 +1294,11 @@ class TpuDecoder(Decoder):
         dyn = dict(self._ls_dev)
         dyn["qp_offsets"] = (pps.chroma_qp_index_offset,
                              pps.second_chroma_qp_index_offset)
-        flags = (has_l8, has_pcm, self.apply_deblock, sparse, cf3)
+        # typical P/B frames code zero intra MBs: skip the serial intra
+        # raster kernels entirely (the base planes already hold the full
+        # inter + PCM reconstruction)
+        has_intra = bool(kind.any())
+        flags = (has_l8, has_pcm, self.apply_deblock, sparse, cf3, has_intra)
         if m is not None:
             with m.timer("dispatch"):
                 ry, rcb, rcr, packed = frame_step(
