@@ -152,7 +152,12 @@ def pack_luma_params(prep, mb_h, mb_w, nbx):
             parts.append(_lut(_TC0, (iae, jnp.full_like(iae, k))))
     packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 72)
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - packed.shape[-1])))
-    return packed.reshape(mb_h * nbx, 8, 128).astype(jnp.int32)
+    blk = packed.reshape(mb_h * nbx, 8, 128).astype(jnp.int32)
+    # lane 127 of MB 0: any nonzero bS in this 8-MB block — the kernel
+    # skips the whole block when clear (identity filters; large skip areas
+    # of P/B frames make most blocks free)
+    anyf = (blk[:, :, :32] > 0).any(axis=(1, 2))
+    return blk.at[:, 0, 127].set(anyf.astype(jnp.int32))
 
 
 # luma lane bases: [alpha, beta, tc0_1, tc0_2, tc0_3] per edge
@@ -185,7 +190,9 @@ def pack_chroma_params(prep, mb_h, mb_w, nbx_c):
                     )
     packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 56)
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - packed.shape[-1])))
-    return packed.reshape(mb_h * nbx_c, 16, 128).astype(jnp.int32)
+    blk = packed.reshape(mb_h * nbx_c, 16, 128).astype(jnp.int32)
+    anyf = (blk[:, :, :16] > 0).any(axis=(1, 2))
+    return blk.at[:, 0, 127].set(anyf.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +213,13 @@ def _make_luma_kernel(n_blk: int, nbx: int):
         z16 = jnp.zeros((16, 1), jnp.int32)
 
         def blk(i, _):
+            @pl.when(p_in[i, 0, 127] != 0)
+            def _do_block():
+                _blk_body(i)
+
+            return 0
+
+        def _blk_body(i):
             mby = i // nbx
             bx = i % nbx
             win = y_ref[pl.ds(mby * 16, 32), pl.ds(bx * 128, 256)].astype(jnp.int32)
@@ -272,7 +286,6 @@ def _make_luma_kernel(n_blk: int, nbx: int):
             segs.append(jnp.concatenate(carry, axis=1))
             out = jnp.concatenate(segs, axis=1)  # (32, 256)
             y_ref[pl.ds(mby * 16, 32), pl.ds(bx * 128, 256)] = out.astype(jnp.uint8)
-            return 0
 
         jax.lax.fori_loop(0, n_blk, blk, 0)
 
@@ -286,6 +299,13 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
         z8 = jnp.zeros((8, 1), jnp.int32)
 
         def blk(i, _):
+            @pl.when(p_in[i, 0, 127] != 0)
+            def _do_block():
+                _blk_body(i)
+
+            return 0
+
+        def _blk_body(i):
             mby = i // nbx_c
             bx = i % nbx_c
             for comp, ref in ((0, cb_ref), (1, cr_ref)):
@@ -345,7 +365,6 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
                 segs.append(jnp.concatenate(carry, axis=1))
                 out = jnp.concatenate(segs, axis=1)  # (16, 256)
                 ref[pl.ds(mby * 8, 16), pl.ds(bx * 128, 256)] = out.astype(jnp.uint8)
-            return 0
 
         jax.lax.fori_loop(0, n_blk, blk, 0)
 

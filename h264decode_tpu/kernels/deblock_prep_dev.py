@@ -58,11 +58,20 @@ def deblock_prep_device(
     slot_cells=None,  # optional precomputed [2, H4, W4] ref slots: skips the
                       # device-side _part_to_cells transpose (measured ~18 ms
                       # per [mb_h, mb_w, 4, 4] relayout at 1080p)
+    chroma_all_h_edges: bool = False,  # 4:2:2: also emit "bs_hc", the
+                      # horizontal bS WITHOUT the 8x8-transform suppression
+                      # (chroma has a transform boundary every 4 luma rows)
 ) -> dict:
     H4, W4 = mb_h * 4, mb_w * 4
     cls = _mb_to_cells(mb_cls, mb_h, mb_w)
     intra = cls < 3
     qp = _mb_to_cells(qp_mb, mb_h, mb_w)
+    # chroma-QP table lookups at MB resolution (nMB indices) and broadcast:
+    # the same lookups at cell resolution were ~1 ms gathers EACH at 1080p
+    # (8 per frame, device trace); the table map is per-MB anyway
+    cqp_cells = [
+        _mb_to_cells(_cqp(qp_mb, off), mb_h, mb_w) for off in qp_offsets
+    ]
     t8 = _mb_to_cells(t8_mb, mb_h, mb_w)
     slc = _mb_to_cells(slice_mb, mb_h, mb_w)
     disable = _mb_to_cells(disable_mb, mb_h, mb_w)
@@ -130,18 +139,22 @@ def deblock_prep_device(
         mb_boundary = pos == 0
         bs = jnp.where(coded | p_coded, 2, bs)
         bs = jnp.where(intra | p_intra, jnp.where(mb_boundary, 4, 3), bs)
+        common = (disable != 1) & ~(
+            (disable == 2) & mb_boundary & (p_slice != slc)
+        )
         exists = jnp.where(mb_boundary, ~at_edge, jnp.where(t8, pos == 2, True))
-        exists &= disable != 1
-        exists &= ~((disable == 2) & mb_boundary & (p_slice != slc))
-        bs = jnp.where(exists, bs, 0)
+        if direction == "h" and chroma_all_h_edges:
+            exists_c = jnp.where(mb_boundary, ~at_edge, True) & common
+            prep["bs_hc"] = jnp.where(exists_c, bs, 0)
+        bs = jnp.where(exists & common, bs, 0)
 
         qp_av = (p_qp + qp + 1) >> 1
         prep[f"bs_{direction}"] = bs
         prep[f"ia_{direction}"] = jnp.clip(qp_av + a_off, 0, 51)
         prep[f"ib_{direction}"] = jnp.clip(qp_av + b_off, 0, 51)
         ca, cbt = [], []
-        for off in qp_offsets:
-            qpc_av = (_cqp(p_qp, off) + _cqp(qp, off) + 1) >> 1
+        for cq in cqp_cells:
+            qpc_av = (_shift(cq, dy, dx) + cq + 1) >> 1
             ca.append(jnp.clip(qpc_av + a_off, 0, 51))
             cbt.append(jnp.clip(qpc_av + b_off, 0, 51))
         prep[f"ca_{direction}"] = jnp.stack(ca)

@@ -81,6 +81,28 @@ _QPEL_TAB = np.array(
 )
 
 
+def _qpel_fields(frac: jnp.ndarray):
+    """Table 8-12 fields for a [H4, W4] frac-class grid WITHOUT a gather:
+    a 4-level bit-select tree over the 16 constant rows (the equivalent
+    jnp table indexing lowers to a ~8 ns/index gather on TPU; this is a
+    handful of VPU selects). Returns a 7-tuple of int32 grids matching
+    _QPEL_TAB's columns."""
+    b0 = (frac & 1) == 1
+    b1 = (frac & 2) == 2
+    b2 = (frac & 4) == 4
+    b3 = (frac & 8) == 8
+    out = []
+    for col in range(7):
+        v = _QPEL_TAB[:, col]
+        lvl = [
+            jnp.where(b0, int(v[2 * i + 1]), int(v[2 * i])) for i in range(8)
+        ]
+        lvl = [jnp.where(b1, lvl[2 * i + 1], lvl[2 * i]) for i in range(4)]
+        lvl = [jnp.where(b2, lvl[2 * i + 1], lvl[2 * i]) for i in range(2)]
+        out.append(jnp.where(b3, lvl[1], lvl[0]).astype(jnp.int32))
+    return tuple(out)
+
+
 def pack_pair8(planes: jnp.ndarray) -> jnp.ndarray:
     """[..., Hp, Wp] uint8 -> [..., 2, Hp, Wp//2+2] uint16: two
     phase-shifted copies of each plane with 2 consecutive columns packed
@@ -140,9 +162,11 @@ def luma_mc(
     def rrow(a):  # cell grid [H4, W4] -> quad-row grid [H, W4]
         return jnp.repeat(a, 4, axis=0)
 
-    # cell-resolution Table 8-12 entries and plane bases
+    # cell-resolution Table 8-12 entries (computed as a bit-select tree —
+    # a 16-entry table LOOKUP lowers to a gather costing ~1 ms per field
+    # set at 1080p, pure VPU selects are ~free)
     frac = (mv[..., 0] & 3) + 4 * (mv[..., 1] & 3)  # [H4, W4]
-    t = jnp.asarray(_QPEL_TAB)[frac]  # [H4, W4, 7]
+    t = _qpel_fields(frac)  # tuple of 7 [H4, W4] grids
     phase_sz = Hp * Wk
     base_c = jnp.maximum(slot, 0) * (8 * phase_sz)
     mvx, mvy = rrow(mv[..., 0]), rrow(mv[..., 1])  # [H, W4]
@@ -151,12 +175,12 @@ def luma_mc(
     # clamp into the padded canvas (flat margins make this exact)
     xi = jnp.clip(xx0 + (mvx >> 2), -PAD, RW - 1 + PAD) + PAD
     yi = jnp.clip(yy + (mvy >> 2), -PAD, RH - 1 + PAD) + PAD
-    x1 = jnp.minimum(xi + rrow(t[..., 2]), Wp - 1)
-    y1 = jnp.minimum(yi + rrow(t[..., 1]), Hp - 1)
-    x2 = jnp.minimum(xi + rrow(t[..., 5]), Wp - 1)
-    y2 = jnp.minimum(yi + rrow(t[..., 4]), Hp - 1)
-    b1 = rrow(base_c + t[..., 0] * (2 * phase_sz))
-    b2 = rrow(base_c + t[..., 3] * (2 * phase_sz))
+    x1 = jnp.minimum(xi + rrow(t[2]), Wp - 1)
+    y1 = jnp.minimum(yi + rrow(t[1]), Hp - 1)
+    x2 = jnp.minimum(xi + rrow(t[5]), Wp - 1)
+    y2 = jnp.minimum(yi + rrow(t[4]), Hp - 1)
+    b1 = rrow(base_c + t[0] * (2 * phase_sz))
+    b2 = rrow(base_c + t[3] * (2 * phase_sz))
 
     def widx(b, y, x):
         return b + (x & 1) * phase_sz + y * Wk + (x >> 1)
@@ -165,7 +189,7 @@ def luma_mc(
     i1b = widx(b1, y1, x1 + 2)  # cols x1+2, x1+3
     i2a = widx(b2, y2, x2)
     i2b = widx(b2, y2, x2 + 2)
-    single = rrow(t[..., 6])
+    single = rrow(t[6])
     i1a, i1b, i2a, i2b, single = jax.lax.optimization_barrier(
         (i1a, i1b, i2a, i2b, single)
     )
@@ -209,6 +233,7 @@ def chroma_mc_pair(
     mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel luma MV
     Hc: int,
     Wc: int,
+    chroma_array_type: int = 1,
 ):
     """Both chroma components, both pixels of a cell row, in one gather
     pass: Cb and Cr share every source coordinate (byte-interleaved uint16
@@ -222,20 +247,29 @@ def chroma_mc_pair(
     Wp = 2 * (Wk - 2)
     RH, RW = Hp - 2 * PAD, Wp - 2 * PAD
     flat = packed.reshape(-1)
-    Wc2 = Wc // 2  # == W4: one luma 4x4 cell <-> one 2x2 chroma cell
+    Wc2 = Wc // 2  # == W4: one luma 4x4 cell <-> one chroma cell column
+
+    # vertical chroma sampling: 4:2:0 halves rows (1/8-pel vertical MV),
+    # 4:2:2 keeps full rows (spec 8.4.2.2.1: yIntC = mvLX[1] >> 2,
+    # yFracC = (mvLX[1] & 3) << 1)
+    rv = 2 if chroma_array_type == 1 else 4  # chroma rows per luma cell
 
     def r2(a):  # cell grid [H4, W4] -> chroma-row grid [Hc, Wc2]
-        return jnp.repeat(a, 2, axis=0)
+        return jnp.repeat(a, rv, axis=0)
 
     sl = r2(jnp.maximum(slot, 0))
     mvx, mvy = r2(mv[..., 0]), r2(mv[..., 1])
     yy = jnp.arange(Hc)[:, None]
     xx0 = (jnp.arange(Wc2) * 2)[None, :]
     xi = jnp.clip(xx0 + (mvx >> 3), -PAD, RW - 1 + PAD) + PAD
-    yi = jnp.clip(yy + (mvy >> 3), -PAD, RH - 1 + PAD) + PAD
+    if chroma_array_type == 2:
+        yi = jnp.clip(yy + (mvy >> 2), -PAD, RH - 1 + PAD) + PAD
+        fy = (mvy & 3) << 1
+    else:
+        yi = jnp.clip(yy + (mvy >> 3), -PAD, RH - 1 + PAD) + PAD
+        fy = mvy & 7
     yi1 = jnp.minimum(yi + 1, Hp - 1)
     fx = mvx & 7  # constant across the cell: shared by both pixels
-    fy = mvy & 7
     plane_sz = Hp * Wk
     base = sl * (2 * plane_sz)
 
