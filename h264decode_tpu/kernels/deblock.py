@@ -121,15 +121,17 @@ def deblock_frame_tpu(
     #             the band boundary, and the function ALSO returns the
     #             (possibly modified) halo rows for the caller to paste back
     #             into the band above (row-band sharding, dist/sharded.py).
+    ch_h: int = 8,  # chroma MB height in samples: 8 (4:2:0) / 16 (4:2:2)
 ):
     """Returns filtered (y, cb, cr); with halo, ((y, cb, cr), halo')."""
     H, W = mb_h * 16, mb_w * 16
-    Hc, Wc = mb_h * 8, mb_w * 8
+    Hc, Wc = mb_h * ch_h, mb_w * 8
+    cf2 = ch_h == 16
     # bottom scratch strip: inactive wavefront slots gather/scatter there so
     # their (identity) writes can never collide with live patches
     yp = jnp.pad(y.astype(jnp.int32), ((LPAD, 24), (LPAD, 0)))
-    cbp = jnp.pad(cb.astype(jnp.int32), ((LPAD, 16), (LPAD, 0)))
-    crp = jnp.pad(cr.astype(jnp.int32), ((LPAD, 16), (LPAD, 0)))
+    cbp = jnp.pad(cb.astype(jnp.int32), ((LPAD, ch_h + 8), (LPAD, 0)))
+    crp = jnp.pad(cr.astype(jnp.int32), ((LPAD, ch_h + 8), (LPAD, 0)))
     if halo is not None:
         hy, hcb, hcr = halo
         yp = yp.at[0:LPAD, LPAD:].set(hy.astype(jnp.int32))
@@ -138,6 +140,9 @@ def deblock_frame_tpu(
 
     bs_v = jnp.asarray(prep["bs_v"])  # [H4, W4]
     bs_h = jnp.asarray(prep["bs_h"])
+    # 4:2:2 chroma horizontal edges ignore the luma 8x8-transform edge
+    # suppression (separate grid from the prep)
+    bs_hc = jnp.asarray(prep["bs_hc"]) if cf2 else bs_h
     ia_v = jnp.asarray(prep["ia_v"])
     ib_v = jnp.asarray(prep["ib_v"])
     ia_h = jnp.asarray(prep["ia_h"])
@@ -164,11 +169,13 @@ def deblock_frame_tpu(
         ry = ly0[:, None, None] + jnp.arange(20)[None, :, None]
         rx = lx0[:, None, None] + jnp.arange(20)[None, None, :]
         patch = yp[ry, rx]  # [slots, 20, 20]
-        cy0 = jnp.where(valid, mbys * 8, LPAD + Hc)
+        cy0 = jnp.where(valid, mbys * ch_h, LPAD + Hc)
         cx0 = jnp.where(valid, mbx * 8, 0)
-        cry = cy0[:, None, None] + jnp.arange(12)[None, :, None]
+        cry = cy0[:, None, None] + jnp.arange(LPAD + ch_h)[None, :, None]
         crx = cx0[:, None, None] + jnp.arange(12)[None, None, :]
-        cpatch = jnp.stack([cbp[cry, crx], crp[cry, crx]], axis=1)  # [s, 2, 12, 12]
+        cpatch = jnp.stack(
+            [cbp[cry, crx], crp[cry, crx]], axis=1
+        )  # [s, 2, LPAD+ch_h, 12]
 
         # per-MB cell coordinates for parameter lookup
         c4y = mbys[:, None] * 4 + jnp.arange(4)[None, :]  # [s, 4]
@@ -188,20 +195,22 @@ def deblock_frame_tpu(
             for k in range(4):
                 patch = patch.at[:, LPAD : LPAD + 16, X - 1 - k].set(p[..., k])
                 patch = patch.at[:, LPAD : LPAD + 16, X + k].set(q[..., k])
-            # chroma vertical edges ride luma edges 0 and 2
+            # chroma vertical edges ride luma edges 0 and 2. 4:2:0 chroma
+            # line j uses luma cell row j//2; 4:2:2 chroma rows map 1:1 to
+            # the 16 luma sample lines
             if e in (0, 2):
                 CX = LPAD + 2 * e
-                cbs = bs_cells  # chroma line j uses luma cell row (j // 2)
-                cbs_lines = jnp.repeat(cbs, 2, axis=1)  # [s, 8]
+                rep = ch_h // 4  # lines per luma cell row (2 / 4)
+                cbs_lines = jnp.repeat(bs_cells, rep, axis=1)  # [s, ch_h]
                 for comp in range(2):
-                    cia = jnp.repeat(ca_v[comp][c4y, c4x[:, e : e + 1]], 2, axis=1)
-                    cib = jnp.repeat(cb_v[comp][c4y, c4x[:, e : e + 1]], 2, axis=1)
-                    crows = cpatch[:, comp, LPAD : LPAD + 8, :]
+                    cia = jnp.repeat(ca_v[comp][c4y, c4x[:, e : e + 1]], rep, axis=1)
+                    cib = jnp.repeat(cb_v[comp][c4y, c4x[:, e : e + 1]], rep, axis=1)
+                    crows = cpatch[:, comp, LPAD : LPAD + ch_h, :]
                     p = jnp.stack([crows[:, :, CX - 1 - k] for k in range(2)], axis=-1)
                     q = jnp.stack([crows[:, :, CX + k] for k in range(2)], axis=-1)
                     p, q = _filter_chroma(p, q, cbs_lines, cia, cib)
-                    cpatch = cpatch.at[:, comp, LPAD : LPAD + 8, CX - 1].set(p[..., 0])
-                    cpatch = cpatch.at[:, comp, LPAD : LPAD + 8, CX].set(q[..., 0])
+                    cpatch = cpatch.at[:, comp, LPAD : LPAD + ch_h, CX - 1].set(p[..., 0])
+                    cpatch = cpatch.at[:, comp, LPAD : LPAD + ch_h, CX].set(q[..., 0])
 
         # ---- horizontal luma edges at local Y = 4 + 4e
         for e in range(4):
@@ -217,9 +226,15 @@ def deblock_frame_tpu(
             for k in range(4):
                 patch = patch.at[:, Y - 1 - k, LPAD : LPAD + 16].set(p[..., k])
                 patch = patch.at[:, Y + k, LPAD : LPAD + 16].set(q[..., k])
-            if e in (0, 2):
-                CY = LPAD + 2 * e
-                cbs_lines = jnp.repeat(bs_cells, 2, axis=1)
+            # 4:2:2 chroma has a transform boundary every 4 chroma rows =
+            # every 4 LUMA rows, so ALL four edge positions carry chroma
+            # filtering (at chroma row e * ch_h/4); 4:2:0 only 0 and 2
+            if cf2 or e in (0, 2):
+                CY = LPAD + (ch_h // 4) * e
+                cbs_cells = (
+                    bs_hc[c4y[:, e : e + 1], c4x] if cf2 else bs_cells
+                )
+                cbs_lines = jnp.repeat(cbs_cells, 2, axis=1)  # 8 cols = [::2]
                 for comp in range(2):
                     cia = jnp.repeat(ca_h[comp][c4y[:, e : e + 1], c4x], 2, axis=1)
                     cib = jnp.repeat(cb_h[comp][c4y[:, e : e + 1], c4x], 2, axis=1)
@@ -247,7 +262,7 @@ def deblock_frame_tpu(
     # with all bs == 0 is an identity patch write — skipping it is exact);
     # the row-band sharded step relies on this to make the masked (inactive-
     # shard) invocations free: zeroed bs grids collapse the loop to nothing
-    cell_any = (bs_v > 0) | (bs_h > 0)
+    cell_any = (bs_v > 0) | (bs_h > 0) | (bs_hc > 0)
     mb_any = cell_any.reshape(mb_h, 4, mb_w, 4).any(axis=(1, 3))
     d_grid = jnp.arange(mb_w)[None, :] + 2 * jnp.arange(mb_h)[:, None]
     lo = jnp.min(jnp.where(mb_any, d_grid, n_diag))

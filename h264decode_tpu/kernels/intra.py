@@ -326,6 +326,54 @@ def chroma_modes(t8, l8, m, have_l, have_t):
     return jnp.stack([p_dc, p_h, p_v, plane], axis=1)
 
 
+def chroma_modes_422(t8, l16, m, have_l, have_t):
+    """Spec 8.3.4 (4:2:2): DC per 4x4 sub-block (8 blocks of the 8x16
+    component), H/V extension, and plane with yCF = 4. t8: [s, 8] top row,
+    l16: [s, 16] left column. Returns [s, 4, 16, 8]."""
+    s = t8.shape[0]
+    yy, xx = np.mgrid[0:16, 0:8]
+    sum_t = [jnp.sum(t8[:, i * 4 : i * 4 + 4], axis=1) for i in range(2)]
+    sum_l = [jnp.sum(l16[:, i * 4 : i * 4 + 4], axis=1) for i in range(4)]
+
+    def dc_blk(bx, by):
+        both = (sum_t[bx] + sum_l[by] + 4) >> 3
+        only_t = (sum_t[bx] + 2) >> 2
+        only_l = (sum_l[by] + 2) >> 2
+        if (bx == 0 and by == 0) or (bx > 0 and by > 0):
+            return jnp.where(
+                have_l & have_t, both,
+                jnp.where(have_t, only_t, jnp.where(have_l, only_l, 128)),
+            )
+        if bx > 0:  # top-row right blocks: prefer top
+            return jnp.where(have_t, only_t, jnp.where(have_l, only_l, 128))
+        # left-column lower blocks: prefer left
+        return jnp.where(have_l, only_l, jnp.where(have_t, only_t, 128))
+
+    p_dc = jnp.zeros((s, 16, 8), jnp.int32)
+    for by in range(4):
+        for bx in range(2):
+            sel = (np.asarray((yy // 4 == by) & (xx // 4 == bx)))[None]
+            p_dc = jnp.where(sel, dc_blk(bx, by)[:, None, None], p_dc)
+    p_h = jnp.broadcast_to(l16[:, :, None], (s, 16, 8))
+    p_v = jnp.broadcast_to(t8[:, None, :], (s, 16, 8))
+    T = jnp.concatenate([m[:, None], t8], axis=1)
+    L = jnp.concatenate([m[:, None], l16], axis=1)
+    ks = np.arange(4)
+    ks8 = np.arange(8)
+    hsum = jnp.sum((ks + 1)[None, :] * (T[:, 5 + ks] - T[:, 3 - ks]), axis=1)
+    vsum = jnp.sum((ks8 + 1)[None, :] * (L[:, 9 + ks8] - L[:, 7 - ks8]), axis=1)
+    a = 16 * (l16[:, 15] + t8[:, 7])
+    b = (34 * hsum + 32) >> 6
+    c = (5 * vsum + 32) >> 6  # (34 - 29) at yCF = 4 (8.3.4.4)
+    plane = jnp.clip(
+        (a[:, None, None] + b[:, None, None] * (xx - 3)
+         + c[:, None, None] * (yy - 7) + 16) >> 5,
+        0,
+        255,
+    )
+    return jnp.stack([p_dc, p_h, p_v, plane], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Wavefront driver
 # ---------------------------------------------------------------------------
@@ -353,14 +401,15 @@ def intra_wavefront(
     top=None,  # optional (y_row [W], cb_row [Wc], cr_row [Wc]) halo: the
     #            pre-deblock bottom pixel row of the band above, seeded as
     #            the "above" neighbors of MB row 0 (row-band sharding)
+    ch_h: int = 8,  # chroma MB height in samples: 8 (4:2:0) / 16 (4:2:2)
 ):
     """Runs the anti-diagonal intra wavefront; returns updated (y, cb, cr)."""
     H, W = mb_h * 16, mb_w * 16
-    Hc, Wc = mb_h * 8, mb_w * 8
+    Hc, Wc = mb_h * ch_h, mb_w * 8
     # pad: PAD top/left, right PAD, bottom PAD + 16-row scratch strip
     yp = jnp.pad(y, ((PAD, PAD + 16), (PAD, PAD)))
-    cbp = jnp.pad(cb, ((PAD, PAD + 8), (PAD, PAD)))
-    crp = jnp.pad(cr, ((PAD, PAD + 8), (PAD, PAD)))
+    cbp = jnp.pad(cb, ((PAD, PAD + ch_h), (PAD, PAD)))
+    crp = jnp.pad(cr, ((PAD, PAD + ch_h), (PAD, PAD)))
     if top is not None:
         ty_, tcb_, tcr_ = top
         yp = yp.at[PAD - 1, PAD : PAD + W].set(ty_.astype(yp.dtype))
@@ -380,8 +429,8 @@ def intra_wavefront(
     scr_c = PAD + Hc
     # hoist the residual padding out of the loop body
     resid_y_p = jnp.pad(resid_y, ((0, 16), (0, 0)))
-    resid_cb_p = jnp.pad(resid_cb, ((0, 8), (0, 0)))
-    resid_cr_p = jnp.pad(resid_cr, ((0, 8), (0, 0)))
+    resid_cb_p = jnp.pad(resid_cb, ((0, ch_h), (0, 0)))
+    resid_cr_p = jnp.pad(resid_cr, ((0, ch_h), (0, 0)))
 
     def gather_row(plane, r, c0, n):
         cols = c0[:, None] + jnp.arange(n)[None, :]
@@ -436,18 +485,19 @@ def intra_wavefront(
         # chroma for every intra-NxN/16x16 MB (sub-step 0; MB-level deps only)
         actc = k_mb != K_NONE
         for comp, (plane, resid) in enumerate(((cbp, resid_cb_p), (crp, resid_cr_p))):
-            cy = jnp.where(actc, mbys * 8 + PAD, scr_c)
+            cy = jnp.where(actc, mbys * ch_h + PAD, scr_c)
             cx = jnp.where(actc, mbx * 8 + PAD, 0)
             t8c = gather_row(plane, cy - 1, cx, 8)
-            l8c = gather_col(plane, cy, cx - 1, 8)
+            l8c = gather_col(plane, cy, cx - 1, ch_h)
             mc = plane[cy - 1, cx - 1].astype(jnp.int32)
-            cpreds = chroma_modes(t8c, l8c, mc, mavl, mavt)
+            cm_fn = chroma_modes if ch_h == 8 else chroma_modes_422
+            cpreds = cm_fn(t8c, l8c, mc, mavl, mavt)
             cpred = cpreds[sl, jnp.clip(cm_g[mbys, mbx], 0, 3)]
-            cryi = jnp.where(actc, mbys * 8, 0)
+            cryi = jnp.where(actc, mbys * ch_h, 0)
             crxi = jnp.where(actc, mbx * 8, 0)
-            cres = gather_patch(resid, cryi, crxi, 8, 8)
+            cres = gather_patch(resid, cryi, crxi, ch_h, 8)
             cout = jnp.clip(cpred + cres, 0, 255)
-            ccur = gather_patch(plane, cy, cx, 8, 8)
+            ccur = gather_patch(plane, cy, cx, ch_h, 8)
             cout = jnp.where(actc[:, None, None], cout, ccur)
             if comp == 0:
                 cbp = scatter_patch(plane, cy, cx, cout)

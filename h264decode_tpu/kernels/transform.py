@@ -309,6 +309,62 @@ def chroma_residual_planes(
     return out[0], out[1]
 
 
+def chroma_blocks_to_plane_422(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """[nMB, 8(raster 2x4), 4, 4] 4:2:2 chroma blocks -> [16*mb_h, 8*mb_w]."""
+    b = blocks.reshape(mb_h, mb_w, 4, 2, 4, 4)
+    b = b.transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mb_h * 16, mb_w * 8)
+
+
+def chroma_residual_planes_422(
+    chroma_dc: jnp.ndarray,  # [nMB, 2, 8] spec 8.5.4 inverse-scan order
+    chroma_ac: jnp.ndarray,  # [nMB, 2, 8, 16] scan (raster 2x4 blocks)
+    qp: jnp.ndarray,  # [nMB] luma qp
+    intra: jnp.ndarray,  # [nMB] bool
+    ls4: jnp.ndarray,  # [2(intra/inter), 2(cb/cr), 6, 4, 4]
+    qp_offsets: tuple[int, int],
+    mb_h: int,
+    mb_w: int,
+):
+    """4:2:2 residual planes for Cb and Cr: 8 blocks per MB component with
+    the 2x4 DC transform at qP.DC = QPc + 3 (spec 8.5.11 for
+    ChromaArrayType 2; rounding calibrated vs libavcodec by the oracle,
+    pipeline/reference_recon.chroma_dc_dequant_422)."""
+    from ..tensors.frame_tensors import CHROMA422_DC_SCAN
+
+    out = []
+    sel = jnp.where(intra, 0, 1)
+    # scan order -> [4, 2] spatial DC grid (static permutation)
+    perm = np.zeros(8, np.int32)
+    for k, (i, j) in enumerate(CHROMA422_DC_SCAN):
+        perm[i * 2 + j] = k
+    h4 = jnp.asarray(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+        jnp.int32,
+    )
+    h2 = jnp.asarray([[1, 1], [1, -1]], jnp.int32)
+    for comp in range(2):
+        qpc = chroma_qp(qp, qp_offsets[comp]).astype(jnp.int32)  # [nMB]
+        ls = ls4[sel, comp]  # [nMB, 6, 4, 4]
+        cgrid = chroma_dc[:, comp].astype(jnp.int32)[:, perm].reshape(-1, 4, 2)
+        f = jnp.einsum("ij,njk,kl->nil", h4, cgrid, h2)  # [nMB, 4, 2]
+        qp_dc = qpc + 3
+        ls00 = jnp.take_along_axis(
+            ls[:, :, 0, 0], (qp_dc % 6)[:, None], axis=1
+        )[:, :, None]  # [nMB, 1, 1]
+        dv6 = (qp_dc // 6)[:, None, None]
+        hi = (f * ls00) << jnp.maximum(dv6 - 6, 0)
+        rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - dv6, 0))
+        lo = (f * ls00 + rnd) >> jnp.maximum(6 - dv6, 0)
+        dcc = jnp.where(dv6 >= 6, hi, lo)  # [nMB, 4, 2]
+        c = dezigzag4(chroma_ac[:, comp])  # [nMB, 8, 4, 4]
+        d = _dequant4x4_per_mb(c, ls, qpc)
+        d = d.at[:, :, 0, 0].set(dcc.reshape(-1, 8))  # raster 2x4 = blk order
+        res = idct4x4(d)
+        out.append(chroma_blocks_to_plane_422(res, mb_h, mb_w))
+    return out[0], out[1]
+
+
 def _chroma_dc_per_mb(c, ls00, qpc):
     """c: [nMB, 2, 2]; ls00: [nMB, 6]; qpc: [nMB]."""
     h2 = jnp.asarray([[1, 1], [1, -1]], jnp.int32)

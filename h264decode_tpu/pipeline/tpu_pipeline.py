@@ -117,8 +117,25 @@ def _weight_cells(inp: dict, mb_h: int, mb_w: int):
     w=32/o=0/logWD=5 make unweighted slices exact no-ops through
     mc.weighted_combine).
 
+    Fully-unweighted frames (no "w_tab" in the wire) short-circuit to
+    scalar identity constants: the per-cell table gathers otherwise cost
+    ~1 ms EACH at 1080p (~10 of them, device trace), all to produce
+    constants.
+
     Returns (w0, o0, w1, o1, lwd) luma cell grids and a chroma getter
     comp -> (w0, o0, w1, o1, lwd)."""
+    if "w_tab" not in inp:
+        c32 = jnp.int32(32)
+        c0 = jnp.int32(0)
+        c5 = jnp.int32(5)
+
+        def luma(bi):
+            return c32, c0, c32, c0, c5
+
+        def chroma(comp, bi):
+            return c32, c0, c32, c0, c5
+
+        return luma, chroma
     from ..kernels.deblock_prep_dev import _mb_to_cells as jmb
     from ..kernels.deblock_prep_dev import _part_to_cells as jpart
 
@@ -170,15 +187,19 @@ def _weight_cells(inp: dict, mb_h: int, mb_w: int):
 
 
 def _base_planes(inp: dict, mb_h: int, mb_w: int,
-                 has_l8: bool, has_pcm: bool):
+                 has_l8: bool, has_pcm: bool, cat: int = 1):
     """Residual transforms + motion compensation (weighted, both lists
     masked) + PCM placement: every fully data-parallel pixel stage. Returns
     (base_y, base_cb, base_cr, ry, rcb, rcr) where base planes hold
     inter+PCM content (zeros at intra MBs) and r* are the residual planes.
     Shared verbatim between the single-chip frame program and the row-band
-    sharded step (dist/sharded.py), which runs it on band-local tensors."""
+    sharded step (dist/sharded.py), which runs it on band-local tensors.
+
+    cat = ChromaArrayType (1 = 4:2:0, also used for mono; 2 = 4:2:2 with
+    full-height chroma, 8 blocks/MB and the 2x4 DC transform)."""
     H, W = mb_h * 16, mb_w * 16
-    Hc, Wc = mb_h * 8, mb_w * 8
+    ch_h = 16 if cat == 2 else 8
+    Hc, Wc = mb_h * ch_h, mb_w * 8
     n = mb_h * mb_w
     # narrow wire dtypes -> compute dtypes (free: fused into consumers)
     l8 = (
@@ -193,7 +214,11 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
         l8, qp, inp["is_i16"], inp["is_t8"], inp["is_intra"],
         inp["ls4_y"], inp["ls8_y"], mb_h, mb_w,
     )
-    rcb, rcr = tr_k.chroma_residual_planes(
+    chroma_res = (
+        tr_k.chroma_residual_planes_422 if cat == 2
+        else tr_k.chroma_residual_planes
+    )
+    rcb, rcr = chroma_res(
         inp["chroma_dc"].astype(jnp.int32), inp["chroma_ac"].astype(jnp.int32),
         qp, inp["is_intra"], inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
     )
@@ -211,10 +236,16 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
     luma_w, chroma_w = _weight_cells(inp, mb_h, mb_w)
 
     def px4(a):
+        if jnp.ndim(a) == 0:  # identity weight constants broadcast as-is
+            return a
         return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
 
-    def px2(a):
-        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 2, 0), 2, 1)
+    def px2(a):  # luma cell grid -> chroma pixel grid
+        if jnp.ndim(a) == 0:
+            return a
+        return jnp.repeat(
+            jnp.repeat(a.astype(jnp.int32), ch_h // 4, 0), 2, 1
+        )
 
     p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
     p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W)
@@ -229,8 +260,10 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
     use1c = px2(use1_cell).astype(bool)
     # both chroma components ride one gather pass over the pre-packed
     # (Cb | Cr<<8 interleaved, column-pair-packed) chroma ring
-    p0cb, p0cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[0], mv[0], Hc, Wc)
-    p1cb, p1cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[1], mv[1], Hc, Wc)
+    p0cb, p0cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[0], mv[0], Hc, Wc,
+                                     chroma_array_type=cat)
+    p1cb, p1cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[1], mv[1], Hc, Wc,
+                                     chroma_array_type=cat)
     chroma_planes = []
     for comp, (p0, p1, rc) in enumerate(
         ((p0cb, p1cb, rcb), (p0cr, p1cr, rcr))
@@ -246,7 +279,7 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
     # ---- base planes: inter pixels + PCM pixels, zeros where intra fills
     inter_mb = (~inp["is_intra"]).reshape(mb_h, mb_w)
     im_y = jnp.repeat(jnp.repeat(inter_mb, 16, 0), 16, 1)
-    im_c = jnp.repeat(jnp.repeat(inter_mb, 8, 0), 8, 1)
+    im_c = jnp.repeat(jnp.repeat(inter_mb, ch_h, 0), 8, 1)
     pcm_y = inp["pcm_y"].astype(jnp.int32) if has_pcm else 0
     pcm_cb = inp["pcm_cb"].astype(jnp.int32) if has_pcm else 0
     pcm_cr = inp["pcm_cr"].astype(jnp.int32) if has_pcm else 0
@@ -257,7 +290,8 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
 
 
 def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-                has_l8: bool, has_pcm: bool, has_intra: bool = True):
+                has_l8: bool, has_pcm: bool, has_intra: bool = True,
+                cat: int = 1):
     """The full parallel pixel path for one frame, one compile variant.
 
     has_l8/has_pcm/has_intra are the only static gates left: has_l8 is a
@@ -268,7 +302,7 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     macroblocks, and the serial wavefront kernels were ~60 ms/frame of
     pure overhead on them (device trace)."""
     base_y, base_cb, base_cr, ry, rcb, rcr = _base_planes(
-        inp, mb_h, mb_w, has_l8, has_pcm
+        inp, mb_h, mb_w, has_l8, has_pcm, cat
     )
     if not has_intra:
         return (
@@ -277,7 +311,19 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
             base_cr.astype(jnp.uint8),
         )
     # ---- intra reconstruction: Pallas raster kernel on TPU, XLA wavefront
-    # elsewhere (CPU tests / virtual device meshes)
+    # elsewhere (CPU tests / virtual device meshes). 4:2:2 runs the XLA
+    # wavefront everywhere (the Pallas raster kernel is 4:2:0-geometry)
+    if cat == 2:
+        y, cb, cr = intra_wavefront(
+            base_y, base_cb, base_cr, ry, rcb, rcr,
+            inp["kind"].astype(jnp.int32), inp["modes4"].astype(jnp.int32),
+            inp["i16mode"].astype(jnp.int32), inp["cmode"].astype(jnp.int32),
+            inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
+            mb_h, mb_w, ch_h=16,
+        )
+        return (
+            y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+        )
     intra_impl = intra_frame_pallas if _on_tpu() else intra_wavefront
     y, cb, cr = intra_impl(
         base_y, base_cb, base_cr, ry, rcb, rcr,
@@ -336,6 +382,8 @@ def _frame_core_444(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     luma_w, chroma_w = _weight_cells(inp, mb_h, mb_w)
 
     def px4(a):
+        if jnp.ndim(a) == 0:  # identity weight constants broadcast as-is
+            return a
         return jnp.repeat(jnp.repeat(a.astype(jnp.int32), 4, 0), 4, 1)
 
     u0 = px4(use0_cell).astype(bool)
@@ -421,10 +469,11 @@ def _deblock_core_444(planes, inp: dict, mb_h: int, mb_w: int):
     return out[0], out[1], out[2]
 
 
-def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
+def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int, cat: int = 1):
     """Device-side edge-parameter derivation + the deblocking filter (Pallas
-    raster kernel on TPU, XLA wavefront elsewhere). Expands the compact
-    mv_parts to per-cell MVs on device."""
+    raster kernel on TPU, XLA wavefront elsewhere; 4:2:2 always runs the
+    XLA kernel with full-height chroma). Expands the compact mv_parts to
+    per-cell MVs on device."""
     from ..kernels.deblock_prep_dev import _blk_to_cells as jblk
 
     y, cb, cr = planes
@@ -451,7 +500,10 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int):
         inp.get("slot_parts", jnp.zeros((mb_h * mb_w, 2, 4), jnp.int32)),
         mv, inp["qp_offsets"], mb_h, mb_w,
         slot_cells=inp.get("slot_cells"),
+        chroma_all_h_edges=cat == 2,
     )
+    if cat == 2:
+        return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w, ch_h=16)
     if _on_tpu():
         from ..kernels.deblock_pallas import deblock_frame_pallas
 
@@ -559,6 +611,7 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
     has_l8, has_pcm, apply_db, sparse = flags[:4]
     cf3 = len(flags) > 4 and flags[4]
     has_intra = flags[5] if len(flags) > 5 else True
+    cat = 2 if (len(flags) > 6 and flags[6]) else 1
     inp = _prepare_inp(wire, dyn, ring_y, ring_cb, ring_cr, mb_h, mb_w, flags)
     slot = inp["slot_idx"].astype(jnp.int32).reshape(())
     if cf3:
@@ -578,9 +631,9 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
         packed = jnp.concatenate([y, cb, cr], axis=0)
         return ring_y, ring_cb, ring_cr, packed
     y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm,
-                            has_intra)
+                            has_intra, cat)
     if apply_db:
-        y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w)
+        y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w, cat)
     # DPB ring update: the rings hold the PAIR-PACKED layouts the MC
     # gathers consume (kernels/mc.py pack_pair8/pack_pair16), built once
     # per decoded frame here
@@ -613,11 +666,12 @@ class _PackedFrame:
     waits for it and splits the planes."""
 
     def __init__(self, packed, H: int, W: int, metrics: DecodeMetrics | None,
-                 cf3: bool = False):
+                 cf3: bool = False, cf2: bool = False):
         self._packed = packed
         self._H = H
         self._W = W
         self._cf3 = cf3  # 4:4:4: packed rows are [Y; Cb; Cr] full-size
+        self._cf2 = cf2  # 4:2:2: chroma rows are full-height
         self._planes = None
         self._metrics = metrics
 
@@ -680,6 +734,8 @@ class _PlaneView:
         H, W = self._frame._H, self._frame._W
         if self._idx == 0 or self._frame._cf3:
             return (H, W)
+        if self._frame._cf2:
+            return (H, W // 2)
         return (H // 2, W // 2)
 
     @property
@@ -900,11 +956,11 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
-        if sps.chroma_array_type == 2 or sps.bit_depth_luma != 8:
-            # High 4:2:2 keeps the numpy oracle path (bit-exact); 10-bit
-            # pixels likewise. Monochrome RUNS the 4:2:0 device pipeline
-            # (no chroma coded -> mid-gray converges exactly) and 4:4:4
-            # runs the per-component luma-process device path
+        if sps.bit_depth_luma != 8:
+            # 10-bit pixels keep the numpy oracle path (bit-exact).
+            # Monochrome RUNS the 4:2:0 device pipeline (no chroma coded ->
+            # mid-gray converges exactly), 4:2:2 the full-height-chroma
+            # device variant, 4:4:4 the per-component luma-process path
             return Decoder._submit_reconstruct(
                 self, ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
@@ -940,10 +996,12 @@ class TpuDecoder(Decoder):
                 raise
             self.error_count += 1  # degrade: mid-gray frame (error_policy)
             H, W = ft.mb_h * 16, ft.mb_w * 16
+            Hc = ft.mb_h * ft.ch_mb_h
+            Wc = ft.mb_w * (16 if ft.chroma_format == 3 else 8)
             return (
                 np.full((H, W), 128, np.uint8),
-                np.full((H // 2, W // 2), 128, np.uint8),
-                np.full((H // 2, W // 2), 128, np.uint8),
+                np.full((Hc, Wc), 128, np.uint8),
+                np.full((Hc, Wc), 128, np.uint8),
             )
 
     def _drain_recon(self):
@@ -954,11 +1012,12 @@ class TpuDecoder(Decoder):
         n_refs = max(1, sps.max_num_ref_frames + 1)
         H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
         cf3 = sps.chroma_array_type == 3
-        geom = (n_refs, H, W, cf3)
+        cf2 = sps.chroma_array_type == 2
+        geom = (n_refs, H, W, cf3, cf2)
         if self._ring is None or self._ring_geom != geom:
             P = mc_k.PAD
             # rings hold the PAIR-PACKED MC layouts (kernels/mc.py):
-            # luma [R, 4 planes, 2 phases, Hp, Wp//2+2] uint16; 4:2:0
+            # luma [R, 4 planes, 2 phases, Hp, Wp//2+2] uint16; 4:2:0/4:2:2
             # chroma one interleaved Cb|Cr ring [R, 2, Hpc, Wpc//2+2] uint32
             lshape = (n_refs, 4, 2, H + 2 * P, (W + 2 * P) // 2 + 2)
             if cf3:
@@ -970,7 +1029,8 @@ class TpuDecoder(Decoder):
                     jnp.zeros(lshape, jnp.uint16),
                 ]
             else:
-                Hpc, Wpc = H // 2 + 2 * P, W // 2 + 2 * P
+                Hc = H if cf2 else H // 2  # 4:2:2 chroma is full height
+                Hpc, Wpc = Hc + 2 * P, W // 2 + 2 * P
                 self._ring = [
                     jnp.zeros(lshape, jnp.uint16),
                     jnp.zeros((n_refs, 2, Hpc, Wpc // 2 + 2), jnp.uint32),
@@ -1080,14 +1140,21 @@ class TpuDecoder(Decoder):
             -1,
         ).astype(np.int8)
 
-        # ---- per-slice weight tables (identity unless weighted)
-        s_pad = 1 << max(0, len(slices) - 1).bit_length()
-        max_list = max(
-            [1] + [len(l0) for l0, _ in ref_lists] + [len(l1) for _, l1 in ref_lists]
-        )
-        while self._r_w < max_list:
-            self._r_w *= 2
-        wt = _weight_tables(weight_ctx, ref_lists, poc, s_pad, self._r_w)
+        # ---- per-slice weight tables (omitted from the wire entirely for
+        # the common fully-unweighted frame: the device short-circuits to
+        # identity constants, skipping ~10 per-cell table gathers)
+        weighted = any(wmode != "none" for wmode, _ in weight_ctx)
+        if weighted:
+            s_pad = 1 << max(0, len(slices) - 1).bit_length()
+            max_list = max(
+                [1] + [len(l0) for l0, _ in ref_lists]
+                + [len(l1) for _, l1 in ref_lists]
+            )
+            while self._r_w < max_list:
+                self._r_w *= 2
+            wt = _weight_tables(weight_ctx, ref_lists, poc, s_pad, self._r_w)
+        else:
+            wt = {}
 
         # ---- intra wavefront metadata
         kind = np.zeros(n, np.int32)
@@ -1098,21 +1165,24 @@ class TpuDecoder(Decoder):
 
         # ---- PCM planes (only built and transferred when the frame has any)
         cf3 = sps.chroma_array_type == 3
-        cu = 16 if cf3 else 8  # chroma PCM unit
+        cf2 = sps.chroma_array_type == 2
+        # chroma PCM unit (width x height per MB): 8x8 / 8x16 / 16x16
+        cw = 16 if cf3 else 8
+        chh = 16 if (cf3 or cf2) else 8
         has_pcm = bool(ft.pcm_samples)
         if has_pcm:
             pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-            pcm_cb = np.zeros((mb_h * cu, mb_w * cu), np.uint8)
-            pcm_cr = np.zeros((mb_h * cu, mb_w * cu), np.uint8)
+            pcm_cb = np.zeros((mb_h * chh, mb_w * cw), np.uint8)
+            pcm_cr = np.zeros((mb_h * chh, mb_w * cw), np.uint8)
             mono = sps.chroma_array_type == 0
             for addr, (py, pcb, pcr) in ft.pcm_samples.items():
                 mbx, mby = ft.mb_xy(addr)
                 pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
                 # mono PCM carries no chroma: present the mid-gray fill
-                pcm_cb[mby * cu : (mby + 1) * cu, mbx * cu : (mbx + 1) * cu] = (
+                pcm_cb[mby * chh : (mby + 1) * chh, mbx * cw : (mbx + 1) * cw] = (
                     128 if mono else pcb
                 )
-                pcm_cr[mby * cu : (mby + 1) * cu, mbx * cu : (mbx + 1) * cu] = (
+                pcm_cr[mby * chh : (mby + 1) * chh, mbx * cw : (mbx + 1) * cw] = (
                     128 if mono else pcr
                 )
 
@@ -1138,9 +1208,9 @@ class TpuDecoder(Decoder):
         }
         if has_l8:
             sp["l8"] = (ft.luma8_ac.reshape(-1, 64), n // 4)
-        masks = _coded_block_masks(ft, has_l8) if not cf3 else {}
+        sparse = not (cf3 or cf2)  # 4:4:4/4:2:2 ship residuals dense
+        masks = _coded_block_masks(ft, has_l8) if sparse else {}
         sp_idx = {}
-        sparse = not cf3  # 4:4:4 ships residuals dense (no sparse variant)
         for key, (flat, cap) in (sp.items() if sparse else ()):
             idx = np.flatnonzero(masks[key]).astype(np.int32)
             if len(idx) > cap:
@@ -1214,11 +1284,12 @@ class TpuDecoder(Decoder):
             .transpose(2, 0, 3, 1, 4)
             .reshape(2, mb_h * 2, mb_w * 2)
         )
-        wire["ridx_cells8"] = np.ascontiguousarray(
-            ft.ref_idx.reshape(mb_h, mb_w, 2, 2, 2)
-            .transpose(2, 0, 3, 1, 4)
-            .reshape(2, mb_h * 2, mb_w * 2)
-        )
+        if weighted:  # ref-list indices only feed the weight-table gathers
+            wire["ridx_cells8"] = np.ascontiguousarray(
+                ft.ref_idx.reshape(mb_h, mb_w, 2, 2, 2)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(2, mb_h * 2, mb_w * 2)
+            )
         wire["kind"] = kind.astype(np.int8)
         # intra NxN modes (-1..8) nibble-pack two per byte
         m4 = (ft.intra4x4_modes.astype(np.int16) + 1).astype(np.uint8)
@@ -1298,7 +1369,8 @@ class TpuDecoder(Decoder):
         # raster kernels entirely (the base planes already hold the full
         # inter + PCM reconstruction)
         has_intra = bool(kind.any())
-        flags = (has_l8, has_pcm, self.apply_deblock, sparse, cf3, has_intra)
+        flags = (has_l8, has_pcm, self.apply_deblock, sparse, cf3, has_intra,
+                 cf2)
         if m is not None:
             with m.timer("dispatch"):
                 ry, rcb, rcr, packed = frame_step(
@@ -1319,7 +1391,7 @@ class TpuDecoder(Decoder):
                 packed.copy_to_host_async()
             except Exception:
                 pass
-        out = _PackedFrame(packed, H, W, m, cf3=cf3)
+        out = _PackedFrame(packed, H, W, m, cf3=cf3, cf2=cf2)
         return _PlaneView(out, 0), _PlaneView(out, 1), _PlaneView(out, 2)
 
 

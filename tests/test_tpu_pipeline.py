@@ -78,3 +78,19 @@ def test_high444_device_pipeline():
         extra_x264="8x8dct=1:partitions=all:ref=3:weightp=2",
     )
     assert_tpu_bit_exact(bs)
+
+
+def test_high422_device_pipeline():
+    """High 4:2:2 through the DEVICE pipeline: full-height chroma with the
+    2x4 DC transform (qP.DC = QPc + 3), 4:2:2 fractional chroma MC
+    (yIntC = mv>>2, yFracC = (mv&3)<<1), 8x16 chroma intra (8.3.4 with
+    yCF=4 plane mode) and the every-4-rows chroma deblock edges — bit-exact
+    vs libavcodec (IPB, CABAC, weighted P, 8x8 transform)."""
+    from tests.test_chroma422 import make_frames_422
+
+    bs = lavc.encode_x264(
+        make_frames_422(5, 64, 96), qp=25, profile="high422", csp="yuv422p",
+        cabac=True, bframes=2, preset="fast", gop=4,
+        extra_x264="8x8dct=1:partitions=all:ref=2:weightp=2",
+    )
+    assert_tpu_bit_exact(bs)
