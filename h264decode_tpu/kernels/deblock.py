@@ -29,11 +29,11 @@ _TC0 = np.asarray(TC0, np.int32)
 LPAD = 4  # patch margin
 
 
-def _filter_luma(p, q, bs, index_a, index_b):
+def _filter_luma(p, q, bs, index_a, index_b, bd_scale=1, mx=255):
     """Vectorized spec 8.7.2.3/8.7.2.4. p/q: [..., 4] int32 (p[...,k] = p_k);
     bs/index_a/index_b broadcastable to p[..., 0]."""
-    alpha = jnp.asarray(_ALPHA)[index_a]
-    beta = jnp.asarray(_BETA)[index_b]
+    alpha = jnp.asarray(_ALPHA)[index_a] * bd_scale
+    beta = jnp.asarray(_BETA)[index_b] * bd_scale
     p0, p1, p2, p3 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     filt = (
@@ -44,11 +44,11 @@ def _filter_luma(p, q, bs, index_a, index_b):
     )
     ap = jnp.abs(p2 - p0) < beta
     aq = jnp.abs(q2 - q0) < beta
-    tc0 = jnp.asarray(_TC0)[index_a, jnp.clip(bs, 1, 3) - 1]
+    tc0 = jnp.asarray(_TC0)[index_a, jnp.clip(bs, 1, 3) - 1] * bd_scale
     tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
     delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-    p0_w = jnp.clip(p0 + delta, 0, 255)
-    q0_w = jnp.clip(q0 - delta, 0, 255)
+    p0_w = jnp.clip(p0 + delta, 0, mx)
+    q0_w = jnp.clip(q0 - delta, 0, mx)
     p1_w = p1 + jnp.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
     q1_w = q1 + jnp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
     strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
@@ -81,10 +81,10 @@ def _filter_luma(p, q, bs, index_a, index_b):
     )
 
 
-def _filter_chroma(p, q, bs, index_a, index_b):
+def _filter_chroma(p, q, bs, index_a, index_b, bd_scale=1, mx=255):
     """Chroma: p/q [..., 2]."""
-    alpha = jnp.asarray(_ALPHA)[index_a]
-    beta = jnp.asarray(_BETA)[index_b]
+    alpha = jnp.asarray(_ALPHA)[index_a] * bd_scale
+    beta = jnp.asarray(_BETA)[index_b] * bd_scale
     p0, p1 = p[..., 0], p[..., 1]
     q0, q1 = q[..., 0], q[..., 1]
     filt = (
@@ -93,10 +93,10 @@ def _filter_chroma(p, q, bs, index_a, index_b):
         & (jnp.abs(p1 - p0) < beta)
         & (jnp.abs(q1 - q0) < beta)
     )
-    tc = jnp.asarray(_TC0)[index_a, jnp.clip(bs, 1, 3) - 1] + 1
+    tc = jnp.asarray(_TC0)[index_a, jnp.clip(bs, 1, 3) - 1] * bd_scale + 1
     delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-    p0_w = jnp.clip(p0 + delta, 0, 255)
-    q0_w = jnp.clip(q0 - delta, 0, 255)
+    p0_w = jnp.clip(p0 + delta, 0, mx)
+    q0_w = jnp.clip(q0 - delta, 0, mx)
     p0_s = (2 * p1 + p0 + q1 + 2) >> 2
     q0_s = (2 * q1 + q0 + p1 + 2) >> 2
     is4 = bs == 4
@@ -122,6 +122,8 @@ def deblock_frame_tpu(
     #             (possibly modified) halo rows for the caller to paste back
     #             into the band above (row-band sharding, dist/sharded.py).
     ch_h: int = 8,  # chroma MB height in samples: 8 (4:2:0) / 16 (4:2:2)
+    bd_scale: int = 1,  # 1 << (BitDepth - 8): spec 8.7.2.2 threshold scaling
+    mx: int = 255,  # Clip1 ceiling
 ):
     """Returns filtered (y, cb, cr); with halo, ((y, cb, cr), halo')."""
     H, W = mb_h * 16, mb_w * 16
@@ -191,7 +193,7 @@ def deblock_frame_tpu(
             rows = patch[:, LPAD : LPAD + 16, :]  # [s, 16, 20]
             p = jnp.stack([rows[:, :, X - 1 - k] for k in range(4)], axis=-1)
             q = jnp.stack([rows[:, :, X + k] for k in range(4)], axis=-1)
-            p, q = _filter_luma(p, q, bs_lines, ia, ib)
+            p, q = _filter_luma(p, q, bs_lines, ia, ib, bd_scale, mx)
             for k in range(4):
                 patch = patch.at[:, LPAD : LPAD + 16, X - 1 - k].set(p[..., k])
                 patch = patch.at[:, LPAD : LPAD + 16, X + k].set(q[..., k])
@@ -208,7 +210,7 @@ def deblock_frame_tpu(
                     crows = cpatch[:, comp, LPAD : LPAD + ch_h, :]
                     p = jnp.stack([crows[:, :, CX - 1 - k] for k in range(2)], axis=-1)
                     q = jnp.stack([crows[:, :, CX + k] for k in range(2)], axis=-1)
-                    p, q = _filter_chroma(p, q, cbs_lines, cia, cib)
+                    p, q = _filter_chroma(p, q, cbs_lines, cia, cib, bd_scale, mx)
                     cpatch = cpatch.at[:, comp, LPAD : LPAD + ch_h, CX - 1].set(p[..., 0])
                     cpatch = cpatch.at[:, comp, LPAD : LPAD + ch_h, CX].set(q[..., 0])
 
@@ -222,7 +224,7 @@ def deblock_frame_tpu(
             cols = patch[:, :, LPAD : LPAD + 16]  # [s, 20, 16]
             p = jnp.stack([cols[:, Y - 1 - k, :] for k in range(4)], axis=-1)
             q = jnp.stack([cols[:, Y + k, :] for k in range(4)], axis=-1)
-            p, q = _filter_luma(p, q, bs_lines, ia, ib)
+            p, q = _filter_luma(p, q, bs_lines, ia, ib, bd_scale, mx)
             for k in range(4):
                 patch = patch.at[:, Y - 1 - k, LPAD : LPAD + 16].set(p[..., k])
                 patch = patch.at[:, Y + k, LPAD : LPAD + 16].set(q[..., k])
@@ -241,7 +243,7 @@ def deblock_frame_tpu(
                     ccols = cpatch[:, comp, :, LPAD : LPAD + 8]
                     p = jnp.stack([ccols[:, CY - 1 - k, :] for k in range(2)], axis=-1)
                     q = jnp.stack([ccols[:, CY + k, :] for k in range(2)], axis=-1)
-                    p, q = _filter_chroma(p, q, cbs_lines, cia, cib)
+                    p, q = _filter_chroma(p, q, cbs_lines, cia, cib, bd_scale, mx)
                     cpatch = cpatch.at[:, comp, CY - 1, LPAD : LPAD + 8].set(p[..., 0])
                     cpatch = cpatch.at[:, comp, CY, LPAD : LPAD + 8].set(q[..., 0])
 
@@ -269,16 +271,17 @@ def deblock_frame_tpu(
     hi = jnp.max(jnp.where(mb_any, d_grid, -1)) + 1
     lo = jnp.minimum(lo, hi)
     yp, cbp, crp = jax.lax.fori_loop(lo, hi, step, (yp, cbp, crp))
+    odt = jnp.uint8 if mx == 255 else jnp.uint16
     out = (
-        yp[LPAD : LPAD + H, LPAD:].astype(jnp.uint8),
-        cbp[LPAD : LPAD + Hc, LPAD:].astype(jnp.uint8),
-        crp[LPAD : LPAD + Hc, LPAD:].astype(jnp.uint8),
+        yp[LPAD : LPAD + H, LPAD:].astype(odt),
+        cbp[LPAD : LPAD + Hc, LPAD:].astype(odt),
+        crp[LPAD : LPAD + Hc, LPAD:].astype(odt),
     )
     if halo is None:
         return out
     ret = (
-        yp[0:LPAD, LPAD:].astype(jnp.uint8),
-        cbp[0:LPAD, LPAD:].astype(jnp.uint8),
-        crp[0:LPAD, LPAD:].astype(jnp.uint8),
+        yp[0:LPAD, LPAD:].astype(odt),
+        cbp[0:LPAD, LPAD:].astype(odt),
+        crp[0:LPAD, LPAD:].astype(odt),
     )
     return out, ret

@@ -135,7 +135,8 @@ def pack_luma_params(prep, mb_h, mb_w, nbx):
     """(nblk, 8, 128) int32 per-MB pack:
     lanes 0..15  bs_v  (cell*4 + edge)
           16..31 bs_h  (edge*4 + cell)
-          32+5k..35+5k for k in 0..: see _PLV/_PLH lane bases below."""
+          32..47 packed thresholds: _LV/_LH + param*4 + e with
+                 param 0 = alpha|tc0_1<<8|tc0_2<<16|tc0_3<<24, param 1 = beta."""
     pw = nbx * 8
     bsv = _mb_blocks(prep["bs_v"], mb_h, mb_w, pw)  # (mb_h, pw, cell, edge)
     bsh = _mb_blocks(prep["bs_h"], mb_h, mb_w, pw)  # (mb_h, pw, edge, cell)
@@ -143,14 +144,14 @@ def pack_luma_params(prep, mb_h, mb_w, nbx):
     for d, blk in (("v", None), ("h", None)):
         ia = _mb_blocks(prep[f"ia_{d}"], mb_h, mb_w, pw)
         ib = _mb_blocks(prep[f"ib_{d}"], mb_h, mb_w, pw)
-        # per-(MB, edge) scalars: QP is per-MB so any cell row works; take 0
+        # per-(MB, edge) scalars: QP is per-MB so any cell row works; take 0.
+        # alpha + the three tC0 rows ride ONE packed-byte lookup (separate
+        # 52-entry lookups were ~1 ms gathers each at 1080p, device trace)
         iae = ia[..., 0, :] if d == "v" else ia[..., :, 0]  # (mb_h, pw, 4)
         ibe = ib[..., 0, :] if d == "v" else ib[..., :, 0]
-        parts.append(_lut(_ALPHA, iae))
+        parts.append(_lut(_A_PACK, iae))
         parts.append(_lut(_BETA, ibe))
-        for k in range(3):
-            parts.append(_lut(_TC0, (iae, jnp.full_like(iae, k))))
-    packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 72)
+    packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 48)
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - packed.shape[-1])))
     blk = packed.reshape(mb_h * nbx, 8, 128).astype(jnp.int32)
     # lane 127 of MB 0: any nonzero bS in this 8-MB block — the kernel
@@ -160,17 +161,24 @@ def pack_luma_params(prep, mb_h, mb_w, nbx):
     return blk.at[:, 0, 127].set(anyf.astype(jnp.int32))
 
 
-# luma lane bases: [alpha, beta, tc0_1, tc0_2, tc0_3] per edge
+# packed threshold byte layout: alpha | tc0_1<<8 | tc0_2<<16 | tc0_3<<24,
+# indexed by index_a (chroma variant stores tC = tC0 + 1)
+_A_PACK = _ALPHA | (_TC0[:, 0] << 8) | (_TC0[:, 1] << 16) | (_TC0[:, 2] << 24)
+_AC_PACK = _ALPHA | ((_TC0[:, 0] + 1) << 8) | ((_TC0[:, 1] + 1) << 16) | (
+    (_TC0[:, 2] + 1) << 24
+)
+
+# luma lane bases: [packA, beta] per edge
 _LV = 32  # v scalars: lane = _LV + param*4 + e
-_LH = 52  # h scalars: lane = _LH + param*4 + e
+_LH = 40  # h scalars: lane = _LH + param*4 + e
 
 
 def pack_chroma_params(prep, mb_h, mb_w, nbx_c):
     """(nblk_c, 16, 128) int32 per-MB pack:
     lanes 0..7   bs_v at luma edges {0,2}: cell*2 + ei
           8..15  bs_h at luma edges {0,2}: ei*4 + cell
-          16+    scalars: lane = 16 + dir*20 + comp*10 + ei*5 +
-                 [alpha, beta, tc1, tc2, tc3] (tc = tC0 + 1)."""
+          16+    packed scalars: base = 16 + dir*8 + comp*4; lane base+ei =
+                 alpha|tc1<<8|tc2<<16|tc3<<24 (tc = tC0+1), base+2+ei = beta."""
     pw = nbx_c * 16
     bsv = _mb_blocks(prep["bs_v"], mb_h, mb_w, pw)[..., :, (0, 2)]
     bsh = _mb_blocks(prep["bs_h"], mb_h, mb_w, pw)[..., (0, 2), :]
@@ -181,14 +189,10 @@ def pack_chroma_params(prep, mb_h, mb_w, nbx_c):
             cb = _mb_blocks(prep[f"cb_{d}"][comp], mb_h, mb_w, pw)
             cae = ca[..., 0, (0, 2)] if d == "v" else ca[..., (0, 2), 0]
             cbe = cb[..., 0, (0, 2)] if d == "v" else cb[..., (0, 2), 0]
-            for ei in range(2):
-                parts.append(_lut(_ALPHA, cae[..., ei : ei + 1]))
-                parts.append(_lut(_BETA, cbe[..., ei : ei + 1]))
-                for k in range(3):
-                    parts.append(
-                        _lut(_TC0, (cae[..., ei : ei + 1], jnp.full_like(cae[..., ei : ei + 1], k))) + 1
-                    )
-    packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 56)
+            # alpha + the three tC rows ride one packed-byte lookup
+            parts.append(_lut(_AC_PACK, cae))
+            parts.append(_lut(_BETA, cbe))
+    packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 32)
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - packed.shape[-1])))
     blk = packed.reshape(mb_h * nbx_c, 16, 128).astype(jnp.int32)
     anyf = (blk[:, :, :16] > 0).any(axis=(1, 2))
@@ -238,13 +242,11 @@ def _make_luma_kernel(n_blk: int, nbx: int):
                         ],
                         axis=0,
                     )
-                    al = p_in[i, m, _LV + e]
+                    pa = p_in[i, m, _LV + e]
+                    al = pa & 255
                     be = p_in[i, m, _LV + 4 + e]
                     t0 = _tc0_vec(
-                        bs,
-                        p_in[i, m, _LV + 8 + e],
-                        p_in[i, m, _LV + 12 + e],
-                        p_in[i, m, _LV + 16 + e],
+                        bs, (pa >> 8) & 255, (pa >> 16) & 255, (pa >> 24) & 255
                     )
                     p = [C[x - 1 - k] for k in range(4)]
                     q = [C[x + k] for k in range(4)]
@@ -264,13 +266,11 @@ def _make_luma_kernel(n_blk: int, nbx: int):
                         ],
                         axis=1,
                     )
-                    al = p_in[i, m, _LH + e]
+                    pa = p_in[i, m, _LH + e]
+                    al = pa & 255
                     be = p_in[i, m, _LH + 4 + e]
                     t0 = _tc0_vec(
-                        bs,
-                        p_in[i, m, _LH + 8 + e],
-                        p_in[i, m, _LH + 12 + e],
-                        p_in[i, m, _LH + 16 + e],
+                        bs, (pa >> 8) & 255, (pa >> 16) & 255, (pa >> 24) & 255
                     )
                     p = [R[y - 1 - k] for k in range(4)]
                     q = [R[y + k] for k in range(4)]
@@ -317,7 +317,7 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
                     C = carry + [win[:, base + k : base + k + 1] for k in range(8)]
                     for ei in range(2):
                         x = 2 + 4 * ei
-                        sb = 16 + 0 * 20 + comp * 10 + ei * 5
+                        sb = 16 + 0 * 8 + comp * 4
                         bs = jnp.concatenate(
                             [z8]
                             + [
@@ -326,10 +326,12 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
                             ],
                             axis=0,
                         )
-                        al = p_in[i, m, sb]
-                        be = p_in[i, m, sb + 1]
+                        pa = p_in[i, m, sb + ei]
+                        al = pa & 255
+                        be = p_in[i, m, sb + 2 + ei]
                         tc = _tc0_vec(
-                            bs, p_in[i, m, sb + 2], p_in[i, m, sb + 3], p_in[i, m, sb + 4]
+                            bs, (pa >> 8) & 255, (pa >> 16) & 255,
+                            (pa >> 24) & 255
                         )
                         p = [C[x - 1 - k] for k in range(2)]
                         q = [C[x + k] for k in range(2)]
@@ -340,7 +342,7 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
                     R = [M[r : r + 1, :] for r in range(16)]
                     for ei in range(2):
                         y = 8 + 4 * ei
-                        sb = 16 + 1 * 20 + comp * 10 + ei * 5
+                        sb = 16 + 1 * 8 + comp * 4
                         bs = jnp.concatenate(
                             [
                                 jnp.full((1, 2), p_in[i, m, 8 + ei * 4 + c], jnp.int32)
@@ -348,10 +350,12 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
                             ],
                             axis=1,
                         )
-                        al = p_in[i, m, sb]
-                        be = p_in[i, m, sb + 1]
+                        pa = p_in[i, m, sb + ei]
+                        al = pa & 255
+                        be = p_in[i, m, sb + 2 + ei]
                         tc = _tc0_vec(
-                            bs, p_in[i, m, sb + 2], p_in[i, m, sb + 3], p_in[i, m, sb + 4]
+                            bs, (pa >> 8) & 255, (pa >> 16) & 255,
+                            (pa >> 24) & 255
                         )
                         p = [R[y - 1 - k] for k in range(2)]
                         q = [R[y + k] for k in range(2)]

@@ -43,7 +43,7 @@ def _bcast(v):
     return v[:, None, None]
 
 
-def intra4x4_modes(t, l, m, have_l, have_t, have_c):
+def intra4x4_modes(t, l, m, have_l, have_t, have_c, mid=128):
     """All nine spec 8.3.1.2 predictions. t: [s, 8] (top+topright, already
     substituted), l: [s, 4], m: [s]. Returns [s, 9, 4, 4] int32."""
     s = t.shape[0]
@@ -60,7 +60,7 @@ def intra4x4_modes(t, l, m, have_l, have_t, have_c):
         have_l & have_t,
         (sum_t + sum_l + 4) >> 3,
         jnp.where(
-            have_t, (sum_t + 2) >> 2, jnp.where(have_l, (sum_l + 2) >> 2, 128)
+            have_t, (sum_t + 2) >> 2, jnp.where(have_l, (sum_l + 2) >> 2, mid)
         ),
     )
     p_dc = jnp.broadcast_to(dc[:, None, None], (s, 4, 4))
@@ -142,7 +142,7 @@ def intra4x4_modes(t, l, m, have_l, have_t, have_c):
     return jnp.stack([p_v, p_h, p_dc, p_ddl, p_ddr, p_vr, p_hd, p_vl, p_hu], axis=1)
 
 
-def intra8x8_modes(t16, l8, m, have_l, have_t, have_c):
+def intra8x8_modes(t16, l8, m, have_l, have_t, have_c, mid=128):
     """Spec 8.3.2: reference filtering + the nine 8x8 modes. t16: [s, 16]
     raw (substituted) top row, l8: [s, 8], m: [s]. Returns [s, 9, 8, 8]."""
     s = t16.shape[0]
@@ -183,7 +183,7 @@ def intra8x8_modes(t16, l8, m, have_l, have_t, have_c):
         have_l & have_t,
         (sum_t + sum_l + 8) >> 4,
         jnp.where(
-            have_t, (sum_t + 4) >> 3, jnp.where(have_l, (sum_l + 4) >> 3, 128)
+            have_t, (sum_t + 4) >> 3, jnp.where(have_l, (sum_l + 4) >> 3, mid)
         ),
     )
     p_dc = jnp.broadcast_to(dc[:, None, None], (s, 8, 8))
@@ -247,7 +247,7 @@ def intra8x8_modes(t16, l8, m, have_l, have_t, have_c):
     return jnp.stack([p_v, p_h, p_dc, p_ddl, p_ddr, p_vr, p_hd, p_vl, p_hu], axis=1)
 
 
-def intra16_modes(t16, l16, m, have_l, have_t):
+def intra16_modes(t16, l16, m, have_l, have_t, mid=128, mx=255):
     """Spec 8.3.3: V/H/DC/Plane. t16/l16: [s, 16], m: [s]. [s, 4, 16, 16]."""
     s = t16.shape[0]
     yy, xx = np.mgrid[0:16, 0:16]
@@ -259,7 +259,7 @@ def intra16_modes(t16, l16, m, have_l, have_t):
         have_l & have_t,
         (sum_t + sum_l + 16) >> 5,
         jnp.where(
-            have_t, (sum_t + 8) >> 4, jnp.where(have_l, (sum_l + 8) >> 4, 128)
+            have_t, (sum_t + 8) >> 4, jnp.where(have_l, (sum_l + 8) >> 4, mid)
         ),
     )
     p_dc = jnp.broadcast_to(dc[:, None, None], (s, 16, 16))
@@ -275,12 +275,12 @@ def intra16_modes(t16, l16, m, have_l, have_t):
         (a[:, None, None] + b[:, None, None] * (xx - 7) + c[:, None, None] * (yy - 7) + 16)
         >> 5,
         0,
-        255,
+        mx,
     )
     return jnp.stack([p_v, p_h, p_dc, plane], axis=1)
 
 
-def chroma_modes(t8, l8, m, have_l, have_t):
+def chroma_modes(t8, l8, m, have_l, have_t, mid=128, mx=255):
     """Spec 8.3.4 (4:2:0): DC(quadrant rules)/H/V/Plane. [s, 4, 8, 8]."""
     s = t8.shape[0]
     yy, xx = np.mgrid[0:8, 0:8]
@@ -294,11 +294,11 @@ def chroma_modes(t8, l8, m, have_l, have_t):
         if prefer == "both":
             return jnp.where(
                 have_l & have_t, both,
-                jnp.where(have_t, only_t, jnp.where(have_l, only_l, 128)),
+                jnp.where(have_t, only_t, jnp.where(have_l, only_l, mid)),
             )
         if prefer == "t":
-            return jnp.where(have_t, only_t, jnp.where(have_l, only_l, 128))
-        return jnp.where(have_l, only_l, jnp.where(have_t, only_t, 128))
+            return jnp.where(have_t, only_t, jnp.where(have_l, only_l, mid))
+        return jnp.where(have_l, only_l, jnp.where(have_t, only_t, mid))
 
     q00 = dc_q(0, 0, "both")
     q10 = dc_q(1, 0, "t")  # top-right quadrant
@@ -321,12 +321,12 @@ def chroma_modes(t8, l8, m, have_l, have_t):
         (a[:, None, None] + b[:, None, None] * (xx - 3) + c[:, None, None] * (yy - 3) + 16)
         >> 5,
         0,
-        255,
+        mx,
     )
     return jnp.stack([p_dc, p_h, p_v, plane], axis=1)
 
 
-def chroma_modes_422(t8, l16, m, have_l, have_t):
+def chroma_modes_422(t8, l16, m, have_l, have_t, mid=128, mx=255):
     """Spec 8.3.4 (4:2:2): DC per 4x4 sub-block (8 blocks of the 8x16
     component), H/V extension, and plane with yCF = 4. t8: [s, 8] top row,
     l16: [s, 16] left column. Returns [s, 4, 16, 8]."""
@@ -342,12 +342,12 @@ def chroma_modes_422(t8, l16, m, have_l, have_t):
         if (bx == 0 and by == 0) or (bx > 0 and by > 0):
             return jnp.where(
                 have_l & have_t, both,
-                jnp.where(have_t, only_t, jnp.where(have_l, only_l, 128)),
+                jnp.where(have_t, only_t, jnp.where(have_l, only_l, mid)),
             )
         if bx > 0:  # top-row right blocks: prefer top
-            return jnp.where(have_t, only_t, jnp.where(have_l, only_l, 128))
+            return jnp.where(have_t, only_t, jnp.where(have_l, only_l, mid))
         # left-column lower blocks: prefer left
-        return jnp.where(have_l, only_l, jnp.where(have_t, only_t, 128))
+        return jnp.where(have_l, only_l, jnp.where(have_t, only_t, mid))
 
     p_dc = jnp.zeros((s, 16, 8), jnp.int32)
     for by in range(4):
@@ -369,7 +369,7 @@ def chroma_modes_422(t8, l16, m, have_l, have_t):
         (a[:, None, None] + b[:, None, None] * (xx - 3)
          + c[:, None, None] * (yy - 7) + 16) >> 5,
         0,
-        255,
+        mx,
     )
     return jnp.stack([p_dc, p_h, p_v, plane], axis=1)
 
@@ -402,6 +402,8 @@ def intra_wavefront(
     #            pre-deblock bottom pixel row of the band above, seeded as
     #            the "above" neighbors of MB row 0 (row-band sharding)
     ch_h: int = 8,  # chroma MB height in samples: 8 (4:2:0) / 16 (4:2:2)
+    mid: int = 128,  # DC fallback = 1 << (BitDepth - 1)
+    mx: int = 255,  # Clip1 ceiling = (1 << BitDepth) - 1
 ):
     """Runs the anti-diagonal intra wavefront; returns updated (y, cb, cr)."""
     H, W = mb_h * 16, mb_w * 16
@@ -472,12 +474,12 @@ def intra_wavefront(
         t16 = gather_row(yp, ty - 1, tx, 16)
         l16 = gather_col(yp, ty, tx - 1, 16)
         m = yp[ty - 1, tx - 1].astype(jnp.int32)
-        preds = intra16_modes(t16, l16, m, mavl, mavt)  # [s, 4, 16, 16]
+        preds = intra16_modes(t16, l16, m, mavl, mavt, mid, mx)  # [s, 4, 16, 16]
         pred = preds[sl, jnp.clip(i16_g[mbys, mbx], 0, 3)]
         ry = jnp.where(act16, mbys * 16, 0)
         rx = jnp.where(act16, mbx * 16, 0)
         res = gather_patch(resid_y_p, ry, rx, 16, 16)
-        out = jnp.clip(pred + res, 0, 255)
+        out = jnp.clip(pred + res, 0, mx)
         cur = gather_patch(yp, ty, tx, 16, 16)
         out = jnp.where(act16[:, None, None], out, cur)
         yp = scatter_patch(yp, ty, tx, out)
@@ -491,12 +493,12 @@ def intra_wavefront(
             l8c = gather_col(plane, cy, cx - 1, ch_h)
             mc = plane[cy - 1, cx - 1].astype(jnp.int32)
             cm_fn = chroma_modes if ch_h == 8 else chroma_modes_422
-            cpreds = cm_fn(t8c, l8c, mc, mavl, mavt)
+            cpreds = cm_fn(t8c, l8c, mc, mavl, mavt, mid, mx)
             cpred = cpreds[sl, jnp.clip(cm_g[mbys, mbx], 0, 3)]
             cryi = jnp.where(actc, mbys * ch_h, 0)
             crxi = jnp.where(actc, mbx * 8, 0)
             cres = gather_patch(resid, cryi, crxi, ch_h, 8)
-            cout = jnp.clip(cpred + cres, 0, 255)
+            cout = jnp.clip(cpred + cres, 0, mx)
             ccur = gather_patch(plane, cy, cx, ch_h, 8)
             cout = jnp.where(actc[:, None, None], cout, ccur)
             if comp == 0:
@@ -542,12 +544,12 @@ def intra_wavefront(
                 ],
                 axis=1,
             )
-            preds = intra4x4_modes(t8, l4, mm, have_l, have_t, have_c)
+            preds = intra4x4_modes(t8, l4, mm, have_l, have_t, have_c, mid)
             pred = preds[sl, jnp.clip(m4[:, k], 0, 8)]
             ry = jnp.where(act4, mbys * 16 + by * 4, 0)
             rx = jnp.where(act4, mbx * 16 + bx * 4, 0)
             res = gather_patch(resid_y_p, ry, rx, 4, 4)
-            out = jnp.clip(pred + res, 0, 255)
+            out = jnp.clip(pred + res, 0, mx)
             cur = gather_patch(yp, gy, gx, 4, 4)
             out = jnp.where(act4[:, None, None], out, cur)
             yp = scatter_patch(yp, gy, gx, out)
@@ -586,12 +588,12 @@ def intra_wavefront(
                     ],
                     axis=1,
                 )
-                preds = intra8x8_modes(t16b, l8b, mm, have_l, have_t, have_c)
+                preds = intra8x8_modes(t16b, l8b, mm, have_l, have_t, have_c, mid)
                 pred = preds[sl, jnp.clip(m4[:, b8], 0, 8)]
                 ry = jnp.where(act8, mbys * 16 + by8 * 8, 0)
                 rx = jnp.where(act8, mbx * 16 + bx8 * 8, 0)
                 res = gather_patch(resid_y_p, ry, rx, 8, 8)
-                out = jnp.clip(pred + res, 0, 255)
+                out = jnp.clip(pred + res, 0, mx)
                 cur = gather_patch(yp, gy, gx, 8, 8)
                 out = jnp.where(act8[:, None, None], out, cur)
                 yp = scatter_patch(yp, gy, gx, out)

@@ -26,8 +26,9 @@ def _filt6(a0, a1, a2, a3, a4, a5):
     return a0 - 5 * a1 + 20 * a2 + 20 * a3 - 5 * a4 + a5
 
 
-def half_pel_planes(ref: jnp.ndarray) -> jnp.ndarray:
-    """ref: [H, W] uint8 -> [4, H+2*PAD, W+2*PAD] uint8 stack (G, b, h, j).
+def half_pel_planes(ref: jnp.ndarray, mx: int = 255) -> jnp.ndarray:
+    """ref: [H, W] -> [4, H+2*PAD, W+2*PAD] stack (G, b, h, j); uint8 at
+    mx=255, uint16 for high bit depths (Clip1 ceiling mx = 2^bd - 1).
 
     b = horizontal half-pel (right of G), h = vertical half-pel (below G),
     j = center half-pel. Computed over the edge-replicated canvas so any MV
@@ -38,16 +39,18 @@ def half_pel_planes(ref: jnp.ndarray) -> jnp.ndarray:
     b_raw = _filt6(
         ge[:, 0:-5], ge[:, 1:-4], ge[:, 2:-3], ge[:, 3:-2], ge[:, 4:-1], ge[:, 5:]
     )  # [H+2P+5, W+2P]
-    b = jnp.clip((b_raw[2:-3] + 16) >> 5, 0, 255)
+    b = jnp.clip((b_raw[2:-3] + 16) >> 5, 0, mx)
     h_raw = _filt6(
         ge[0:-5], ge[1:-4], ge[2:-3], ge[3:-2], ge[4:-1], ge[5:]
     )  # [H+2P, W+2P+5]
-    h = jnp.clip((h_raw[:, 2:-3] + 16) >> 5, 0, 255)
+    h = jnp.clip((h_raw[:, 2:-3] + 16) >> 5, 0, mx)
     j_raw = _filt6(
         b_raw[0:-5], b_raw[1:-4], b_raw[2:-3], b_raw[3:-2], b_raw[4:-1], b_raw[5:]
     )  # [H+2P, W+2P]
-    j = jnp.clip((j_raw + 512) >> 10, 0, 255)
-    return jnp.stack([g, b, h, j]).astype(jnp.uint8)
+    j = jnp.clip((j_raw + 512) >> 10, 0, mx)
+    return jnp.stack([g, b, h, j]).astype(
+        jnp.uint8 if mx == 255 else jnp.uint16
+    )
 
 
 def chroma_pad(ref: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +137,10 @@ def luma_mc(
     mv: jnp.ndarray,  # [H4, W4, 2] int32 quarter-pel
     H: int,
     W: int,
+    need_s2: bool = True,  # False when every MV component is even (integer/
+    #                        half-pel): Table 8-12 then always selects a
+    #                        single plane sample, so the second gather pair
+    #                        is dead — the host detects this per frame
 ) -> jnp.ndarray:
     """Per-pixel luma prediction [H, W] int32 for one reference list.
 
@@ -185,26 +192,29 @@ def luma_mc(
     def widx(b, y, x):
         return b + (x & 1) * phase_sz + y * Wk + (x >> 1)
 
+    # field width: uint16 words pack two 8-bit samples (pack_pair8), uint32
+    # words two 16-bit samples (pack_pair16, high-bit-depth ring)
+    fs, fm = (8, 255) if packed.dtype == jnp.uint16 else (16, 0xFFFF)
+
+    def unpack(wa, wb):  # [H, W4] x2 -> [H, W4, 4] int32 (cols x..x+3)
+        return jnp.stack(
+            [wa & fm, wa >> fs, wb & fm, wb >> fs], axis=-1
+        ).astype(jnp.int32)
+
     i1a = widx(b1, y1, x1)  # cols x1, x1+1
     i1b = widx(b1, y1, x1 + 2)  # cols x1+2, x1+3
+    if not need_s2:
+        i1a, i1b = jax.lax.optimization_barrier((i1a, i1b))
+        s1 = unpack(jnp.take(flat, i1a), jnp.take(flat, i1b))
+        return s1.reshape(H, W)
     i2a = widx(b2, y2, x2)
     i2b = widx(b2, y2, x2 + 2)
     single = rrow(t[6])
     i1a, i1b, i2a, i2b, single = jax.lax.optimization_barrier(
         (i1a, i1b, i2a, i2b, single)
     )
-    w1a = jnp.take(flat, i1a)  # [H, W4] uint16
-    w1b = jnp.take(flat, i1b)
-    w2a = jnp.take(flat, i2a)
-    w2b = jnp.take(flat, i2b)
-
-    def unpack(wa, wb):  # [H, W4] x2 -> [H, W4, 4] int32 (cols x..x+3)
-        return jnp.stack(
-            [wa & 255, wa >> 8, wb & 255, wb >> 8], axis=-1
-        ).astype(jnp.int32)
-
-    s1 = unpack(w1a, w1b)
-    s2 = unpack(w2a, w2b)
+    s1 = unpack(jnp.take(flat, i1a), jnp.take(flat, i1b))
+    s2 = unpack(jnp.take(flat, i2a), jnp.take(flat, i2b))
     out = jnp.where(single[..., None] == 1, s1, (s1 + s2 + 1) >> 1)
     return out.reshape(H, W)
 
@@ -234,6 +244,10 @@ def chroma_mc_pair(
     Hc: int,
     Wc: int,
     chroma_array_type: int = 1,
+    packed2=None,  # high bit depth: separate per-component u32-packed rings
+    #               (packed = Cb, packed2 = Cr; 16-bit samples don't fit the
+    #               byte-interleaved trick), doubling the gather passes
+    mx: int = 255,
 ):
     """Both chroma components, both pixels of a cell row, in one gather
     pass: Cb and Cr share every source coordinate (byte-interleaved uint16
@@ -281,16 +295,6 @@ def chroma_mc_pair(
     iC = widx(yi1, xi)
     iC2 = widx(yi1, xi + 2)
     iA, iA2, iC, iC2 = jax.lax.optimization_barrier((iA, iA2, iC, iC2))
-    wA = jnp.take(flat, iA)
-    wA2 = jnp.take(flat, iA2)
-    wC = jnp.take(flat, iC)
-    wC2 = jnp.take(flat, iC2)
-    # per-pixel bilinear corners (uint16 Cb | Cr<<8), pixels 0 and 1:
-    # pixel 0 reads cols (xi, xi+1), pixel 1 reads (xi+1, xi+2)
-    A0, B0 = wA & 0xFFFF, wA >> 16
-    A1, B1 = B0, wA2 & 0xFFFF
-    C0, D0 = wC & 0xFFFF, wC >> 16
-    C1, D1 = D0, wC2 & 0xFFFF
 
     def bil(a, b, c, d):
         a, b, c, d = (v.astype(jnp.int32) for v in (a, b, c, d))
@@ -299,14 +303,34 @@ def chroma_mc_pair(
             + (8 - fx) * fy * c + fx * fy * d + 32
         ) >> 6
 
-    def comp(shift):
-        p0 = bil((A0 >> shift) & 255, (B0 >> shift) & 255,
-                 (C0 >> shift) & 255, (D0 >> shift) & 255)
-        p1 = bil((A1 >> shift) & 255, (B1 >> shift) & 255,
-                 (C1 >> shift) & 255, (D1 >> shift) & 255)
+    def gather4(flatp):
+        return (jnp.take(flatp, iA), jnp.take(flatp, iA2),
+                jnp.take(flatp, iC), jnp.take(flatp, iC2))
+
+    def comp_from(words, extract):
+        wA, wA2, wC, wC2 = words
+        # per-pixel bilinear corners, pixels 0 and 1: pixel 0 reads cols
+        # (xi, xi+1), pixel 1 reads (xi+1, xi+2)
+        A0, B0 = extract(wA & 0xFFFF), extract(wA >> 16)
+        A1, B1 = B0, extract(wA2 & 0xFFFF)
+        C0, D0 = extract(wC & 0xFFFF), extract(wC >> 16)
+        C1, D1 = D0, extract(wC2 & 0xFFFF)
+        p0 = bil(A0, B0, C0, D0)
+        p1 = bil(A1, B1, C1, D1)
         return jnp.stack([p0, p1], axis=-1).reshape(Hc, Wc)
 
-    return comp(0), comp(8)
+    if packed2 is not None:  # high bit depth: one gather pass per component
+        ident = lambda v: v  # noqa: E731
+        return (
+            comp_from(gather4(flat), ident),
+            comp_from(gather4(packed2.reshape(-1)), ident),
+        )
+    # 8-bit: Cb and Cr byte-interleave into one uint16, ONE gather pass
+    w = gather4(flat)
+    return (
+        comp_from(w, lambda v: v & 255),
+        comp_from(w, lambda v: v >> 8),
+    )
 
 
 def weighted_combine(
@@ -319,6 +343,7 @@ def weighted_combine(
     w1: jnp.ndarray,
     o1: jnp.ndarray,
     log_wd: jnp.ndarray,
+    mx: int = 255,
 ) -> jnp.ndarray:
     """Generalized spec 8.4.2.3 combine: bi uses (p0*w0 + p1*w1 + 2^lwd) >>
     (lwd+1) + (o0+o1+1)>>1; uni uses the one-sided formula. Host supplies
@@ -337,4 +362,4 @@ def weighted_combine(
     bi_val = ((p0 * w0 + p1 * w1 + (1 << log_wd)) >> (log_wd + 1)) + (
         (o0 + o1 + 1) >> 1
     )
-    return jnp.clip(jnp.where(bi, bi_val, uni), 0, 255)
+    return jnp.clip(jnp.where(bi, bi_val, uni), 0, mx)

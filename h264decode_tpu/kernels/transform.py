@@ -172,9 +172,15 @@ CHROMA_QP_TAB = np.concatenate(
 ).astype(np.int32)
 
 
-def chroma_qp(qp_y: jnp.ndarray, offset: int) -> jnp.ndarray:
-    qpi = jnp.clip(qp_y.astype(jnp.int32) + offset, 0, 51)
-    return jnp.asarray(CHROMA_QP_TAB)[qpi]
+def chroma_qp(qp_y: jnp.ndarray, offset: int, bd_off_c: int = 0) -> jnp.ndarray:
+    """Table 8-15 QPc; at high bit depth qPI clips into [-QpBdOffsetC, 51]
+    and the EFFECTIVE QP'c (= QPc + QpBdOffsetC, what dequant consumes) is
+    returned (jnp twin of reference_recon.chroma_qp)."""
+    qpi = jnp.clip(qp_y.astype(jnp.int32) + offset, -bd_off_c, 51)
+    qpc = jnp.where(
+        qpi < 30, qpi, jnp.asarray(CHROMA_QP_TAB)[jnp.clip(qpi, 0, 51)]
+    )
+    return qpc + bd_off_c
 
 
 def blocks_to_plane(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
@@ -220,8 +226,10 @@ def luma_residual_plane(
 ) -> jnp.ndarray:
     """Full luma residual plane for every MB at once (spec 8.5.12/8.5.13)."""
     n = luma_ac.shape[0]
-    sel = jnp.where(intra, 0, 1)  # [nMB]
-    ls4_mb = ls4[sel]  # [nMB, 6, 4, 4]
+    # intra/inter list selection as a masked select (a [nMB]-indexed
+    # gather here is one DMA per MB on TPU)
+    i4 = intra[:, None, None, None]
+    ls4_mb = jnp.where(i4, ls4[0], ls4[1])  # [nMB, 6, 4, 4]
     c = dezigzag4(luma_ac)  # [nMB, 16, 4, 4]
     d = _dequant4x4_per_mb(c, ls4_mb, qp)
     # I16 DC path
@@ -241,7 +249,7 @@ def luma_residual_plane(
     plane4 = blocks_to_plane(res4, mb_h, mb_w)
     # 8x8 path
     c8 = dezigzag8(luma8_ac)  # [nMB, 4, 8, 8]
-    ls8_mb = ls8[sel]
+    ls8_mb = jnp.where(i4, ls8[0], ls8[1])
     d8 = _dequant8x8_per_mb(c8, ls8_mb, qp)
     res8 = idct8x8(d8)
     plane8 = blocks8_to_plane(res8, mb_h, mb_w)
@@ -249,12 +257,23 @@ def luma_residual_plane(
     return jnp.where(t8_mask, plane8, plane4)
 
 
+def _sel_m(tab_mb, qp):
+    """tab_mb: [nMB, 6, ...]; qp: [nMB] -> [nMB, 1, ...] rows at qp % 6.
+
+    A take_along_axis here lowers to a multi-element-slice gather = one DMA
+    per macroblock (~3.7 ms per table at 1080p, device trace); six masked
+    selects are pure VPU."""
+    qm = (qp % 6).reshape((-1,) + (1,) * (tab_mb.ndim - 1))
+    out = jnp.zeros_like(tab_mb[:, :1])
+    for m in range(6):
+        out = jnp.where(qm == m, tab_mb[:, m : m + 1], out)
+    return out
+
+
 def _dequant4x4_per_mb(c, ls4_mb, qp):
     """c: [nMB, B, 4, 4]; ls4_mb: [nMB, 6, 4, 4]; qp: [nMB]."""
     qp = qp.astype(jnp.int32)
-    ls = jnp.take_along_axis(
-        ls4_mb, (qp % 6)[:, None, None, None], axis=1
-    )  # [nMB,1,4,4]
+    ls = _sel_m(ls4_mb, qp)  # [nMB,1,4,4]
     qp_div6 = (qp // 6)[:, None, None, None]
     hi = (c * ls) << jnp.maximum(qp_div6 - 4, 0)
     rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(3 - qp_div6, 0))
@@ -264,7 +283,7 @@ def _dequant4x4_per_mb(c, ls4_mb, qp):
 
 def _dequant8x8_per_mb(c, ls8_mb, qp):
     qp = qp.astype(jnp.int32)
-    ls = jnp.take_along_axis(ls8_mb, (qp % 6)[:, None, None, None], axis=1)
+    ls = _sel_m(ls8_mb, qp)
     qp_div6 = (qp // 6)[:, None, None, None]
     hi = (c * ls) << jnp.maximum(qp_div6 - 6, 0)
     rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - qp_div6, 0))
@@ -275,7 +294,7 @@ def _dequant8x8_per_mb(c, ls8_mb, qp):
 def _luma_dc_dequant_per_mb(f, ls00, qp):
     """f: [nMB,4,4]; ls00: [nMB,6]."""
     qp = qp.astype(jnp.int32)
-    ls = jnp.take_along_axis(ls00, (qp % 6)[:, None], axis=1)[:, :, None]
+    ls = _sel_m(ls00, qp)[:, :, None]
     qp_div6 = (qp // 6)[:, None, None]
     hi = (f * ls) << jnp.maximum(qp_div6 - 6, 0)
     rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - qp_div6, 0))
@@ -292,13 +311,15 @@ def chroma_residual_planes(
     qp_offsets: tuple[int, int],
     mb_h: int,
     mb_w: int,
+    bd: int = 8,
 ):
     """Residual planes for Cb and Cr (spec 8.5.11 + 8.5.12)."""
     out = []
-    sel = jnp.where(intra, 0, 1)
+    bd_off_c = 6 * (bd - 8)
+    i4 = intra[:, None, None, None]
     for comp in range(2):
-        qpc = chroma_qp(qp, qp_offsets[comp])  # [nMB]
-        ls = ls4[sel, comp]  # [nMB, 6, 4, 4]
+        qpc = chroma_qp(qp, qp_offsets[comp], bd_off_c)  # [nMB] QP'c
+        ls = jnp.where(i4, ls4[0, comp], ls4[1, comp])  # [nMB, 6, 4, 4]
         dcc = _chroma_dc_per_mb(chroma_dc[:, comp].reshape(-1, 2, 2), ls[:, :, 0, 0], qpc)
         c = dezigzag4(chroma_ac[:, comp])  # [nMB, 4, 4, 4]
         d = _dequant4x4_per_mb(c, ls, qpc)
@@ -325,6 +346,7 @@ def chroma_residual_planes_422(
     qp_offsets: tuple[int, int],
     mb_h: int,
     mb_w: int,
+    bd: int = 8,
 ):
     """4:2:2 residual planes for Cb and Cr: 8 blocks per MB component with
     the 2x4 DC transform at qP.DC = QPc + 3 (spec 8.5.11 for
@@ -333,7 +355,6 @@ def chroma_residual_planes_422(
     from ..tensors.frame_tensors import CHROMA422_DC_SCAN
 
     out = []
-    sel = jnp.where(intra, 0, 1)
     # scan order -> [4, 2] spatial DC grid (static permutation)
     perm = np.zeros(8, np.int32)
     for k, (i, j) in enumerate(CHROMA422_DC_SCAN):
@@ -343,15 +364,15 @@ def chroma_residual_planes_422(
         jnp.int32,
     )
     h2 = jnp.asarray([[1, 1], [1, -1]], jnp.int32)
+    bd_off_c = 6 * (bd - 8)
     for comp in range(2):
-        qpc = chroma_qp(qp, qp_offsets[comp]).astype(jnp.int32)  # [nMB]
-        ls = ls4[sel, comp]  # [nMB, 6, 4, 4]
+        qpc = chroma_qp(qp, qp_offsets[comp], bd_off_c).astype(jnp.int32)
+        ls = jnp.where(intra[:, None, None, None], ls4[0, comp],
+                       ls4[1, comp])  # [nMB, 6, 4, 4]
         cgrid = chroma_dc[:, comp].astype(jnp.int32)[:, perm].reshape(-1, 4, 2)
         f = jnp.einsum("ij,njk,kl->nil", h4, cgrid, h2)  # [nMB, 4, 2]
         qp_dc = qpc + 3
-        ls00 = jnp.take_along_axis(
-            ls[:, :, 0, 0], (qp_dc % 6)[:, None], axis=1
-        )[:, :, None]  # [nMB, 1, 1]
+        ls00 = _sel_m(ls[:, :, 0, 0], qp_dc)[:, :, None]  # [nMB, 1, 1]
         dv6 = (qp_dc // 6)[:, None, None]
         hi = (f * ls00) << jnp.maximum(dv6 - 6, 0)
         rnd = jnp.left_shift(jnp.int32(1), jnp.maximum(5 - dv6, 0))
@@ -370,5 +391,5 @@ def _chroma_dc_per_mb(c, ls00, qpc):
     h2 = jnp.asarray([[1, 1], [1, -1]], jnp.int32)
     f = jnp.einsum("ij,njk,kl->nil", h2, c.astype(jnp.int32), h2)
     qpc = qpc.astype(jnp.int32)
-    ls = jnp.take_along_axis(ls00, (qpc % 6)[:, None], axis=1)[:, :, None]
+    ls = _sel_m(ls00, qpc)[:, :, None]
     return ((f * ls) << (qpc // 6)[:, None, None]) >> 5

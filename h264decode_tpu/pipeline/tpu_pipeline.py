@@ -84,6 +84,19 @@ def _jit_pack_chroma(cb, cr):
     )
     return mc_k.pack_pair16(c16)
 
+
+@partial(jax.jit, static_argnums=(1,))
+def _jit_pack_luma_hbd(y, mx):
+    """[H, W] uint16 -> the high-bit-depth packed luma MC layout (half-pel
+    filter outputs Clip1 at the stream's mx)."""
+    return mc_k.pack_pair16(mc_k.half_pel_planes(y, mx))
+
+
+@jax.jit
+def _jit_pack_c16(c):
+    """[Hc, Wc] uint16 chroma component -> packed per-component ring."""
+    return mc_k.pack_pair16(mc_k.chroma_pad(c).astype(jnp.uint16))
+
 _ON_TPU: bool | None = None
 
 # Table 8-15: QPc from clipped qPI (device constant for the 4:4:4 path)
@@ -187,7 +200,8 @@ def _weight_cells(inp: dict, mb_h: int, mb_w: int):
 
 
 def _base_planes(inp: dict, mb_h: int, mb_w: int,
-                 has_l8: bool, has_pcm: bool, cat: int = 1):
+                 has_l8: bool, has_pcm: bool, cat: int = 1, bd: int = 8,
+                 need_s2: bool = True):
     """Residual transforms + motion compensation (weighted, both lists
     masked) + PCM placement: every fully data-parallel pixel stage. Returns
     (base_y, base_cb, base_cr, ry, rcb, rcr) where base planes hold
@@ -207,7 +221,9 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
         if has_l8
         else jnp.zeros((n, 4, 64), jnp.int32)
     )
-    qp = inp["qp"].astype(jnp.int32)
+    mx = (1 << bd) - 1
+    qp_raw = inp["qp"].astype(jnp.int32)  # spec-range QP (deblock tables)
+    qp = qp_raw + 6 * (bd - 8)  # QP'Y: what luma dequant consumes
     # ---- residual planes (all MBs)
     ry = tr_k.luma_residual_plane(
         inp["luma_ac"].astype(jnp.int32), inp["luma_dc"].astype(jnp.int32),
@@ -220,7 +236,8 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
     )
     rcb, rcr = chroma_res(
         inp["chroma_dc"].astype(jnp.int32), inp["chroma_ac"].astype(jnp.int32),
-        qp, inp["is_intra"], inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
+        qp_raw, inp["is_intra"], inp["ls4_c"], inp["qp_offsets"], mb_h, mb_w,
+        bd=bd,
     )
     # ---- inter prediction: both lists always evaluated (masked where
     # unused) so I/P/B frames share one XLA program
@@ -247,23 +264,24 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
             jnp.repeat(a.astype(jnp.int32), ch_h // 4, 0), 2, 1
         )
 
-    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W)
-    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W)
+    p0y = mc_k.luma_mc(inp["ref_luma"], slot[0], mv[0], H, W, need_s2)
+    p1y = mc_k.luma_mc(inp["ref_luma"], slot[1], mv[1], H, W, need_s2)
     w0, o0, w1, o1, lwd = luma_w(bi_cell)
     pred_y = mc_k.weighted_combine(
         p0y, p1y, px4(use0_cell).astype(bool), px4(use1_cell).astype(bool),
-        px4(w0), px4(o0), px4(w1), px4(o1), px4(lwd),
+        px4(w0), px4(o0), px4(w1), px4(o1), px4(lwd), mx,
     )
-    inter_y = jnp.clip(pred_y + ry, 0, 255)
+    inter_y = jnp.clip(pred_y + ry, 0, mx)
 
     use0c = px2(use0_cell).astype(bool)
     use1c = px2(use1_cell).astype(bool)
     # both chroma components ride one gather pass over the pre-packed
     # (Cb | Cr<<8 interleaved, column-pair-packed) chroma ring
+    c2 = inp["ref_cr"] if bd > 8 else None  # separate Cr ring at high bd
     p0cb, p0cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[0], mv[0], Hc, Wc,
-                                     chroma_array_type=cat)
+                                     chroma_array_type=cat, packed2=c2, mx=mx)
     p1cb, p1cr = mc_k.chroma_mc_pair(inp["ref_cb"], slot[1], mv[1], Hc, Wc,
-                                     chroma_array_type=cat)
+                                     chroma_array_type=cat, packed2=c2, mx=mx)
     chroma_planes = []
     for comp, (p0, p1, rc) in enumerate(
         ((p0cb, p1cb, rcb), (p0cr, p1cr, rcr))
@@ -271,9 +289,9 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
         cw0, co0, cw1, co1, clwd = chroma_w(comp, bi_cell)
         pred = mc_k.weighted_combine(
             p0, p1, use0c, use1c,
-            px2(cw0), px2(co0), px2(cw1), px2(co1), px2(clwd),
+            px2(cw0), px2(co0), px2(cw1), px2(co1), px2(clwd), mx,
         )
-        chroma_planes.append(jnp.clip(pred + rc, 0, 255))
+        chroma_planes.append(jnp.clip(pred + rc, 0, mx))
     inter_cb, inter_cr = chroma_planes
 
     # ---- base planes: inter pixels + PCM pixels, zeros where intra fills
@@ -291,7 +309,7 @@ def _base_planes(inp: dict, mb_h: int, mb_w: int,
 
 def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
                 has_l8: bool, has_pcm: bool, has_intra: bool = True,
-                cat: int = 1):
+                cat: int = 1, bd: int = 8, need_s2: bool = True):
     """The full parallel pixel path for one frame, one compile variant.
 
     has_l8/has_pcm/has_intra are the only static gates left: has_l8 is a
@@ -301,29 +319,31 @@ def _frame_core(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     the intra raster kernels entirely — typical P/B frames code ZERO intra
     macroblocks, and the serial wavefront kernels were ~60 ms/frame of
     pure overhead on them (device trace)."""
+    odt = jnp.uint8 if bd == 8 else jnp.uint16
     base_y, base_cb, base_cr, ry, rcb, rcr = _base_planes(
-        inp, mb_h, mb_w, has_l8, has_pcm, cat
+        inp, mb_h, mb_w, has_l8, has_pcm, cat, bd, need_s2
     )
     if not has_intra:
         return (
-            base_y.astype(jnp.uint8),
-            base_cb.astype(jnp.uint8),
-            base_cr.astype(jnp.uint8),
+            base_y.astype(odt),
+            base_cb.astype(odt),
+            base_cr.astype(odt),
         )
     # ---- intra reconstruction: Pallas raster kernel on TPU, XLA wavefront
     # elsewhere (CPU tests / virtual device meshes). 4:2:2 runs the XLA
     # wavefront everywhere (the Pallas raster kernel is 4:2:0-geometry)
-    if cat == 2:
+    if cat == 2 or bd > 8:
+        # 4:2:2 geometry and high bit depths run the XLA wavefront on all
+        # backends (the Pallas raster kernel is 4:2:0 8-bit)
         y, cb, cr = intra_wavefront(
             base_y, base_cb, base_cr, ry, rcb, rcr,
             inp["kind"].astype(jnp.int32), inp["modes4"].astype(jnp.int32),
             inp["i16mode"].astype(jnp.int32), inp["cmode"].astype(jnp.int32),
             inp["avl"], inp["avt"], inp["avtr"], inp["avtl"],
-            mb_h, mb_w, ch_h=16,
+            mb_h, mb_w, ch_h=16 if cat == 2 else 8,
+            mid=1 << (bd - 1), mx=(1 << bd) - 1,
         )
-        return (
-            y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
-        )
+        return y.astype(odt), cb.astype(odt), cr.astype(odt)
     intra_impl = intra_frame_pallas if _on_tpu() else intra_wavefront
     y, cb, cr = intra_impl(
         base_y, base_cb, base_cr, ry, rcb, rcr,
@@ -346,7 +366,8 @@ def _comp_qp_grids(inp: dict):
 
 
 def _frame_core_444(inp: dict, mb_h: int, mb_w: int, n_refs: int,
-                    has_l8: bool, has_pcm: bool, has_intra: bool = True):
+                    has_l8: bool, has_pcm: bool, has_intra: bool = True,
+                    need_s2: bool = True):
     """ChromaArrayType-3 pixel path: Cb and Cr run the LUMA machinery per
     component (spec 7.3.5.3.1 / 8.3.4.5 / 8.4.2.2) — luma-geometry residual
     planes with per-component QPc and scaling lists, luma-style quarter-pel
@@ -392,8 +413,8 @@ def _frame_core_444(inp: dict, mb_h: int, mb_w: int, n_refs: int,
     for comp, (ring, rc) in enumerate(
         ((inp["ref_luma"], ry), (inp["ref_cb"], rcb), (inp["ref_cr"], rcr))
     ):
-        p0 = mc_k.luma_mc(ring, slot[0], mv[0], H, W)
-        p1 = mc_k.luma_mc(ring, slot[1], mv[1], H, W)
+        p0 = mc_k.luma_mc(ring, slot[0], mv[0], H, W, need_s2)
+        p1 = mc_k.luma_mc(ring, slot[1], mv[1], H, W, need_s2)
         if comp == 0:
             w0, o0, w1, o1, lwd = luma_w(bi_cell)
         else:
@@ -469,7 +490,8 @@ def _deblock_core_444(planes, inp: dict, mb_h: int, mb_w: int):
     return out[0], out[1], out[2]
 
 
-def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int, cat: int = 1):
+def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int, cat: int = 1,
+                  bd: int = 8):
     """Device-side edge-parameter derivation + the deblocking filter (Pallas
     raster kernel on TPU, XLA wavefront elsewhere; 4:2:2 always runs the
     XLA kernel with full-height chroma). Expands the compact mv_parts to
@@ -502,8 +524,11 @@ def _deblock_core(planes, inp: dict, mb_h: int, mb_w: int, cat: int = 1):
         slot_cells=inp.get("slot_cells"),
         chroma_all_h_edges=cat == 2,
     )
-    if cat == 2:
-        return deblock_frame_tpu(y, cb, cr, prep, mb_h, mb_w, ch_h=16)
+    if cat == 2 or bd > 8:
+        return deblock_frame_tpu(
+            y, cb, cr, prep, mb_h, mb_w, ch_h=16 if cat == 2 else 8,
+            bd_scale=1 << (bd - 8), mx=(1 << bd) - 1,
+        )
     if _on_tpu():
         from ..kernels.deblock_pallas import deblock_frame_pallas
 
@@ -612,11 +637,14 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
     cf3 = len(flags) > 4 and flags[4]
     has_intra = flags[5] if len(flags) > 5 else True
     cat = 2 if (len(flags) > 6 and flags[6]) else 1
+    bd = flags[7] if len(flags) > 7 else 8
+    need_s2 = flags[8] if len(flags) > 8 else True
+    mx = (1 << bd) - 1
     inp = _prepare_inp(wire, dyn, ring_y, ring_cb, ring_cr, mb_h, mb_w, flags)
     slot = inp["slot_idx"].astype(jnp.int32).reshape(())
     if cf3:
         y, cb, cr = _frame_core_444(inp, mb_h, mb_w, n_refs, has_l8,
-                                    has_pcm, has_intra)
+                                    has_pcm, has_intra, need_s2)
         if apply_db:
             y, cb, cr = _deblock_core_444((y, cb, cr), inp, mb_h, mb_w)
         ring_y = jax.lax.dynamic_update_slice(
@@ -631,19 +659,33 @@ def frame_step(wire: dict, ring_y, ring_cb, ring_cr, dyn: dict,
         packed = jnp.concatenate([y, cb, cr], axis=0)
         return ring_y, ring_cb, ring_cr, packed
     y, cb, cr = _frame_core(inp, mb_h, mb_w, n_refs, has_l8, has_pcm,
-                            has_intra, cat)
+                            has_intra, cat, bd, need_s2)
     if apply_db:
-        y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w, cat)
+        y, cb, cr = _deblock_core((y, cb, cr), inp, mb_h, mb_w, cat, bd)
     # DPB ring update: the rings hold the PAIR-PACKED layouts the MC
     # gathers consume (kernels/mc.py pack_pair8/pack_pair16), built once
     # per decoded frame here
-    hp = mc_k.pack_pair8(mc_k.half_pel_planes(y))
-    c16 = mc_k.chroma_pad(cb).astype(jnp.uint16) | (
-        mc_k.chroma_pad(cr).astype(jnp.uint16) << 8
-    )
-    cq = mc_k.pack_pair16(c16)
-    ring_y = jax.lax.dynamic_update_slice(ring_y, hp[None], (slot, 0, 0, 0, 0))
-    ring_cb = jax.lax.dynamic_update_slice(ring_cb, cq[None], (slot, 0, 0, 0))
+    if bd > 8:
+        # 16-bit samples: u32 word pairs; Cb and Cr keep separate rings
+        hp = mc_k.pack_pair16(mc_k.half_pel_planes(y, mx))
+        cbq = mc_k.pack_pair16(mc_k.chroma_pad(cb).astype(jnp.uint16))
+        crq = mc_k.pack_pair16(mc_k.chroma_pad(cr).astype(jnp.uint16))
+        ring_y = jax.lax.dynamic_update_slice(
+            ring_y, hp[None], (slot, 0, 0, 0, 0))
+        ring_cb = jax.lax.dynamic_update_slice(
+            ring_cb, cbq[None], (slot, 0, 0, 0))
+        ring_cr = jax.lax.dynamic_update_slice(
+            ring_cr, crq[None], (slot, 0, 0, 0))
+    else:
+        hp = mc_k.pack_pair8(mc_k.half_pel_planes(y))
+        c16 = mc_k.chroma_pad(cb).astype(jnp.uint16) | (
+            mc_k.chroma_pad(cr).astype(jnp.uint16) << 8
+        )
+        cq = mc_k.pack_pair16(c16)
+        ring_y = jax.lax.dynamic_update_slice(
+            ring_y, hp[None], (slot, 0, 0, 0, 0))
+        ring_cb = jax.lax.dynamic_update_slice(
+            ring_cb, cq[None], (slot, 0, 0, 0))
     packed = jnp.concatenate([y, jnp.concatenate([cb, cr], axis=1)], axis=0)
     return ring_y, ring_cb, ring_cr, packed
 
@@ -666,12 +708,13 @@ class _PackedFrame:
     waits for it and splits the planes."""
 
     def __init__(self, packed, H: int, W: int, metrics: DecodeMetrics | None,
-                 cf3: bool = False, cf2: bool = False):
+                 cf3: bool = False, cf2: bool = False, dtype=np.uint8):
         self._packed = packed
         self._H = H
         self._W = W
         self._cf3 = cf3  # 4:4:4: packed rows are [Y; Cb; Cr] full-size
         self._cf2 = cf2  # 4:2:2: chroma rows are full-height
+        self._dtype = np.dtype(dtype)
         self._planes = None
         self._metrics = metrics
 
@@ -740,7 +783,7 @@ class _PlaneView:
 
     @property
     def dtype(self):
-        return np.dtype(np.uint8)
+        return self._frame._dtype
 
 
 class _FuturePlane:
@@ -847,7 +890,8 @@ def _mb_avail_grids(ft: FrameTensors, pps: PPS):
 _IDENTITY_WT_CACHE: dict = {}
 
 
-def _weight_tables(weight_ctx, ref_lists, poc, s_pad: int, r_w: int):
+def _weight_tables(weight_ctx, ref_lists, poc, s_pad: int, r_w: int,
+                   osh: int = 0):
     """Per-slice weighted-prediction tables for the device-side gather.
 
     Identity default everywhere: w=32, o=0, logWD=5 — exact for unweighted
@@ -898,9 +942,13 @@ def _weight_tables(weight_ctx, ref_lists, poc, s_pad: int, r_w: int):
                     if ridx >= R:
                         break
                     w_tab[sid, lst, ridx] = e.luma_weight
-                    o_tab[sid, lst, ridx] = e.luma_offset
+                    # explicit offsets scale by 1 << (BitDepth - 8)
+                    # (spec 8.4.2.3.2 offset scaling)
+                    o_tab[sid, lst, ridx] = e.luma_offset << osh
                     wc_tab[sid, lst, ridx] = e.chroma_weight
-                    oc_tab[sid, lst, ridx] = e.chroma_offset
+                    oc_tab[sid, lst, ridx] = (
+                        np.asarray(e.chroma_offset, np.int32) << osh
+                    )
             # explicit bi weights are separable per (list, ref_idx)
             pw0[sid] = w_tab[sid, 0, :, None]
             pw1[sid] = w_tab[sid, 1, None, :]
@@ -956,11 +1004,13 @@ class TpuDecoder(Decoder):
 
     def _submit_reconstruct(self, ft, sps, pps, slices, ref_lists,
                             weight_ctx, poc):
-        if sps.bit_depth_luma != 8:
-            # 10-bit pixels keep the numpy oracle path (bit-exact).
-            # Monochrome RUNS the 4:2:0 device pipeline (no chroma coded ->
-            # mid-gray converges exactly), 4:2:2 the full-height-chroma
-            # device variant, 4:4:4 the per-component luma-process path
+        if sps.bit_depth_luma != 8 and (
+            sps.chroma_array_type == 3
+            or sps.bit_depth_chroma != sps.bit_depth_luma
+        ):
+            # high-bit-depth 4:4:4 (and mixed-depth components) keep the
+            # numpy oracle path; mono/4:2:0/4:2:2 at any depth, and all
+            # 8-bit formats, run the device pipeline
             return Decoder._submit_reconstruct(
                 self, ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
@@ -1013,28 +1063,36 @@ class TpuDecoder(Decoder):
         H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
         cf3 = sps.chroma_array_type == 3
         cf2 = sps.chroma_array_type == 2
-        geom = (n_refs, H, W, cf3, cf2)
+        bd = sps.bit_depth_luma
+        self._bd = bd
+        geom = (n_refs, H, W, cf3, cf2, bd)
         if self._ring is None or self._ring_geom != geom:
             P = mc_k.PAD
             # rings hold the PAIR-PACKED MC layouts (kernels/mc.py):
             # luma [R, 4 planes, 2 phases, Hp, Wp//2+2] uint16; 4:2:0/4:2:2
             # chroma one interleaved Cb|Cr ring [R, 2, Hpc, Wpc//2+2] uint32
             lshape = (n_refs, 4, 2, H + 2 * P, (W + 2 * P) // 2 + 2)
+            # word dtype: 8-bit samples pack pairs into uint16 (uint32 for
+            # the Cb|Cr-interleaved chroma); >8-bit samples pack pairs of
+            # uint16 into uint32, with Cb and Cr in separate rings
+            ldt = jnp.uint16 if bd == 8 else jnp.uint32
             if cf3:
                 # 4:4:4 chroma is MC'd with the luma process: each chroma
                 # component keeps its own packed half-pel plane stack
                 self._ring = [
-                    jnp.zeros(lshape, jnp.uint16),
-                    jnp.zeros(lshape, jnp.uint16),
-                    jnp.zeros(lshape, jnp.uint16),
+                    jnp.zeros(lshape, ldt),
+                    jnp.zeros(lshape, ldt),
+                    jnp.zeros(lshape, ldt),
                 ]
             else:
                 Hc = H if cf2 else H // 2  # 4:2:2 chroma is full height
                 Hpc, Wpc = Hc + 2 * P, W // 2 + 2 * P
+                cshape = (n_refs, 2, Hpc, Wpc // 2 + 2)
                 self._ring = [
-                    jnp.zeros(lshape, jnp.uint16),
-                    jnp.zeros((n_refs, 2, Hpc, Wpc // 2 + 2), jnp.uint32),
-                    jnp.zeros((1,), jnp.uint8),  # placeholder (Cb|Cr merged)
+                    jnp.zeros(lshape, ldt),
+                    jnp.zeros(cshape, jnp.uint32),
+                    (jnp.zeros(cshape, jnp.uint32) if bd > 8
+                     else jnp.zeros((1,), jnp.uint8)),
                 ]
             self._ring_slots = {}
             self._ring_geom = geom
@@ -1053,14 +1111,23 @@ class TpuDecoder(Decoder):
         by a host fallback path, e.g. lossless transform-bypass frames),
         packed into the ring's MC layouts."""
         cf3 = self._ring[1].ndim == 5
+        hbd = self._ring[0].dtype == jnp.uint32  # high-bit-depth ring words
         for p in pictures[:n_refs]:
             if p.uid in self._ring_slots:
                 continue
             slot = self._alloc_slot(live, n_refs)
-            hp = _jit_pack_luma(jnp.asarray(np.asarray(p.y)))
+            mx = (1 << getattr(self, "_bd", 8)) - 1
+            pack_l = (
+                (lambda a: _jit_pack_luma_hbd(a, mx)) if hbd else _jit_pack_luma
+            )
+            hp = pack_l(jnp.asarray(np.asarray(p.y)))
             if cf3:
-                cbp = _jit_pack_luma(jnp.asarray(np.asarray(p.cb)))
-                crp = _jit_pack_luma(jnp.asarray(np.asarray(p.cr)))
+                cbp = pack_l(jnp.asarray(np.asarray(p.cb)))
+                crp = pack_l(jnp.asarray(np.asarray(p.cr)))
+                self._ring[2] = self._ring[2].at[slot].set(crp)
+            elif hbd:
+                cbp = _jit_pack_c16(jnp.asarray(np.asarray(p.cb)))
+                crp = _jit_pack_c16(jnp.asarray(np.asarray(p.cr)))
                 self._ring[2] = self._ring[2].at[slot].set(crp)
             else:
                 cbp = _jit_pack_chroma(
@@ -1092,7 +1159,9 @@ class TpuDecoder(Decoder):
             return super()._reconstruct(
                 ft, sps, pps, slices, ref_lists, weight_ctx, poc
             )
-        if sps.qpprime_y_zero_transform_bypass_flag and (ft.qp == 0).any():
+        if sps.qpprime_y_zero_transform_bypass_flag and (
+            ft.qp.astype(np.int32) + 6 * (sps.bit_depth_luma - 8) == 0
+        ).any():
             # lossless transform-bypass MBs (spec 8.5.15): numpy oracle path.
             # Reference pictures may hold still-device planes from earlier
             # TPU frames; materialize them once so the oracle's per-pixel
@@ -1152,7 +1221,8 @@ class TpuDecoder(Decoder):
             )
             while self._r_w < max_list:
                 self._r_w *= 2
-            wt = _weight_tables(weight_ctx, ref_lists, poc, s_pad, self._r_w)
+            wt = _weight_tables(weight_ctx, ref_lists, poc, s_pad, self._r_w,
+                                osh=sps.bit_depth_luma - 8)
         else:
             wt = {}
 
@@ -1171,19 +1241,21 @@ class TpuDecoder(Decoder):
         chh = 16 if (cf3 or cf2) else 8
         has_pcm = bool(ft.pcm_samples)
         if has_pcm:
-            pcm_y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-            pcm_cb = np.zeros((mb_h * chh, mb_w * cw), np.uint8)
-            pcm_cr = np.zeros((mb_h * chh, mb_w * cw), np.uint8)
+            pdt = np.uint8 if sps.bit_depth_luma == 8 else np.uint16
+            pcm_y = np.zeros((mb_h * 16, mb_w * 16), pdt)
+            pcm_cb = np.zeros((mb_h * chh, mb_w * cw), pdt)
+            pcm_cr = np.zeros((mb_h * chh, mb_w * cw), pdt)
             mono = sps.chroma_array_type == 0
             for addr, (py, pcb, pcr) in ft.pcm_samples.items():
                 mbx, mby = ft.mb_xy(addr)
                 pcm_y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = py
                 # mono PCM carries no chroma: present the mid-gray fill
+                mid = 1 << (sps.bit_depth_chroma - 1)
                 pcm_cb[mby * chh : (mby + 1) * chh, mbx * cw : (mbx + 1) * cw] = (
-                    128 if mono else pcb
+                    mid if mono else pcb
                 )
                 pcm_cr[mby * chh : (mby + 1) * chh, mbx * cw : (mbx + 1) * cw] = (
-                    128 if mono else pcr
+                    mid if mono else pcr
                 )
 
         # one packed upload: the device link is latency-bound, so every
@@ -1369,8 +1441,11 @@ class TpuDecoder(Decoder):
         # raster kernels entirely (the base planes already hold the full
         # inter + PCM reconstruction)
         has_intra = bool(kind.any())
+        # all-even MVs (integer/half-pel, common on easy content) make the
+        # Table 8-12 second sample dead: skip its gathers in the program
+        need_s2 = bool(((ft.mv & 1) != 0).any())
         flags = (has_l8, has_pcm, self.apply_deblock, sparse, cf3, has_intra,
-                 cf2)
+                 cf2, sps.bit_depth_luma, need_s2)
         if m is not None:
             with m.timer("dispatch"):
                 ry, rcb, rcr, packed = frame_step(
@@ -1391,7 +1466,10 @@ class TpuDecoder(Decoder):
                 packed.copy_to_host_async()
             except Exception:
                 pass
-        out = _PackedFrame(packed, H, W, m, cf3=cf3, cf2=cf2)
+        out = _PackedFrame(
+            packed, H, W, m, cf3=cf3, cf2=cf2,
+            dtype=np.uint8 if sps.bit_depth_luma == 8 else np.uint16,
+        )
         return _PlaneView(out, 0), _PlaneView(out, 1), _PlaneView(out, 2)
 
 

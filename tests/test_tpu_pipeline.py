@@ -94,3 +94,18 @@ def test_high422_device_pipeline():
         extra_x264="8x8dct=1:partitions=all:ref=2:weightp=2",
     )
     assert_tpu_bit_exact(bs)
+
+
+def test_high10_device_pipeline():
+    """High 10 (10-bit) through the DEVICE pipeline: uint16 sample path —
+    QP'Y = QP + 12 dequant, Clip1 at 1023, scaled deblock thresholds
+    (8.7.2.2), scaled explicit weight offsets (8.4.2.3.2), pair-packed
+    uint16 rings with per-component chroma — bit-exact vs libavcodec."""
+    from tests.test_high10 import make_frames10
+
+    bs = lavc.encode_x264(
+        make_frames10(5, 64, 96), qp=26, profile="high10", csp="yuv420p10le",
+        cabac=True, bframes=2, preset="fast", gop=4,
+        extra_x264="8x8dct=1:weightp=2:ref=2",
+    )
+    assert_tpu_bit_exact(bs)
