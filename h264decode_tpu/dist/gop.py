@@ -37,6 +37,7 @@ from ..pipeline.decoder import DecodedFrame
 from ..pipeline.seek import _first_mb_is_zero, _iter_nalus_offsets, scan_access_points
 from ..syntax.nal import parse_nal_unit
 from .decoder import ShardedDecoder, _REPLICATED_KEYS
+from .multihost import coordination_barrier
 from .sharded import _WEIGHT_KEYS, make_sharded_step
 
 # identity fill values for weight tables padded to a common shape
@@ -109,6 +110,7 @@ class GopParallelDecoder:
         self.G = mesh.shape["gop"]
         self.s_pad = s_pad
         self.multihost = multihost
+        self._barrier_seq = 0
         if multihost:
             n_proc = jax.process_count()
             assert self.G % n_proc == 0, "gop axis must divide by processes"
@@ -216,7 +218,8 @@ class GopParallelDecoder:
 
     def _step_batch(self, raws: dict[int, dict], geom):
         mb_h, mb_w, n_refs, qp_offs = geom
-        if self._step is None or self._geom != geom:
+        fresh_step = self._step is None or self._geom != geom
+        if fresh_step:
             self._step = make_sharded_step(
                 self.mesh, mb_h, mb_w, n_refs,
                 apply_deblock=self.apply_deblock, qp_offsets=qp_offs,
@@ -263,6 +266,20 @@ class GopParallelDecoder:
             inp[k] = self._globalize(k, stacked) if self.multihost else jnp.asarray(stacked)
         if any_raw is not None:
             self._template_repl = {k: any_raw[k] for k in _REPLICATED_KEYS}
+        if self.multihost and fresh_step:
+            # Compile the new executable on every rank FIRST (per-rank
+            # duration is arbitrary — minutes on CPU dryruns), then
+            # rendezvous on the coordination service (long gRPC deadline)
+            # so all ranks ENTER the collective program together. The
+            # per-executable CPU-collective (Gloo) communicator initializes
+            # lazily inside the first execution with a ~30 s window that
+            # compile-time skew otherwise blows (reproduced: the "flaky"
+            # multihost dryrun tracked compile-cache state, not network
+            # health). The jit call below re-resolves via the persistent
+            # compile cache in seconds, keeping ranks inside the window.
+            self._step.lower(inp).compile()
+            coordination_barrier(f"h264_gop_step_ready_{self._barrier_seq}")
+            self._barrier_seq += 1
         y, cb, cr = self._step(inp)
         if self.multihost:
             ys = _local_gop_planes(y)

@@ -51,4 +51,30 @@ def make_global_mesh(n_row: int | None = None) -> Mesh:
     # entirely on process p's devices
     by_proc = sorted(devs, key=lambda d: (d.process_index, d.id))
     grid = np.array(by_proc).reshape(n_proc * gop_per_proc, n_row)
-    return Mesh(grid, axis_names=("gop", "row"))
+    mesh = Mesh(grid, axis_names=("gop", "row"))
+    if n_proc > 1:
+        # Establish the collective transport NOW with a trivial barrier.
+        # The transport clique (Gloo on CPU) initializes lazily at the
+        # FIRST collective, with a ~30 s rendezvous deadline — if that
+        # first collective sits behind the multi-minute frame-pipeline
+        # compile, per-rank compile-time variance blows the window and the
+        # whole run dies with "Gloo context initialization failed /
+        # GetKeyValue timed out" (reproduced; the flake tracked compile
+        # cache state, not network health). A tiny all-device sync
+        # compiles in seconds on every rank, so the clique forms while
+        # ranks are still closely synchronized.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("h264_collective_warmup")
+    return mesh
+
+
+def coordination_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous all processes on the coordination service (gRPC, long
+    deadline) — unlike data-plane collectives, this tolerates arbitrary
+    per-rank skew (e.g. compile-time variance). No-op single-process."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
