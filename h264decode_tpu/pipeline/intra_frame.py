@@ -729,8 +729,10 @@ class IntraFrameReconstructor:
         """SP/SI macroblock reconstruction through the 8.6 transform-domain
         requantization chain (no 8x8 transform exists in SP/SI slices)."""
         ft = self.ft
-        if self.bd != 8:
-            raise NotImplementedError("SP slices at high bit depth")
+        # High bit depth: the 8.6 chain consumes EFFECTIVE QP'/QS'
+        # (+QpBdOffset), mirroring 8.5 — Extended profile is 8-bit in
+        # practice, so this extension has no conformance oracle and is
+        # validated against the in-test 8.6 transcription (tests/test_spsi.py)
         qp = int(ft.qp[addr])
         x0, y0 = mbx * 16, mby * 16
         out = np.empty((16, 16), np.int64)
@@ -739,7 +741,7 @@ class IntraFrameReconstructor:
             pred = pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
             lev = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
             out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = rr.sp_luma_block(
-                pred, lev, qp, qs, switching
+                pred, lev, qp + self.qp_off, qs + self.qp_off, switching
             )
         self.y[y0 : y0 + 16, x0 : x0 + 16] = rr.clip1(out, self.mx).astype(self.pxdtype)
         if self.sps.chroma_array_type == 1:
@@ -751,8 +753,8 @@ class IntraFrameReconstructor:
             (0, self.cb, pred_cb, pps.chroma_qp_index_offset),
             (1, self.cr, pred_cr, pps.second_chroma_qp_index_offset),
         ):
-            qpc = rr.chroma_qp(qp, off)
-            qsc = rr.chroma_qp(qs, off)
+            qpc = rr.chroma_qp(qp, off, self.qp_off_c)
+            qsc = rr.chroma_qp(qs, off, self.qp_off_c)
             dc = ft.chroma_dc[addr, comp].astype(np.int64)
             ac = np.stack([
                 self._dz4(addr, ft.chroma_ac[addr, comp, k].astype(np.int32))
@@ -767,8 +769,6 @@ class IntraFrameReconstructor:
         """SI macroblock (spec 8.6.2): Intra_4x4 prediction, reconstruction
         through the QS quantization chain (same math as switching SP)."""
         ft = self.ft
-        if self.bd != 8:
-            raise NotImplementedError("SI slices at high bit depth")
         sp = self.sp_ctx[int(ft.slice_id[addr])]
         qs = sp[2]
         qp = int(ft.qp[addr])
@@ -780,7 +780,9 @@ class IntraFrameReconstructor:
             left, top, tr, corner = self._refs_4x4(addr, gx, gy)
             pred = rr.intra4x4_predict(mode, left, top, tr, corner, self.mid)
             lev = self._dz4(addr, ft.luma_ac[addr, blk].astype(np.int32))
-            out = rr.sp_luma_block(pred, lev, qp, qs, switching=True)
+            out = rr.sp_luma_block(
+                pred, lev, qp + self.qp_off, qs + self.qp_off, switching=True
+            )
             self.y[y0 : y0 + 4, x0 : x0 + 4] = rr.clip1(out, self.mx).astype(self.pxdtype)
             self.cell_done[gy, gx] = True
         if self.sps.chroma_array_type == 1:

@@ -118,9 +118,16 @@ def write_sps(
         frame_mbs_only = False
         mb_h //= 2  # pic_height_in_map_units counts pairs
     w = BitWriter()
+    high_block = (
+        chroma_format_idc != 1
+        or bit_depth_luma != 8
+        or (bit_depth_chroma or bit_depth_luma) != 8
+    )
     if chroma_format_idc != 1:
         # High 4:2:2 (122) / High 4:4:4 Predictive (244)
         profile = 122 if chroma_format_idc == 2 else 244
+    elif high_block:
+        profile = 110  # High 10
     else:
         # Baseline forbids interlaced coding tools; PAFF streams declare Main
         profile = 66 if frame_mbs_only else 77
@@ -128,7 +135,7 @@ def write_sps(
     w.u(8, 0)  # constraint flags + reserved
     w.u(8, 30)  # level_idc
     w.ue(0)  # seq_parameter_set_id
-    if chroma_format_idc != 1:
+    if high_block:
         w.ue(chroma_format_idc)
         if chroma_format_idc == 3:
             w.flag(False)  # separate_colour_plane_flag
@@ -308,7 +315,7 @@ def _slice_header(
 
 
 def pcm_mb(w: BitWriter, y16: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
-           in_p_slice: bool, mb_type: int | None = None):
+           in_p_slice: bool, mb_type: int | None = None, bit_depth: int = 8):
     """macroblock_layer() for one I_PCM MB (spec 7.3.5). Chroma sample
     counts follow the planes' shapes (8x8 / 16x8 / 16x16 per format).
     mb_type overrides the coded value (48 = I_PCM in B slices)."""
@@ -316,20 +323,28 @@ def pcm_mb(w: BitWriter, y16: np.ndarray, cb8: np.ndarray, cr8: np.ndarray,
         mb_type = 30 if in_p_slice else 25  # I_PCM (+5 in P slices)
     w.ue(mb_type)
     w.align_zero()  # pcm_alignment_zero_bit
-    w.bytes_raw(y16.astype(np.uint8).tobytes())
-    w.bytes_raw(cb8.astype(np.uint8).tobytes())
-    w.bytes_raw(cr8.astype(np.uint8).tobytes())
+    if bit_depth == 8:
+        w.bytes_raw(y16.astype(np.uint8).tobytes())
+        w.bytes_raw(cb8.astype(np.uint8).tobytes())
+        w.bytes_raw(cr8.astype(np.uint8).tobytes())
+    else:
+        for plane in (y16, cb8, cr8):
+            for s in np.asarray(plane, np.int64).flatten():
+                w.u(bit_depth, int(s))
 
 
-def pcm_frame_planes(mb_w: int, mb_h: int, seed: int, chroma_format: int = 1):
+def pcm_frame_planes(mb_w: int, mb_h: int, seed: int, chroma_format: int = 1,
+                     bit_depth: int = 8):
     """Deterministic per-MB PCM pattern (address-dependent, catches any
     traversal misordering)."""
     rng = np.random.default_rng(seed)
     ch = mb_h * (16 if chroma_format in (2, 3) else 8)
     cw = mb_w * (16 if chroma_format == 3 else 8)
-    y = rng.integers(0, 256, (mb_h * 16, mb_w * 16), dtype=np.uint8)
-    cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
-    cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+    hi = 1 << bit_depth
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    y = rng.integers(0, hi, (mb_h * 16, mb_w * 16), dtype=dt)
+    cb = rng.integers(0, hi, (ch, cw), dtype=dt)
+    cr = rng.integers(0, hi, (ch, cw), dtype=dt)
     return y, cb, cr
 
 
@@ -352,6 +367,7 @@ def pcm_slice(
     log2_max_frame_num: int = 4,
     field: int | None = None,
     interlaced_sps: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
     """One slice whose MBs (given in decode order) are all I_PCM."""
     y, cb, cr = planes
@@ -377,6 +393,7 @@ def pcm_slice(
             cb[mby * chh : (mby + 1) * chh, mbx * chw : (mbx + 1) * chw],
             cr[mby * chh : (mby + 1) * chh, mbx * chw : (mbx + 1) * chw],
             in_p,
+            bit_depth=bit_depth,
         )
     w.trailing_bits()
     return nal(5 if idr else 1, ref_idc, w.rbsp())

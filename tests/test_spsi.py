@@ -82,13 +82,14 @@ def _rq(w, qs):
     return np.sign(w) * ((np.abs(w) * rw + (1 << (b - 1))) >> b)
 
 
-def _sp_block(pred, qp, qs, switching):
+def _sp_block(pred, qp, qs, switching, mx=255):
+    """qp/qs are EFFECTIVE (incl. any 6*(bd-8) QpBdOffset)."""
     t = _fwd(pred)
     ls = _q(t, qs) if switching else _rq(_dq(_q(t, qp), qp), qs)
-    return np.clip(_inv(_dq(ls, qs)), 0, 255)
+    return np.clip(_inv(_dq(ls, qs)), 0, mx)
 
 
-def _sp_chroma8(pred, qpc, qsc, switching):
+def _sp_chroma8(pred, qpc, qsc, switching, mx=255):
     h2 = np.array([[1, 1], [1, -1]], np.int64)
     t = [_fwd(pred[(k // 2) * 4:(k // 2) * 4 + 4, (k % 2) * 4:(k % 2) * 4 + 4])
          for k in range(4)]
@@ -119,7 +120,7 @@ def _sp_chroma8(pred, qpc, qsc, switching):
         w = _dq(ls, qsc)
         w[0, 0] = dcs[k // 2, k % 2]
         out[(k // 2) * 4:(k // 2) * 4 + 4, (k % 2) * 4:(k % 2) * 4 + 4] = _inv(w)
-    return np.clip(out, 0, 255)
+    return np.clip(out, 0, mx)
 
 
 def _shift_pred(plane, px):
@@ -128,23 +129,26 @@ def _shift_pred(plane, px):
     return pad[px:px + plane.shape[0], px:px + plane.shape[1]]
 
 
-def _expected_sp(ref_planes, qp, qs, switching):
+def _expected_sp(ref_planes, qp, qs, switching, bd=8):
     y, cb, cr = ref_planes
+    off = 6 * (bd - 8)
+    mxv = (1 << bd) - 1
     py, pcb, pcr = _shift_pred(y, 2), _shift_pred(cb, 1), _shift_pred(cr, 1)
-    qpc, qsc = _chroma_qp(qp), _chroma_qp(qs)
+    qpc, qsc = _chroma_qp(qp) + off, _chroma_qp(qs) + off
+    qp, qs = qp + off, qs + off
     ey = np.empty_like(y)
     for by in range(y.shape[0] // 4):
         for bx in range(y.shape[1] // 4):
             ey[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _sp_block(
                 py[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].astype(np.int64),
-                qp, qs, switching)
+                qp, qs, switching, mxv)
     ecb = np.empty_like(cb)
     ecr = np.empty_like(cr)
     for my in range(cb.shape[0] // 8):
         for mx in range(cb.shape[1] // 8):
             s = (slice(my * 8, my * 8 + 8), slice(mx * 8, mx * 8 + 8))
-            ecb[s] = _sp_chroma8(pcb[s].astype(np.int64), qpc, qsc, switching)
-            ecr[s] = _sp_chroma8(pcr[s].astype(np.int64), qpc, qsc, switching)
+            ecb[s] = _sp_chroma8(pcb[s].astype(np.int64), qpc, qsc, switching, mxv)
+            ecr[s] = _sp_chroma8(pcr[s].astype(np.int64), qpc, qsc, switching, mxv)
     return ey, ecb, ecr
 
 
@@ -153,18 +157,19 @@ def _expected_sp(ref_planes, qp, qs, switching):
 # --------------------------------------------------------------------------
 
 
-def _sp_stream(switching, qs_delta):
+def _sp_stream(switching, qs_delta, bd=8):
     """IDR PCM reference + SP frame: every MB P_L0_16x16 with mv (8,8)
     (2 full px), the last two MBs skipped (skip MVP = (8,8) from coded
     neighbors); mvd (8,8) on the first MB, 0 elsewhere (8.4.1.3 MVP)."""
-    planes = pcm_frame_planes(MB_W, MB_H, seed=11)
+    planes = pcm_frame_planes(MB_W, MB_H, seed=11, bit_depth=bd)
     actions = [("p16", 8, 8)] + [("p16", 0, 0)] * (N_MBS - 3) + [
         ("skip",), ("skip",),
     ]
     data = (
-        write_sps(MB_W, MB_H)
+        write_sps(MB_W, MB_H, bit_depth_luma=bd)
         + write_pps()
-        + pcm_slice(planes, list(range(N_MBS)), MB_W, frame_num=0, idr=True)
+        + pcm_slice(planes, list(range(N_MBS)), MB_W, frame_num=0, idr=True,
+                    bit_depth=bd)
         + sp_slice(N_MBS, actions, frame_num=1, poc_lsb=2,
                    sp_switch=switching, qs_delta=qs_delta)
     )
@@ -262,21 +267,14 @@ def test_requant_roundtrip_identity():
         assert np.array_equal(ns, sw), f"chroma-DC requant identity broken at qp {q}"
 
 
-def test_si_slice():
-    """SI picture: every MB SI (Intra_4x4 DC prediction through 8.6.2)."""
-    qs_delta = 2
-    data = (
-        write_sps(MB_W, MB_H)
-        + write_pps()
-        + si_slice(N_MBS, idr=True, qs_delta=qs_delta)
-    )
-    frames = Decoder().decode_stream(data)
-    assert len(frames) == 1
-    qp, qs = 26, 26 + qs_delta
-    qsc = _chroma_qp(qs)
-    qpc = _chroma_qp(qp)
-    # transcription: DC intra pred per 4x4 in decode order over the
-    # progressively reconstructed picture, then the 8.6.2 (switching) chain
+def _expected_si(qp, qs, bd=8):
+    """Transcription: DC intra pred per 4x4 in decode order over the
+    progressively reconstructed picture, then the 8.6.2 (switching) chain."""
+    off = 6 * (bd - 8)
+    mxv = (1 << bd) - 1
+    mid = 1 << (bd - 1)
+    qpe, qse = qp + off, qs + off
+    qpc, qsc = _chroma_qp(qp) + off, _chroma_qp(qs) + off
     BLK_XY = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
               (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
     y = np.zeros((MB_H * 16, MB_W * 16), np.int64)
@@ -294,11 +292,10 @@ def test_si_slice():
                 if have_t:
                     refs.extend(y[y0 - 1, x0:x0 + 4])
                 dc = ((int(np.sum(refs)) + len(refs) // 2) // len(refs)
-                      if refs else 128)
+                      if refs else mid)
                 pred = np.full((4, 4), dc, np.int64)
-                y[y0:y0 + 4, x0:x0 + 4] = _sp_block(pred, qp, qs, True)
+                y[y0:y0 + 4, x0:x0 + 4] = _sp_block(pred, qpe, qse, True, mxv)
                 done[gy, gx] = True
-    assert np.array_equal(np.asarray(frames[0].y), y)
     # chroma: DC mode over reconstructed neighbors
     cb = np.zeros((MB_H * 8, MB_W * 8), np.int64)
     cr = np.zeros((MB_H * 8, MB_W * 8), np.int64)
@@ -324,11 +321,58 @@ def test_si_slice():
                             vals = (list(left) if have_l
                                     else list(top) if have_t else None)
                         dc = ((int(np.sum(vals)) + len(vals) // 2) // len(vals)
-                              if vals else 128)
+                              if vals else mid)
                         pred[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = dc
-                plane[y0:y0 + 8, x0:x0 + 8] = _sp_chroma8(pred, qpc, qsc, True)
-    assert np.array_equal(np.asarray(frames[0].cb), cb)
-    assert np.array_equal(np.asarray(frames[0].cr), cr)
+                plane[y0:y0 + 8, x0:x0 + 8] = _sp_chroma8(pred, qpc, qsc, True,
+                                                          mxv)
+    return y, cb, cr
+
+
+def test_si_slice():
+    """SI picture: every MB SI (Intra_4x4 DC prediction through 8.6.2)."""
+    qs_delta = 2
+    data = (
+        write_sps(MB_W, MB_H)
+        + write_pps()
+        + si_slice(N_MBS, idr=True, qs_delta=qs_delta)
+    )
+    frames = Decoder().decode_stream(data)
+    assert len(frames) == 1
+    exp = _expected_si(26, 26 + qs_delta)
+    for name, got, want in zip("y cb cr".split(), frames[0].planes(), exp):
+        assert np.array_equal(np.asarray(got), want), f"plane {name}"
+
+
+@pytest.mark.parametrize("switching,qs_delta",
+                         [(False, 4), (True, 0)],
+                         ids=["nonswitch", "switch"])
+def test_sp_slice_10bit(switching, qs_delta):
+    """SP at High 10: the 8.6 chain consumes QP'/QS' (+QpBdOffset=12),
+    mirroring 8.5 — validated against the bd-generalized transcription
+    (Extended profile is 8-bit, so no conformance oracle exists)."""
+    data, ref = _sp_stream(switching, qs_delta, bd=10)
+    frames = Decoder().decode_stream(data)
+    assert len(frames) == 2
+    exp = _expected_sp(ref, qp=26, qs=26 + qs_delta, switching=switching,
+                       bd=10)
+    for name, got, want in zip("y cb cr".split(), frames[1].planes(), exp):
+        assert np.asarray(got).dtype == np.uint16
+        assert np.array_equal(np.asarray(got), want), f"plane {name}"
+
+
+def test_si_slice_10bit():
+    """SI picture at High 10 (mid-gray DC seed = 512, clip at 1023)."""
+    qs_delta = 2
+    data = (
+        write_sps(MB_W, MB_H, bit_depth_luma=10)
+        + write_pps()
+        + si_slice(N_MBS, idr=True, qs_delta=qs_delta)
+    )
+    frames = Decoder().decode_stream(data)
+    assert len(frames) == 1
+    exp = _expected_si(26, 26 + qs_delta, bd=10)
+    for name, got, want in zip("y cb cr".split(), frames[0].planes(), exp):
+        assert np.array_equal(np.asarray(got), want), f"plane {name}"
 
 
 def test_si_slice_cabac():
