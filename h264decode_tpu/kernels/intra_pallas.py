@@ -400,7 +400,13 @@ def pack_luma_params(kind, modes4, i16mode, avl, avt, avtr, avtl, mb_h, mb_w, nb
     ]
     packed = jnp.concatenate(parts, axis=-1)  # (mb_h, pw, 32)
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - packed.shape[-1])))
-    return packed.reshape(mb_h * nbx, 8, 128).astype(jnp.int32)
+    blk = packed.reshape(mb_h * nbx, 8, 128).astype(jnp.int32)
+    # lane 127 of MB 0: any intra MB in this 8-MB block — the kernel skips
+    # the whole block when clear (the canvas is aliased in/out, so inter
+    # pixels are already in place; device trace showed the fixed per-block
+    # cost made mostly-inter frames pay the all-intra price)
+    anyf = (blk[:, :, _PK] > 0).any(axis=1)
+    return blk.at[:, 0, 127].set(anyf.astype(jnp.int32))
 
 
 def pack_chroma_params(kind, cmode, avl, avt, mb_h, mb_w, nbx_c):
@@ -420,7 +426,10 @@ def pack_chroma_params(kind, cmode, avl, avt, mb_h, mb_w, nbx_c):
     ]
     packed = jnp.concatenate(parts, axis=-1)
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - packed.shape[-1])))
-    return packed.reshape(mb_h * nbx_c, 16, 128).astype(jnp.int32)
+    blk = packed.reshape(mb_h * nbx_c, 16, 128).astype(jnp.int32)
+    # lane 127 of MB 0: any intra MB in this 16-MB block (skip like luma)
+    anyf = (blk[:, :, _CIN] != 0).any(axis=1)
+    return blk.at[:, 0, 127].set(anyf.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -433,6 +442,12 @@ def _make_luma_kernel(n_blk: int, nbx: int):
 
     def kernel(p_in, r_in, y_in, y_ref):
         def blk(i, _):
+            @pl.when(p_in[i, 0, 127] != 0)
+            def _do():
+                _blk_body(i)
+            return 0
+
+        def _blk_body(i):
             mby = i // nbx
             bx = i % nbx
             win = y_ref[pl.ds(mby * 16, 32), pl.ds(bx * 128, 384)].astype(jnp.int32)
@@ -566,7 +581,6 @@ def _make_luma_kernel(n_blk: int, nbx: int):
             y_ref[pl.ds(mby * 16 + 16, 16), pl.ds(bx * 128 + 128, 128)] = band.astype(
                 jnp.uint8
             )
-            return 0
 
         jax.lax.fori_loop(0, n_blk, blk, 0)
 
@@ -578,6 +592,12 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
 
     def kernel(p_in, rcb_in, rcr_in, cb_in, cr_in, cb_ref, cr_ref):
         def blk(i, _):
+            @pl.when(p_in[i, 0, 127] != 0)
+            def _do():
+                _blk_body(i)
+            return 0
+
+        def _blk_body(i):
             mby = i // nbx_c
             bx = i % nbx_c
             for ref, r_in in ((cb_ref, rcb_in), (cr_ref, rcr_in)):
@@ -610,7 +630,6 @@ def _make_chroma_kernel(n_blk: int, nbx_c: int):
                 ref[pl.ds(mby * 8 + 8, 8), pl.ds(bx * 128 + 128, 128)] = band.astype(
                     jnp.uint8
                 )
-            return 0
 
         jax.lax.fori_loop(0, n_blk, blk, 0)
 
