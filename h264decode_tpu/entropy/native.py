@@ -213,10 +213,35 @@ class NativeFrameState:
             fb.c444_nnz = _ptr(ft.c444_nnz)
         self.fb = fb
         self._keepalive = []
+        self._par_orders: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def parallel_fb(self) -> "_FrameBuffers":
+        """A per-slice _FrameBuffers clone whose decode_order/n_decoded
+        point at PRIVATE buffers: concurrent slice decodes share every
+        per-MB output array (disjoint MB rows by construction — slices
+        partition the picture, and the engine masks cross-slice neighbor
+        reads by the slice_id check, whose -1 init makes the comparison
+        value-stable under concurrent aligned int32 writes) but must not
+        race the shared decode-order counter. Call in slice order on ONE
+        thread; finish() merges the private orders in that order."""
+        fb2 = _FrameBuffers()
+        ctypes.memmove(
+            ctypes.byref(fb2), ctypes.byref(self.fb), ctypes.sizeof(fb2)
+        )
+        order = np.zeros(self.ft.n_mbs, np.int32)
+        cnt = np.zeros(1, np.int32)
+        fb2.decode_order = _ptr(order)
+        fb2.n_decoded = _ptr(cnt)
+        self._par_orders.append((order, cnt))
+        self._keepalive.append(fb2)
+        return fb2
 
     def finish(self):
         """Mirror side state back into Python structures."""
         ft = self.ft
+        for order, pcnt in self._par_orders:
+            ft.decode_order.extend(order[: int(pcnt[0])].tolist())
+        self._par_orders.clear()
         cnt = int(self.n_decoded[0])
         ft.decode_order.extend(self.decode_order[:cnt].tolist())
         self.n_decoded[0] = 0
@@ -269,6 +294,7 @@ def decode_slice_native(
     ref_uids_l1,
     direct_ctx,
     mb_map=None,
+    fb: "_FrameBuffers | None" = None,
 ) -> None:
     lib = _load()
     p = _SliceParams()
@@ -396,7 +422,7 @@ def decode_slice_native(
         len(rbsp),
         hdr.data_bit_offset,
         ctypes.byref(p),
-        ctypes.byref(state.fb),
+        ctypes.byref(state.fb if fb is None else fb),
     )
     if ret == -4:
         raise ValueError("data partition B/C missing but residual coded")

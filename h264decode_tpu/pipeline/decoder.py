@@ -13,6 +13,8 @@ Capability superset of the reference's handleConnection dispatch
 from __future__ import annotations
 
 
+import os
+
 import numpy as np
 
 from ..bitstream.annexb import iter_nalus, iter_nalus_chunks
@@ -417,6 +419,7 @@ class Decoder:
             else contextlib.nullcontext()
         )
         _t_entropy.__enter__()
+        native_calls = []  # deferred engine calls, dispatched concurrently
         for slice_id, (hdr, s_sps, s_pps, r) in enumerate(slices):
             map_units = map_unit_to_slice_group_map(
                 s_sps, s_pps, hdr.slice_group_change_cycle
@@ -464,7 +467,10 @@ class Decoder:
                 wmode = "none"
             weight_ctx.append((wmode, hdr.pred_weight_table))
             if use_native:
-                native_mod.decode_slice_native(
+                from functools import partial as _partial
+
+                native_calls.append(_partial(
+                    native_mod.decode_slice_native,
                     native_state,
                     hdr,
                     s_sps,
@@ -475,7 +481,13 @@ class Decoder:
                     [p.uid for p in l1],
                     direct_ctx,
                     mb_map=mb_map,
-                )
+                    # multi-slice frames decode their slices CONCURRENTLY
+                    # (the engine releases the GIL; slices partition the
+                    # picture and cross-slice neighbors are masked), each
+                    # with a private decode-order buffer merged in order
+                    fb=(native_state.parallel_fb()
+                        if len(slices) > 1 else None),
+                ))
                 continue
             from ..entropy.cabac_slice import CabacSliceDecoder
 
@@ -499,6 +511,20 @@ class Decoder:
                 direct_ctx=direct_ctx,
             )
             dec.decode()
+        if len(native_calls) > 1:
+            ex = getattr(self, "_slice_exec", None)
+            if ex is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                ex = ThreadPoolExecutor(
+                    max_workers=min(8, os.cpu_count() or 4),
+                    thread_name_prefix="h264slice",
+                )
+                self._slice_exec = ex
+            # map() drains the iterator and re-raises the first failure
+            list(ex.map(lambda call: call(), native_calls))
+        elif native_calls:
+            native_calls[0]()
         if native_state is not None:
             native_state.finish()
         _t_entropy.__exit__(None, None, None)

@@ -31,6 +31,7 @@ function. Bit-exact vs the numpy oracle and therefore vs libavcodec.
 from __future__ import annotations
 
 import os
+import sys
 from collections import deque
 from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
@@ -108,6 +109,11 @@ _QPC_TAB = np.concatenate([np.arange(30), np.asarray(_QPC_TAIL)]).astype(np.int3
 # up to 32 entries (with duplicates), so R_W grows (pow2) when a stream
 # actually uses longer lists
 R_W_DEFAULT = 16
+
+# device-memory budget for the DPB rings (MB): geometries whose rings would
+# exceed it (e.g. 17-ref 4K High 4:4:4) decode on the host oracle instead of
+# dying in the device allocator; override via env for bigger/smaller parts
+_RING_BUDGET_MB = int(os.environ.get("H264_TPU_RING_BUDGET_MB", "6144"))
 
 
 def _on_tpu() -> bool:
@@ -1061,6 +1067,27 @@ class TpuDecoder(Decoder):
         while self._recon_pending:
             self._recon_pending.popleft().result()
 
+    @staticmethod
+    def ring_bytes(sps: SPS) -> int:
+        """Device bytes the DPB rings for this stream geometry would take
+        (pair-packed MC layouts, _ensure_ring shapes). 4:4:4 keeps a full
+        4-plane half-pel stack PER chroma component, so multi-ref
+        4:4:4/high-bd streams can be large; _reconstruct checks this
+        against H264_TPU_RING_BUDGET_MB and falls back to the numpy oracle
+        instead of dying in the allocator."""
+        n_refs = max(1, sps.max_num_ref_frames + 1)
+        H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
+        P = mc_k.PAD
+        wb = 2 if sps.bit_depth_luma == 8 else 4  # ring word bytes
+        luma = n_refs * 4 * 2 * (H + 2 * P) * ((W + 2 * P) // 2 + 2) * wb
+        if sps.chroma_array_type == 3:
+            return 3 * luma
+        if sps.chroma_array_type == 0:
+            return luma
+        Hc = H if sps.chroma_array_type == 2 else H // 2
+        chroma = n_refs * 2 * (Hc + 2 * P) * ((W // 2 + 2 * P) // 2 + 2) * 4
+        return luma + chroma * (2 if sps.bit_depth_luma > 8 else 1)
+
     def _ensure_ring(self, sps: SPS):
         n_refs = max(1, sps.max_num_ref_frames + 1)
         H, W = sps.frame_height_in_mbs * 16, sps.pic_width_in_mbs * 16
@@ -1144,10 +1171,20 @@ class TpuDecoder(Decoder):
                      cur_uid: int | None = None):
         if cur_uid is None:
             cur_uid = self.uid_counter
+        over_budget = self.ring_bytes(sps) > _RING_BUDGET_MB << 20
+        if over_budget and not getattr(self, "_budget_warned", False):
+            self._budget_warned = True
+            print(
+                f"h264decode_tpu: DPB ring would take "
+                f"{self.ring_bytes(sps) >> 20} MB (> H264_TPU_RING_BUDGET_MB="
+                f"{_RING_BUDGET_MB}); decoding on the host oracle",
+                file=sys.stderr,
+            )
         if (
             slices[0][0].field_pic_flag
             or slices[0][0].mbaff_frame_flag
             or any(h.is_sp or h.is_si for h, *_ in slices)
+            or over_budget
         ):
             # PAFF field pictures (field geometry would thrash the device
             # DPB ring, which is sized for frames), MBAFF pictures (pair
